@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness check.
+
+Usage: compare.py [sfDir] [verifyOutDir]
+Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.
+"""
+import duckdb, json, sys, glob
+import pandas as pd
+import numpy as np
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings']
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fails, passes = [], []
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+        fails.append(name); continue
+    files = glob.glob(f'{out}/{name}/*.parquet')
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails.append(name); continue
+    sdf = con.execute(f"select * from read_parquet('{out}/{name}/*.parquet')").fetchdf()
+    o = odf[sorted(odf.columns)]
+    s = sdf[sorted(sdf.columns)]
+    if list(o.columns) != list(s.columns):
+        print(f"FAIL {name}: cols spark={list(s.columns)} oracle={list(o.columns)}")
+        fails.append(name); continue
+    dt_diff = [(c, str(s[c].dtype), str(o[c].dtype)) for c in o.columns
+               if str(s[c].dtype) != str(o[c].dtype)]
+    o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    if len(o) != len(s):
+        print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+        fails.append(name); continue
+    bad = None
+    for c in o.columns:
+        ov, sv = o[c], s[c]
+        if ov.dtype.kind == 'f' or sv.dtype.kind == 'f':
+            neq = ~((ov == sv) | (ov.isna() & sv.isna()))
+        else:
+            neq = ~((ov.astype(object) == sv.astype(object)) | (ov.isna() & sv.isna()))
+        if neq.any():
+            i = int(np.argmax(neq.values))
+            bad = (c, i, sv.iloc[i], ov.iloc[i])
+            break
+    if bad:
+        c, i, svv, ovv = bad
+        print(f"FAIL {name}: col {c} row {i}: spark={svv!r} oracle={ovv!r}")
+        fails.append(name); continue
+    note = f" [dtype diff: {dt_diff}]" if dt_diff else ""
+    print(f"PASS {name} ({len(o)} rows){note}")
+    passes.append(name)
+
+print(f"\n{len(passes)} pass, {len(fails)} fail")
+if fails:
+    print("failing:", ", ".join(fails))
+    sys.exit(1)

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic expression helpers.
+  *
+  * Every query in the registry is verified against a DuckDB oracle by
+  * exact value comparison, so all arithmetic that could differ between
+  * engines (float accumulation order, hash functions, rounding modes) is
+  * funneled through these combinators, each of which has a documented
+  * DuckDB-SQL equivalent producing bit-identical results.
+  */
+object Portable {
+
+  /** 32-bit portable string hash: big-endian integer value of the first
+    * 8 hex chars of md5(s). Non-negative, fits in a long.
+    * DuckDB: `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)`
+    */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact sum of a 2-decimal double column, returned as double.
+    * Accumulates in DECIMAL(28,2) so partial-aggregation order cannot
+    * change the result; the single final decimal->double conversion is
+    * identical in both engines.
+    * DuckDB: `CAST(sum(CAST(x AS DECIMAL(28,2))) AS DOUBLE)`
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,2)")).cast("double")
+
+  /** Exact sum of an arbitrary double expression: each row value is first
+    * rounded into DECIMAL(28,6) (deterministic given identical input
+    * doubles), then summed exactly.
+    * DuckDB: `CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`
+    */
+  def dsum6(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** Order-insensitive mean: exact decimal sum / count, in doubles.
+    * DuckDB: `CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*)`
+    */
+  def davg(c: Column): Column =
+    dsum6(c) / count(lit(1))
+
+  /** Whitespace tokens. DuckDB: `string_split(s, ' ')`. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Dot product of two double arrays, sequential left-to-right fold.
+    * (Pair it with round(..., 6) before any comparison.)
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a double array. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Array[Float] -> Array[Double] elementwise. */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine similarity of two float-array columns, computed entirely in
+    * doubles and rounded to 6 decimals for cross-engine determinism.
+    */
+  def cosine6(a: Column, b: Column): Column = {
+    val da = toDouble(a); val db = toDouble(b)
+    round(dot(da, db) / sqrt(norm2(da) * norm2(db)), 6)
+  }
+}

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Large-scale training-data pipeline operators (BASELINE.json
+  * north_star): deduplication (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard, embedding near-dup), similarity search, and text analysis
+  * over the `documents` / `embeddings` tables.
+  *
+  * All hashes go through Portable.h32 (md5-derived) so the DuckDB
+  * oracles compute bit-identical values. All float math is rounded to 6
+  * decimals before any comparison or output.
+  *
+  * Scale notes: each operator keys its shuffles on content hashes
+  * (uniformly distributed), pair generation is always blocked (by lang,
+  * label, or LSH bucket) — never an unblocked O(n²) cross join — and
+  * per-doc signatures are computed map-side from token arrays.
+  */
+object Pipeline {
+
+  /** Distinct (doc_id, blocking-cols, token) rows. */
+  private def distinctTokens(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("w"))
+
+  private val tokCte =
+    """tok AS (SELECT DISTINCT doc_id, lang, w FROM (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents) raw)"""
+
+  /** Exact dedup: content-hash groupBy, min-id survivor election.
+    * (pipeline op: exact dedup — hash-groupBy; one shuffle on the
+    * fingerprint, perfectly uniform keys.)
+    */
+  private val q21DedupExact = Q(
+    "q21_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor_id"))
+        .orderBy("fingerprint"),
+    Some("""SELECT md5(text) AS fingerprint, count(*) AS n_copies,
+      min(doc_id) AS survivor_id FROM documents GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** n-gram (unigram-set) Jaccard near-dup pairs, blocked by lang.
+    * Explode distinct tokens -> self-join on (lang, token) -> count
+    * common -> |A∩B| / |A∪B|. The token join IS the inverted index: at
+    * scale this is the standard candidate generation, and the lang block
+    * bounds bucket width.
+    */
+  private val q22NgramJaccard = Q(
+    "q22_ngram_jaccard",
+    (s, d) => {
+      val tok = distinctTokens(Tables.documents(s, d))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = tok.as("a")
+        .join(tok.as("b"),
+          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+        .select(col("a_id"), col("b_id"),
+          round(col("common").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("common")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.88)
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH $tokCte,
+      sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        FROM tok a JOIN tok b
+          ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+      WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.88
+      ORDER BY 1, 2"""))
+
+  /** Fixed (i, a, b) permutation parameters for MinHash. */
+  private val mhParams: Seq[(Int, Long, Long)] = Seq(
+    (0, 1299721L, 15485863L), (1, 611953L, 32452843L),
+    (2, 824633L, 49979687L), (3, 186583L, 67867967L),
+    (4, 961751L, 86028121L), (5, 437071L, 104395301L),
+    (6, 746777L, 122949823L), (7, 526363L, 141650939L))
+
+  private val mhParamsSqlValues =
+    mhParams.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+
+  /** MinHash + LSH banded candidate pairs (pipeline op: MinHash+LSH
+    * dedup). 8 permutations min-folded per doc, 4 bands × 2 rows;
+    * candidates = docs sharing a band signature. The band-signature
+    * groupBy-join is the LSH bucket join: work is proportional to bucket
+    * sizes, never all-pairs.
+    */
+  private val q23MinhashLsh = Q(
+    "q23_minhash_lsh",
+    (s, d) => {
+      val tok = distinctTokens(Tables.documents(s, d))
+        .select(col("doc_id"), h32(col("w")).as("h"))
+      val params = s.createDataFrame(mhParams).toDF("i", "a", "b")
+      val mh = tok.crossJoin(broadcast(params))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min((col("a") * col("h") + col("b")) % 2147483647L).as("mh"))
+      val bands = mh
+        .withColumn("band", expr("i DIV 2"))
+        .groupBy("doc_id", "band")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => x.getField("mh").cast("string")), ",").as("sig"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH $tokCte,
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+      params(i, a, b) AS (VALUES $mhParamsSqlValues),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2)
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_bands
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
+  /** SimHash (pipeline op: SimHash dedup): 32-bit signature — per bit,
+    * sign-sum of token-hash bits; entirely map-side computable per doc
+    * (here written as explode+agg so partial aggregation applies).
+    */
+  private val q24Simhash = Q(
+    "q24_simhash",
+    (s, d) => {
+      val tok = distinctTokens(Tables.documents(s, d))
+        .select(col("doc_id"), h32(col("w")).as("h"))
+      val bits = tok
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(when(expr("(h DIV CAST(pow(2, j) AS BIGINT)) % 2") === 1, 1)
+          .otherwise(-1)).as("sgn"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("sgn") >= 0, 1L).otherwise(0L) *
+          expr("CAST(pow(2, j) AS BIGINT)")).cast("long").as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokCte,
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+      bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+        GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+      FROM bits GROUP BY 1 ORDER BY 1"""))
+
+  /** Embedding-cosine near-dup pairs (pipeline op), blocked by label —
+    * all math in doubles, rounded to 6 decimals. The label block is the
+    * coarse ANN partition: pairs are generated within blocks only.
+    */
+  private val q25NeardupCosine = Q(
+    "q25_neardup_cosine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"), col("v").as("vb"))
+      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(dot(col("va"), col("vb")) /
+            sqrt(norm2(col("va")) * norm2(col("vb"))), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dp
+             FROM el a JOIN el b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+             GROUP BY 1, 2)
+      SELECT a_id, b_id, round(dp / sqrt(na.n2 * nb.n2), 6) AS cos_sim
+      FROM dp JOIN nrm na ON a_id = na.vec_id JOIN nrm nb ON b_id = nb.vec_id
+      WHERE round(dp / sqrt(na.n2 * nb.n2), 6) >= 0.35
+      ORDER BY 1, 2"""),
+    bench = true)
+
+  /** Brute-force cosine top-k ANN (pipeline op: similarity search
+    * baseline; J6 in the reference = Annoy). The 1-row query side is
+    * broadcast; scan-side work is embarrassingly parallel; top-k is
+    * TakeOrderedAndProject (no global sort).
+    */
+  private val q26AnnTopk = Q(
+    "q26_ann_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("qv")) /
+            sqrt(norm2(col("v")) * norm2(col("qv"))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      q AS (SELECT i, x FROM el WHERE vec_id = 0),
+      qn AS (SELECT n2 FROM nrm WHERE vec_id = 0),
+      dp AS (SELECT el.vec_id, sum(el.x * q.x) AS dp
+             FROM el JOIN q ON el.i = q.i WHERE el.vec_id > 0 GROUP BY 1)
+      SELECT dp.vec_id AS vec_id, round(dp / sqrt(n.n2 * qn.n2), 6) AS cos_sim
+      FROM dp JOIN nrm n ON dp.vec_id = n.vec_id CROSS JOIN qn
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+    bench = true)
+
+  /** Language-ID (pipeline op): marker-word heuristic vs the labeled
+    * lang column — confusion-matrix counts. Pure codegen'd string ops.
+    */
+  private val q27LangId = Q(
+    "q27_lang_id",
+    (s, d) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val pred = when(padded.contains(" der ") || padded.contains(" und "), "de")
+        .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+        .when(padded.contains(" el ") || padded.contains(" los "), "es")
+        .when(padded.contains(" the ") || padded.contains(" a "), "en")
+        .otherwise("und")
+      Tables.documents(s, d)
+        .select(col("lang"), pred.as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some("""SELECT lang, CASE
+        WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de'
+        WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+        WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ') THEN 'es'
+        WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' a ') THEN 'en'
+        ELSE 'und' END AS pred, count(*) AS n
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Quality scoring (pipeline op): token counts, stopword ratio, mean
+    * word length -> quality bucket. All per-row expressions (map-side,
+    * codegen).
+    */
+  private val q28QualityScore = Q(
+    "q28_quality_score",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val stopRatio = round(nStop.cast("double") / nTokens, 6)
+      val avgLen = round(nAlpha.cast("double") / nTokens, 6)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTokens.as("n_tokens"),
+          stopRatio.as("stop_ratio"), avgLen.as("avg_word_len"),
+          when(nTokens >= 60 && stopRatio <= lit(0.08), "high")
+            .when(nTokens >= 25, "medium").otherwise("low").as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS stop_ratio,
+      round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS avg_word_len,
+      CASE WHEN len(string_split(text, ' ')) >= 60
+             AND round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) <= 0.08 THEN 'high'
+           WHEN len(string_split(text, ' ')) >= 25 THEN 'medium'
+           ELSE 'low' END AS quality
+      FROM documents ORDER BY doc_id"""))
+
+  /** Token counting (pipeline op): whitespace tokens + regex (BPE-ish)
+    * tokens, aggregated per source.
+    */
+  private val q29TokenStats = Q(
+    "q29_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("nt"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("nr"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_ws_tokens"),
+          sum(col("nr")).as("n_re_tokens"), max(col("nt")).as("max_tokens"))
+        .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+      CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_re_tokens,
+      CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** Document fingerprinting (pipeline op): 4-gram shingle rolling
+    * hashes — per-doc shingle counts and min/max shingle hash
+    * (winnowing-style representative fingerprints).
+    */
+  private val q30Fingerprint = Q(
+    "q30_fingerprint",
+    (s, d) => {
+      val ws = tokens(col("text"))
+      val shingles = when(size(ws) >= 4,
+        transform(sequence(lit(1), size(ws) - 3), i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2), element_at(ws, i + 3))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles).as("sh"))
+        .select(col("doc_id"), h32(col("sh")).as("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("h")).as("n_distinct"),
+          min(col("h")).as("fp_min"), max(col("h")).as("fp_max"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 2),
+          i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1],
+                 string_split(text, ' ')[i+2], string_split(text, ' ')[i+3]))) AS sh
+        FROM documents),
+      h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh)
+      SELECT doc_id, count(*) AS n_shingles, count(DISTINCT h) AS n_distinct,
+        min(h) AS fp_min, max(h) AS fp_max
+      FROM h GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  val queries: Seq[Q] = Seq(
+    q21DedupExact, q22NgramJaccard, q23MinhashLsh, q24Simhash,
+    q25NeardupCosine, q26AnnTopk, q27LangId, q28QualityScore,
+    q29TokenStats, q30Fingerprint)
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine capability.
+  *
+  * @param name   stable key — used by the driver for CORRECTNESS/BENCH
+  * @param fn     (session, sfDir) => result DataFrame. Column names must
+  *               match the oracle exactly (driver compares by-name).
+  * @param oracle equivalent DuckDB SQL over the same parquet tables;
+  *               None for ops not expressible in SQL (weaker rows-only
+  *               check by the driver).
+  * @param bench  include in the headline benchmark set
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Registry {
+  lazy val all: Seq[Q] = Relational.queries ++ Pipeline.queries ++ Domain.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  lazy val benchSet: Seq[Q] = all.filter(_.bench)
+}

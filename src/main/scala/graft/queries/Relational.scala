@@ -1,0 +1,465 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Core relational operators from SURVEY.md §2 (aggregations, joins,
+  * filters, windows, top-k, set ops, scalar functions), expressed over
+  * the driver's synthetic tables with DuckDB oracles.
+  *
+  * Design rules (scale notes inline per query):
+  *  - aggregate sums go through exact decimals (Portable.dsum*) so the
+  *    result is independent of partial-aggregation order — this is also
+  *    what makes the plans safe to scale: partial/final hash aggregation
+  *    stays enabled, no single-partition tricks needed;
+  *  - every LIMIT has a total-order tiebreaker, so TakeOrderedAndProject
+  *    selects the same rows on 32 or 32,000 partitions;
+  *  - joins keep their natural shuffle keys; dimension sides small
+  *    enough to broadcast are hinted with broadcast().
+  */
+object Relational {
+
+  /** A2 (dbutil.py:179-186): per-year conditional-sum histogram — the
+    * pubmed_year_counts matview shape. Partial+final hash agg; no skew
+    * (years ~uniform); scales linearly with input.
+    */
+  private val q01YearHist = Q(
+    "q01_year_hist",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) >= 1995)
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_totalprice") > 300000, 1L).otherwise(0L)).as("n_big"),
+          round(count(lit(1)) * davg(col("o_totalprice")), 0).as("est_value"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      count(*) AS n_orders,
+      CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      round(count(*) * (CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 0) AS est_value
+      FROM orders WHERE year(o_orderdate) >= 1995 GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** A1 (dbutil.py:188): global filtered count — the pubmed_rct_count
+    * matview. Map-side partial count, single final row.
+    */
+  private val q02MetaCount = Q(
+    "q02_meta_count",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000)
+        .agg(count(lit(1)).as("n_rct")),
+    Some("""SELECT count(*) AS n_rct FROM orders
+      WHERE o_orderstatus = 'O' AND o_totalprice > 100000"""))
+
+  /** O1 (cnxapp.py:216-219): ranked search results — computed score,
+    * ORDER BY DESC NULLS LAST LIMIT 250. Spark plans
+    * TakeOrderedAndProject: per-partition top-k + driver merge, no full
+    * sort, no shuffle of the full table — the 100TB-safe top-k.
+    */
+  private val q03TopkScore = Q(
+    "q03_topk_score",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("score"))
+        .orderBy(col("score").desc_nulls_last, col("l_orderkey"), col("l_linenumber"))
+        .limit(250),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      round(l_extendedprice * (1 - l_discount), 2) AS score
+      FROM lineitem
+      ORDER BY score DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 250"""),
+    bench = true)
+
+  /** J1 (cnxapp.py:210-214): the central fact⋈fact equi-join with flag
+    * filters, then aggregate. Filters are pushed below the join into the
+    * parquet scans; the join shuffles on the key both sides (sort-merge),
+    * which partitions correctly at any scale.
+    */
+  private val q04SearchJoin = Q(
+    "q04_search_join",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 25)
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F' AND l_quantity >= 25
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** J2 (upw.py:20-49): small-dimension lookup join — explicitly
+    * broadcast so the fact side never shuffles (hash join, map-side).
+    */
+  private val q05BroadcastJoin = Q(
+    "q05_broadcast_join",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** P8/U3 (pubmed.py:447-452, mendeley.py:86): skip-list anti-filter —
+    * the "todo = all − done" pattern as a left anti join.
+    */
+  private val q06AntiJoin = Q(
+    "q06_anti_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).select(col("l_orderkey")).distinct()
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** P9 (pubmed.py:492-504): last-wins dedupe per key via row_number
+    * window — the reference's reverse-iterate loop, distributed. The
+    * window shuffles once on the key; count(*) over the same partition
+    * reuses that exchange.
+    */
+  private val q07LastWins = Q(
+    "q07_last_wins",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wAll = Window.partitionBy(col("user_id"))
+      e.withColumn("rn", row_number().over(wOrd))
+        .withColumn("n_events", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"),
+          col("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, last_type, last_value, n_events FROM (
+        SELECT user_id, event_type AS last_type, value AS last_value,
+          count(*) OVER (PARTITION BY user_id) AS n_events,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id"""),
+    bench = true)
+
+  /** U1 (cnxapp.py:221-311): heterogeneous arm union with article_type
+    * tags — three schema-aligned projections unioned by name.
+    */
+  private val q08UnionArms = Q(
+    "q08_union_arms",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
+          lit("customer").as("arm"))
+      val p = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("name"),
+          lit("supplier").as("arm"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"),
+          lit("nation").as("arm"))
+      c.unionByName(p).unionByName(n).orderBy("arm", "id")
+    },
+    Some("""SELECT * FROM (
+        SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name, 'customer' AS arm FROM customer
+        UNION ALL
+        SELECT CAST(s_suppkey AS BIGINT), s_name, 'supplier' FROM supplier
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name, 'nation' FROM nation) t
+      ORDER BY arm, id"""))
+
+  /** P3/P4 (cnxapp.py:187-207): the picosearch containment predicate —
+    * AND across terms, OR within a term's expansion, over token arrays.
+    * array_contains is codegen'd; the whole predicate runs inside the
+    * scan's WholeStageCodegen span.
+    */
+  private val q09Containment = Q(
+    "q09_containment",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val toks = tokens(col("text"))
+      doc.filter(
+          (array_contains(toks, "spark") || array_contains(toks, "hash")) &&
+          (array_contains(toks, "merge") || array_contains(toks, "join")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE (list_contains(string_split(text, ' '), 'spark')
+          OR list_contains(string_split(text, ' '), 'hash'))
+        AND (list_contains(string_split(text, ' '), 'merge')
+          OR list_contains(string_split(text, ' '), 'join'))
+      ORDER BY doc_id"""))
+
+  /** §2.5: grouped top-k via rank window (reference hand-rolls this as
+    * ORDER BY + LIMIT per group; we use one windowed shuffle).
+    */
+  private val q10GroupTopk = Q(
+    "q10_group_topk",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** O3/S13 (dbutil.py:252-264): latest-row pick — ORDER BY DESC LIMIT 1
+    * (status page / update_log recency).
+    */
+  private val q11LatestUpdate = Q(
+    "q11_latest_update",
+    (s, d) =>
+      Tables.events(s, d)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")),
+    Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      ORDER BY ts DESC, event_id DESC LIMIT 1"""))
+
+  /** O2/A3 (cnxapp.py:74-104): autocomplete — prefix filter over a term
+    * table, count-ranked top 5.
+    */
+  private val q12Autocomplete = Q(
+    "q12_autocomplete",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(col("term").startsWith("s"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(5),
+    Some("""SELECT term, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+      WHERE term LIKE 's%' GROUP BY 1 ORDER BY n DESC, term LIMIT 5"""))
+
+  /** F6 (ictrp.py:31-52): regex extraction — registry-id-style digit
+    * extraction from a JSON-ish props string, aggregated.
+    */
+  private val q13RegexExtract = Q(
+    "q13_regex_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+    Some("""SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+      count(*) AS n FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** F9/F10 (ictrp_csv.py:73-92, pmreader.py:143-156): date-part
+    * extraction and per-day aggregation over the event stream.
+    */
+  private val q14DateParts = Q(
+    "q14_date_parts",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          // NB: no round(_, scale>0) on aggregates — DuckDB rounds doubles
+          // via a 10^s multiply (inexact), Spark via exact decimal
+          // expansion; the raw double division of identical inputs is
+          // bit-identical in both engines.
+          davg(col("value")).as("avg_value"))
+        .orderBy("day", "event_type"),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
+  /** P6/P7 (pubmed.py:348-389): calibration thresholding — model chosen
+    * by a trust gate, per-model thresholds produce 3 boolean flags.
+    * Pure column expressions from (broadcastable) config.
+    */
+  private val q15ThresholdFlags = Q(
+    "q15_threshold_flags",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val model = when(col("l_returnflag") === "R", "ptyp").otherwise("plain")
+      val tPrecise = when(col("l_returnflag") === "R", 48.0).otherwise(45.0)
+      val tBalanced = when(col("l_returnflag") === "R", 30.0).otherwise(28.0)
+      val tSensitive = when(col("l_returnflag") === "R", 15.0).otherwise(12.0)
+      l.select(
+          model.as("model"),
+          (col("l_quantity") >= tPrecise).as("is_precise"),
+          (col("l_quantity") >= tBalanced).as("is_balanced"),
+          (col("l_quantity") >= tSensitive).as("is_sensitive"))
+        .groupBy("model", "is_precise", "is_balanced", "is_sensitive")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("model", "is_precise", "is_balanced", "is_sensitive")
+    },
+    Some("""SELECT CASE WHEN l_returnflag = 'R' THEN 'ptyp' ELSE 'plain' END AS model,
+      l_quantity >= (CASE WHEN l_returnflag = 'R' THEN 48.0 ELSE 45.0 END) AS is_precise,
+      l_quantity >= (CASE WHEN l_returnflag = 'R' THEN 30.0 ELSE 28.0 END) AS is_balanced,
+      l_quantity >= (CASE WHEN l_returnflag = 'R' THEN 15.0 ELSE 12.0 END) AS is_sensitive,
+      count(*) AS n
+      FROM lineitem GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"""))
+
+  /** P10 (pubmed.py:611-613): sanity guards — out-of-range values nulled
+    * before aggregation, null-aware counts.
+    */
+  private val q16NullGuards = Q(
+    "q16_null_guards",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val guarded = when(col("o_totalprice") <= 490000, col("o_totalprice"))
+      o.groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          count(guarded).as("n_ok"),
+          dsum(guarded).as("s_ok"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+      count(CASE WHEN o_totalprice <= 490000 THEN 1 END) AS n_ok,
+      CAST(sum(CASE WHEN o_totalprice <= 490000
+        THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS s_ok
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** U3 (mendeley.py:86): set difference — keys with status-O orders
+    * minus keys with status-F orders (EXCEPT ≡ distinct + anti join).
+    */
+  private val q17SetDiff = Q(
+    "q17_set_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.except(b).orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+      ORDER BY o_custkey"""))
+
+  /** A5 (minimap.py:204-217, ictrp_csv.py:269): distinct-set semantics —
+    * exact distinct counts per group (partial aggregation still applies
+    * via Spark's two-phase distinct-agg planning).
+    */
+  private val q18DistinctAgg = Q(
+    "q18_distinct_agg",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments,
+      count(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** F15 (ictrp.py:156-159): text cleanup — lowercase, strip
+    * non-alphanumerics, collapse spaces, tokenize, count.
+    */
+  private val q19StringClean = Q(
+    "q19_string_clean",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(explode(split(trim(regexp_replace(lower(col("p_type")), "[^a-z0-9]+", " ")), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token"),
+    Some("""SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+        FROM part) t
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Flagship (cnxapp.py:168-324): picosearch-shaped three-stage query —
+    * term containment (AND of ORs), score ordering with NULLS LAST,
+    * LIMIT 250 per arm, tagged union. This is also SparkEntry.entry.
+    */
+  private val q20PicoFlagship = Q(
+    "q20_pico_flagship",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val toks = tokens(col("text"))
+      val docArm = doc
+        .filter(
+          (array_contains(toks, "spark") || array_contains(toks, "query")) &&
+          array_contains(toks, "join"))
+        .select(
+          col("doc_id").cast("long").as("id"),
+          col("n_chars").cast("long").as("score"),
+          lit("document").as("article_type"))
+        .orderBy(col("score").desc_nulls_last, col("id"))
+        .limit(250)
+      val partArm = Tables.part(s, d)
+        .filter(lower(col("p_type")).contains("economy"))
+        .select(
+          col("p_partkey").cast("long").as("id"),
+          round(col("p_retailprice"), 0).cast("long").as("score"),
+          lit("part").as("article_type"))
+        .orderBy(col("score").desc_nulls_last, col("id"))
+        .limit(250)
+      docArm.unionByName(partArm).orderBy("article_type", "id")
+    },
+    Some("""SELECT * FROM (
+        SELECT * FROM (
+          SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS score,
+            'document' AS article_type
+          FROM documents
+          WHERE (list_contains(string_split(text, ' '), 'spark')
+              OR list_contains(string_split(text, ' '), 'query'))
+            AND list_contains(string_split(text, ' '), 'join')
+          ORDER BY score DESC NULLS LAST, id LIMIT 250) a
+        UNION ALL
+        SELECT * FROM (
+          SELECT CAST(p_partkey AS BIGINT) AS id,
+            CAST(round(p_retailprice, 0) AS BIGINT) AS score, 'part' AS article_type
+          FROM part
+          WHERE lower(p_type) LIKE '%economy%'
+          ORDER BY score DESC NULLS LAST, id LIMIT 250) b) t
+      ORDER BY article_type, id"""),
+    bench = true)
+
+  val queries: Seq[Q] = Seq(
+    q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
+    q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
+    q11LatestUpdate, q12Autocomplete, q13RegexExtract, q14DateParts,
+    q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
+    q19StringClean, q20PicoFlagship)
+}

@@ -5,6 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline query set on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":..., "queries":{...}}. The driver runs
   * this per round at sf0.1 -> BENCH_r{N}.json.
+  *
+  * Measurement discipline:
+  *  - every query gets its own UNMEASURED warm-up run first (JIT,
+  *    codegen, classloading, file-footer caching are local-mode
+  *    artifacts, not data costs);
+  *  - the measured action materializes EVERY output column via
+  *    sum(xxhash64(struct(*))) — a bare count() would let Catalyst
+  *    prune the very expressions being benchmarked;
+  *  - failures are reported per-query (value -1 + "errors" list) and
+  *    through a nonzero exit code, never as plausible timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,20 +31,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val headline = queries.Registry.benchSet
-    // One warm-up pass so JIT/codegen/classloading costs don't dominate
-    // the first measured query (local-mode artifact, not a data cost).
-    headline.headOption.foreach { q =>
-      try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+
+    // Full-materialization action: hash every column of every row, so
+    // no projected expression can be pruned away by the final agg.
+    def execute(q: queries.Q): Unit = {
+      val df = q.fn(spark, sfDir)
+      df.selectExpr("sum(xxhash64(struct(*)))").collect()
+      ()
     }
+
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { execute(q); true }          // warm-up (unmeasured)
+        catch { case _: Throwable => false }
+      if (!ok) (q.name, -1.0, false)
+      else {
+        val t0 = System.nanoTime()
+        val measured =
+          try { execute(q); true }
+          catch { case _: Throwable => false }
+        if (measured) (q.name, (System.nanoTime() - t0) / 1e9, true)
+        else (q.name, -1.0, false)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -21,12 +21,14 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events with `ts` as a microsecond TimestampType (ns truncated). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events with `ts` as a microsecond TimestampType (ns truncated).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
+    * session config (set by Verify/Bench/test builders — a table loader
+    * must not mutate session state as a side effect).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with codegen) for the hot per-document
+  * signature computations of the dedup pipeline.
+  *
+  * Motivation: the same computations written with higher-order
+  * functions (`transform`/`filter` lambdas) are (a) interpreted — HOF
+  * lambdas never enter whole-stage codegen — and (b) repeatedly
+  * re-evaluated, because `CollapseProject`/`PushDownPredicates` inline
+  * projection aliases into every consumer. A single opaque expression
+  * evaluates exactly once per row inside the WholeStageCodegen span.
+  *
+  * Hash parity: both expressions emit `h32` values — the big-endian
+  * integer of the first 8 hex chars of md5 — exactly matching
+  * [[Portable.h32]] / the DuckDB oracle formula
+  * `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)`.
+  */
+object Hash32 {
+  /** h32 of a string: first 4 md5 bytes, big-endian, as a long. */
+  def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Whitespace 4-gram shingle h32 hashes (split semantics identical to
+    * Spark `split(text, " ")`, i.e. trailing empties kept).
+    */
+  def shingles(text: String): Array[Long] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 4) Array.emptyLongArray
+    else {
+      val out = new Array[Long](ws.length - 3)
+      var i = 0
+      while (i < out.length) {
+        out(i) = h32(ws(i) + " " + ws(i + 1) + " " + ws(i + 2) + " " + ws(i + 3))
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** h32 of each distinct whitespace token, first-occurrence order
+    * (matches `transform(array_distinct(split(text, ' ')), h32)`).
+    */
+  def distinctTokens(text: String): Array[Long] = {
+    val ws = text.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < ws.length) { seen.add(ws(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = h32(it.next()); i += 1 }
+    out
+  }
+
+  // entry points for generated code (UTF8String in, ArrayData out)
+  def shinglesArrayData(text: UTF8String): GenericArrayData =
+    new GenericArrayData(shingles(text.toString))
+  def distinctTokensArrayData(text: UTF8String): GenericArrayData =
+    new GenericArrayData(distinctTokens(text.toString))
+
+  /** Column API: per-doc 4-gram shingle h32 array. */
+  def shingleHashes(c: Column): Column =
+    GraftShim.column(ShingleHash32(GraftShim.expression(c)))
+
+  /** Column API: per-doc distinct-token h32 array. */
+  def tokenHashes(c: Column): Column =
+    GraftShim.column(DistinctTokenHash32(GraftShim.expression(c)))
+}
+
+abstract class Hash32ArrayExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def staticCall: String
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalImpl(input.asInstanceOf[UTF8String])
+  protected def evalImpl(s: UTF8String): GenericArrayData
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$staticCall($c)")
+}
+
+/** `shingle_h32(text)`: array of h32 hashes of whitespace 4-grams. */
+case class ShingleHash32(child: Expression) extends Hash32ArrayExpression {
+  override protected def staticCall: String =
+    "graft.functions.Hash32.shinglesArrayData"
+  override protected def evalImpl(s: UTF8String): GenericArrayData =
+    Hash32.shinglesArrayData(s)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_h32"
+}
+
+/** `distinct_token_h32(text)`: array of h32 hashes of distinct tokens. */
+case class DistinctTokenHash32(child: Expression) extends Hash32ArrayExpression {
+  override protected def staticCall: String =
+    "graft.functions.Hash32.distinctTokensArrayData"
+  override protected def evalImpl(s: UTF8String): GenericArrayData =
+    Hash32.distinctTokensArrayData(s)
+  override protected def withNewChildInternal(newChild: Expression): DistinctTokenHash32 =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_token_h32"
+}

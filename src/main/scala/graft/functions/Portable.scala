@@ -46,6 +46,17 @@ object Portable {
   /** Whitespace tokens. DuckDB: `string_split(s, ' ')`. */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Driver-side twin of [[h32]]: first 8 hex chars of md5, as a long.
+    * Used to pre-compute deterministic parameters (e.g. LSH hyperplane
+    * signs) that must agree bit-for-bit with what the DuckDB oracle
+    * derives from the same md5 formula.
+    */
+  def h32s(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
   /** Dot product of two double arrays, sequential left-to-right fold.
     * (Pair it with round(..., 6) before any comparison.)
     */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable._
@@ -20,11 +20,6 @@ import graft.functions.Portable._
   * per-doc signatures are computed map-side from token arrays.
   */
 object Pipeline {
-
-  /** Distinct (doc_id, blocking-cols, token) rows. */
-  private def distinctTokens(doc: DataFrame): DataFrame =
-    doc.select(col("doc_id"), col("lang"),
-        explode(array_distinct(tokens(col("text")))).as("w"))
 
   private val tokCte =
     """tok AS (SELECT DISTINCT doc_id, lang, w FROM (
@@ -46,28 +41,52 @@ object Pipeline {
     bench = true)
 
   /** n-gram (unigram-set) Jaccard near-dup pairs, blocked by lang.
-    * Explode distinct tokens -> self-join on (lang, token) -> count
-    * common -> |A∩B| / |A∪B|. The token join IS the inverted index: at
-    * scale this is the standard candidate generation, and the lang block
-    * bounds bucket width.
+    *
+    * Candidate generation uses exact PREFIX FILTERING (ppjoin-style):
+    * tokens are globally ordered by ascending document frequency; a pair
+    * with Jaccard >= t must share a token within each doc's first
+    * `|d| - ceil(t*|d|) + 1` tokens of that order, so only those prefix
+    * tokens are join keys. Hot stopwords (huge df) never become join
+    * keys, which removes the O(df^2) blowup of a naive token join; the
+    * verification step computes the exact Jaccard via array_intersect on
+    * just the candidate pairs. Output is provably identical to the
+    * all-pairs definition the oracle evaluates (we build prefixes with a
+    * slightly lower t' = 0.8799 so pairs that round UP to the 0.88
+    * threshold are still covered).
     */
   private val q22NgramJaccard = Q(
     "q22_ngram_jaccard",
     (s, d) => {
-      val tok = distinctTokens(Tables.documents(s, d))
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = tok.as("a")
-        .join(tok.as("b"),
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(tokens(col("text"))).as("toks"))
+      val tok = docs.select(col("doc_id"), col("lang"),
+        size(col("toks")).as("sz"), explode(col("toks")).as("w"))
+      val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      // prefix length for t' = 8799/10000, in exact integer arithmetic:
+      // L = sz - ceil(8799*sz/10000) + 1
+      val prefLen = col("sz") - ((col("sz") * 8799L + 9999L) / 10000L).cast("long") + 1
+      val pref = tok.join(dfreq, "w")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        .filter(col("rk") <= prefLen)
+        .select(col("doc_id"), col("lang"), col("w"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
           col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
             col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("common"),
+          size(col("ta")).cast("long").as("sa"), size(col("tb")).cast("long").as("sb"))
         .select(col("a_id"), col("b_id"),
           round(col("common").cast("double") /
-            (col("sa.sz") + col("sb.sz") - col("common")), 6).as("jaccard"))
+            (col("sa") + col("sb") - col("common")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.88)
         .orderBy("a_id", "b_id")
     },
@@ -96,27 +115,44 @@ object Pipeline {
   private val mhParamsSqlValues =
     mhParams.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
 
+  /** 4-gram shingle feature space (brief/reference construction:
+    * shingle → minhash → band → bucket-join). Unigram features
+    * degenerate on small vocabularies — thousands of docs share the
+    * same token SET — while the order-sensitive shingle space keeps
+    * buckets tight. Hashing runs in the codegen'd
+    * [[graft.functions.ShingleHash32]] expression: one evaluation per
+    * row inside the scan's WholeStageCodegen span.
+    */
+  private val shingleCte =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS s FROM ws)"""
+
   /** MinHash + LSH banded candidate pairs (pipeline op: MinHash+LSH
-    * dedup). 8 permutations min-folded per doc, 4 bands × 2 rows;
-    * candidates = docs sharing a band signature. The band-signature
-    * groupBy-join is the LSH bucket join: work is proportional to bucket
-    * sizes, never all-pairs.
+    * dedup; shingle→minhash→band→bucket-join). 8 permutations
+    * min-folded PER DOC, MAP-SIDE, via higher-order functions over the
+    * bound shingle-hash array — zero shuffles before the band join.
+    * 4 bands × 2 rows; candidates = docs sharing a band signature; the
+    * band-signature self-join is the LSH bucket join: work proportional
+    * to bucket sizes, never all-pairs.
     */
   private val q23MinhashLsh = Q(
     "q23_minhash_lsh",
     (s, d) => {
-      val tok = distinctTokens(Tables.documents(s, d))
-        .select(col("doc_id"), h32(col("w")).as("h"))
-      val params = s.createDataFrame(mhParams).toDF("i", "a", "b")
-      val mh = tok.crossJoin(broadcast(params))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min((col("a") * col("h") + col("b")) % 2147483647L).as("mh"))
-      val bands = mh
-        .withColumn("band", expr("i DIV 2"))
-        .groupBy("doc_id", "band")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            x => x.getField("mh").cast("string")), ",").as("sig"))
+      val doc = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"), graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      def mh(i: Int): Column = {
+        val (_, a, b) = mhParams(i)
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % 2147483647L))
+      }
+      val bandStructs = (0 until 4).map { bd =>
+        struct(lit(bd).as("band"),
+          concat_ws(",", mh(2 * bd).cast("string"), mh(2 * bd + 1).cast("string")).as("sig"))
+      }
+      val bands = doc
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -125,8 +161,8 @@ object Pipeline {
         .agg(count(lit(1)).as("n_bands"))
         .orderBy("a_id", "b_id")
     },
-    Some(s"""WITH $tokCte,
-      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+    Some(s"""WITH $shingleCte,
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
       params(i, a, b) AS (VALUES $mhParamsSqlValues),
       mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
              FROM th CROSS JOIN params GROUP BY 1, 2),
@@ -140,23 +176,23 @@ object Pipeline {
     bench = true)
 
   /** SimHash (pipeline op: SimHash dedup): 32-bit signature — per bit,
-    * sign-sum of token-hash bits; entirely map-side computable per doc
-    * (here written as explode+agg so partial aggregation applies).
+    * sign-sum of token-hash bits. Entirely MAP-SIDE per doc: an
+    * `aggregate` over the 32 bit positions, each testing the bound
+    * token-hash array with `filter`/`size`; no explode, no shuffle
+    * (sgn >= 0  ⟺  2·#ones >= #tokens).
     */
   private val q24Simhash = Q(
     "q24_simhash",
     (s, d) => {
-      val tok = distinctTokens(Tables.documents(s, d))
-        .select(col("doc_id"), h32(col("w")).as("h"))
-      val bits = tok
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(when(expr("(h DIV CAST(pow(2, j) AS BIGINT)) % 2") === 1, 1)
-          .otherwise(-1)).as("sgn"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("sgn") >= 0, 1L).otherwise(0L) *
-          expr("CAST(pow(2, j) AS BIGINT)")).cast("long").as("simhash"))
-        .orderBy("doc_id")
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Hash32.tokenHashes(col("text")).as("hs"))
+      val simhash = aggregate(
+        sequence(lit(0), lit(31)), lit(0L),
+        (acc, j) => acc + when(
+          lit(2) * size(filter(col("hs"),
+            h => floor(h / pow(lit(2.0), j)).cast("long") % 2 === 1)) >= size(col("hs")),
+          pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
+      doc.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
     },
     Some(s"""WITH $tokCte,
       th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
@@ -168,31 +204,83 @@ object Pipeline {
         CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
       FROM bits GROUP BY 1 ORDER BY 1"""))
 
-  /** Embedding-cosine near-dup pairs (pipeline op), blocked by label —
-    * all math in doubles, rounded to 6 decimals. The label block is the
-    * coarse ANN partition: pairs are generated within blocks only.
+  /** Number of random hyperplanes for cosine LSH: 4 bands × 8 planes.
+    * Plane sign matrix is derived from md5 (h32s) so the DuckDB oracle
+    * regenerates the identical matrix from the same formula.
+    */
+  private val rhBands = 4
+  private val rhPlanesPerBand = 8
+  private def planeSigns(p: Int): Seq[Int] =
+    (1 to 64).map(i => if (h32s(s"${p}_${i}") % 2 == 1) 1 else -1)
+
+  /** Signed projection of the bound vector column onto plane p, in exact
+    * integer arithmetic (floor(x*1e9) per element) so the bit is
+    * independent of float summation order in either engine.
+    */
+  private def planeBit(v: Column, p: Int): Column = {
+    val w = typedLit(planeSigns(p))
+    when(aggregate(
+      zip_with(v, w, (x, wi) => floor(x * lit(1e9)).cast("long") * wi),
+      lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0)
+  }
+
+  /** Embedding-cosine near-dup pairs (pipeline op), blocked by
+    * random-hyperplane LSH bands (the scale-safe replacement for the
+    * round-1 label blocking, which was O(n²/|labels|)). Band keys are
+    * computed map-side; candidates = vectors sharing any band key;
+    * exact cosine verifies candidates only. Work is proportional to
+    * bucket sizes — never all-pairs — and buckets split exponentially
+    * in the number of planes per band.
     */
   private val q25NeardupCosine = Q(
     "q25_neardup_cosine",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"), col("v").as("vb"))
-      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val bandStructs = (0 until rhBands).map { bd =>
+        val key = (0 until rhPlanesPerBand)
+          .map(k => planeBit(col("v"), rhPlanesPerBand * bd + k) * lit(1 << k))
+          .reduce(_ + _)
+        struct(lit(bd).as("band"), key.as("bkey"))
+      }
+      val keys = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = keys.as("x")
+        .join(keys.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
         .select(col("a_id"), col("b_id"),
           round(dot(col("va"), col("vb")) /
             sqrt(norm2(col("va")) * norm2(col("vb"))), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
         .orderBy("a_id", "b_id")
     },
-    Some("""WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      w AS (SELECT p, i,
+          CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 1
+               THEN 1 ELSE -1 END AS w
+          FROM range(0, 32) t(p), range(1, 65) u(i)),
+      bits AS (SELECT vec_id, p,
+          CASE WHEN sum(CAST(floor(x * 1e9) AS BIGINT) * w) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM el JOIN w ON el.i = w.i GROUP BY 1, 2),
+      keys AS (SELECT vec_id, p // 8 AS band,
+          sum(bit * CAST(pow(2, p % 8) AS BIGINT)) AS bkey
+          FROM bits GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM keys x JOIN keys y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dp
-             FROM el a JOIN el b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      dp AS (SELECT a_id, b_id, sum(a.x * b.x) AS dp
+             FROM cand JOIN el a ON a.vec_id = a_id
+             JOIN el b ON b.vec_id = b_id AND a.i = b.i
              GROUP BY 1, 2)
-      SELECT a_id, b_id, round(dp / sqrt(na.n2 * nb.n2), 6) AS cos_sim
+      SELECT dp.a_id, dp.b_id, round(dp / sqrt(na.n2 * nb.n2), 6) AS cos_sim
       FROM dp JOIN nrm na ON a_id = na.vec_id JOIN nrm nb ON b_id = nb.vec_id
       WHERE round(dp / sqrt(na.n2 * nb.n2), 6) >= 0.35
       ORDER BY 1, 2"""),
@@ -316,19 +404,15 @@ object Pipeline {
   private val q30Fingerprint = Q(
     "q30_fingerprint",
     (s, d) => {
-      val ws = tokens(col("text"))
-      val shingles = when(size(ws) >= 4,
-        transform(sequence(lit(1), size(ws) - 3), i =>
-          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-            element_at(ws, i + 2), element_at(ws, i + 3))))
-        .otherwise(array().cast("array<string>"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingles).as("sh"))
-        .select(col("doc_id"), h32(col("sh")).as("h"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          countDistinct(col("h")).as("n_distinct"),
-          min(col("h")).as("fp_min"), max(col("h")).as("fp_max"))
+      val doc = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"), graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      doc
+        .select(col("doc_id"),
+          size(col("hs")).cast("long").as("n_shingles"),
+          size(array_distinct(col("hs"))).cast("long").as("n_distinct"),
+          array_min(col("hs")).as("fp_min"),
+          array_max(col("hs")).as("fp_max"))
         .orderBy("doc_id")
     },
     Some("""WITH sh AS (

@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is the stable façade the driver calls.
   */
 object SparkEntry {
-  /** Flagship query (picosearch-shaped three-arm search, SURVEY §3.1)
-    * on /root/testdata/sf0.001; driver smoke-checks rows>0.
+  /** Flagship query (real-data-model picosearch: struct containment +
+    * subtree expansion + arm union, SURVEY §3.1) on
+    * /root/testdata/sf0.001; driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Registry.byName("q20_pico_flagship").fn(spark, "/root/testdata/sf0.001")
+    graft.queries.Registry.byName("q40_picosearch_struct").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,7 +19,8 @@ final case class Q(
     bench: Boolean = false)
 
 object Registry {
-  lazy val all: Seq[Q] = Relational.queries ++ Pipeline.queries ++ Domain.queries
+  lazy val all: Seq[Q] =
+    Relational.queries ++ Pipeline.queries ++ Domain.queries ++ Flagship.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

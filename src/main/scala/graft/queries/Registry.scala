@@ -20,7 +20,8 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    Relational.queries ++ Pipeline.queries ++ Domain.queries ++ Flagship.queries
+    Relational.queries ++ Pipeline.queries ++ Domain.queries ++
+      Flagship.queries ++ Annotate.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

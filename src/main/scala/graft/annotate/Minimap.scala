@@ -52,7 +52,9 @@ object Minimap {
     "low molecular weight heparin" -> Seq("C0023652"),
     "child" -> Seq("C0008059"),
     // deliberately ambiguous term mapping to two CUIs (multi-emit path)
-    "cold" -> Seq("C0009443", "C0024117"))
+    "cold" -> Seq("C0009443", "C0024117"),
+    // in-dictionary but suppressed by the ignore list (precision gate)
+    "trial" -> Seq("C0008976"))
 
   val cuiToMesh: Map[String, (String, String)] = Map(
     "C0011860" -> ("D003924", "Diabetes Mellitus, Type 2"),
@@ -69,7 +71,8 @@ object Minimap {
     "C0023652" -> ("D006495", "Heparin, Low-Molecular-Weight"),
     "C0008059" -> ("D002648", "Child"),
     "C0009443" -> ("D003139", "Common Cold"),
-    "C0024117" -> ("D029424", "Pulmonary Disease, Chronic Obstructive"))
+    "C0024117" -> ("D029424", "Pulmonary Disease, Chronic Obstructive"),
+    "C0008976" -> ("D016430", "Clinical Trial"))
 
   /** Generic terms suppressed for precision (ignorelist.txt analog). */
   val ignores: Set[String] = Set("study", "trial", "patient")

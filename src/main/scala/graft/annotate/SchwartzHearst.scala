@@ -76,7 +76,11 @@ object SchwartzHearst {
             val raw = sentence.substring(start, stop)
             start = start + (raw.length - raw.replaceAll("^\\s+", "").length)
             stop = stop - (raw.length - raw.replaceAll("\\s+$", "").length)
-            val candidate = sentence.substring(start, stop)
+            // a whitespace-only/empty parenthetical trims to '' — the
+            // reference's conditions('') raises IndexError on
+            // candidate[0], aborting the WHOLE sentence (py:134,287)
+            val candidate = if (start > stop) "" else sentence.substring(start, stop)
+            if (candidate.isEmpty) skip()
             if (conditions(candidate)) acc += ((candidate, start))
           }
         }

@@ -132,6 +132,10 @@ object Rules {
   val dmySlashRegistries: Seq[String] = Seq(
     "ANZCTR", "DRKS", "EUCTR", "ISRCTN", "JPRN", "NCT", "NTR", "PACTR",
     "REBEC", "RPCEC", "TCTR", "REPEC")
+  /** NB: the 'ChiCTR' key is unreachable in the reference too —
+    * guess_registry("ChiCTR...") yields "C" (the lowercase 'h' ends the
+    * [A-Z]+ run), which misses the table, so ChiCTR dates are null.
+    */
   val ymdDashRegistries: Seq[String] = Seq("ChiCTR", "CRIS", "IRCT", "SLCTR", "UNK")
   val dmyDashRegistries: Seq[String] = Seq("CTRI")
 

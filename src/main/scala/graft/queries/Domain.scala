@@ -106,7 +106,8 @@ object Domain {
 
   private val regDates = Seq(
     RegDate(1, "NCT01234567", "05/06/2019"),
-    RegDate(2, "ChiCTR1800012345", "2019-06-05"),
+    RegDate(2, "ChiCTR1800012345", "2019-06-05"), // prefix guesses "C" (lowercase h) -> null
+
     RegDate(3, "CTRI/2015/01/005634", "05-06-2019"),
     RegDate(4, "IRCT20150303021315N2", "2018-01-31"),
     RegDate(5, "ACTRN12605000123456", "31/12/2001"), // prefix ACTRN not in table (keyed ANZCTR) -> null

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hash32, Portable}
+
+/** Parity of the codegen'd hash expressions with the Column-level
+  * definitions they replace (and with the driver-side h32s twin).
+  */
+class Hash32Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("h32 scala twin matches the Catalyst md5 formula") {
+    val texts = Seq("", "a", "hello world", "Ünïcødé ïs fine", "123 456")
+    val viaSql = texts.toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq === texts.map(Hash32.h32))
+    assert(viaSql.toSeq === texts.map(Portable.h32s))
+  }
+
+  test("ShingleHash32 expression ≡ HOF construction") {
+    val texts = Seq("a b c d e f", "one two three", "", "x y z w",
+      "a  b c d e")  // double space -> empty token, like split(' ')
+    val df = texts.toDF("text")
+    val viaExpr = df.select(Hash32.shingleHashes(col("text")))
+      .collect().map(_.getSeq[Long](0))
+    val ws = split(col("text"), " ")
+    val viaHof = df.select(
+      when(size(ws) >= 4, transform(sequence(lit(1), size(ws) - 3), i =>
+        conv(substring(md5(concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3))), 1, 8), 16, 10).cast("long")))
+        .otherwise(array().cast("array<long>")))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaExpr.toSeq === viaHof.toSeq)
+  }
+
+  test("DistinctTokenHash32 ≡ array_distinct+transform; property over random text") {
+    val textGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "", "dd")).map(_.mkString(" "))
+    val samples = Gen.listOfN(40, textGen).sample.get
+    val df = samples.toDF("text")
+    val viaExpr = df.select(Hash32.tokenHashes(col("text"))).collect().map(_.getSeq[Long](0))
+    val viaHof = df.select(
+      transform(array_distinct(split(col("text"), " ")),
+        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaExpr.toSeq === viaHof.toSeq)
+  }
+
+  test("pure-scala shingles match python-style slide") {
+    val prop = Prop.forAll(Gen.listOf(Gen.alphaStr.map(_.take(4)))) { words =>
+      val text = words.mkString(" ")
+      val toks = text.split(" ", -1)
+      val expected =
+        if (toks.length < 4) Seq.empty
+        else (0 until toks.length - 3).map(i => Hash32.h32(toks.slice(i, i + 4).mkString(" ")))
+      Hash32.shingles(text).toSeq == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+}

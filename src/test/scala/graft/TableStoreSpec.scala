@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.stream.TableStore
+
+/** MERGE/tombstone semantics (SURVEY T2/T3) against an executable model
+  * of the reference's apply loop (pubmed.py:483-548).
+  */
+class TableStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("ts-spec-").toString, "k")
+
+  private def ups(rows: (String, String, Long)*): DataFrame =
+    rows.toDF("k", "v", "seq")
+  private def dels(keys: String*): DataFrame = keys.toDF("k")
+
+  private def state(store: TableStore): Map[String, String] =
+    store.snapshot("t").map(_.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+      .getOrElse(Map.empty)
+
+  test("upsert then update then delete") {
+    val s = freshStore()
+    s.merge("t", ups(("a", "1", 1), ("b", "1", 2)), dels(), "f0")
+    assert(state(s) === Map("a" -> "1", "b" -> "1"))
+    s.merge("t", ups(("a", "2", 1)), dels(), "f1")
+    assert(state(s) === Map("a" -> "2", "b" -> "1"))
+    s.merge("t", ups(), dels("b"), "f2")
+    assert(state(s) === Map("a" -> "2"))
+  }
+
+  test("within-batch last-wins by seq") {
+    val s = freshStore()
+    s.merge("t", ups(("a", "first", 1), ("a", "last", 9), ("a", "mid", 5)), dels(), "f0")
+    assert(state(s) === Map("a" -> "last"))
+  }
+
+  test("tombstone + upsert in the same batch re-inserts (reference order)") {
+    val s = freshStore()
+    s.merge("t", ups(("a", "0", 1)), dels(), "f0")
+    s.merge("t", ups(("a", "new", 1)), dels("a"), "f1")
+    assert(state(s) === Map("a" -> "new"))
+  }
+
+  test("delete then re-add in a later batch") {
+    val s = freshStore()
+    s.merge("t", ups(("a", "0", 1)), dels(), "f0")
+    s.merge("t", ups(), dels("a"), "f1")
+    assert(state(s) === Map.empty)
+    s.merge("t", ups(("a", "back", 1)), dels(), "f2")
+    assert(state(s) === Map("a" -> "back"))
+  }
+
+  test("idempotent per source_filename: re-apply is a no-op") {
+    val s = freshStore()
+    assert(s.merge("t", ups(("a", "1", 1)), dels(), "f0"))
+    assert(!s.merge("t", ups(("a", "CLOBBER", 1)), dels(), "f0"))
+    assert(state(s) === Map("a" -> "1"))
+    assert(s.updateLog().get.count() === 1)
+  }
+
+  test("file application order matters (T3 in-order requirement)") {
+    val s1 = freshStore()
+    s1.merge("t", ups(("a", "x", 1)), dels(), "f0")
+    s1.merge("t", ups(("a", "y", 1)), dels(), "f1")
+    val s2 = freshStore()
+    s2.merge("t", ups(("a", "y", 1)), dels(), "f1")
+    s2.merge("t", ups(("a", "x", 1)), dels(), "f0")
+    assert(state(s1) === Map("a" -> "y"))
+    assert(state(s2) === Map("a" -> "x"))
+  }
+
+  test("property: merge sequence ≡ reference apply loop model") {
+    val key = Gen.oneOf("k1", "k2", "k3")
+    val action = for {
+      k <- key; del <- Gen.prob(0.3); v <- Gen.choose(0, 99)
+    } yield (k, del, v.toString)
+    val batchGen = Gen.listOfN(4, Gen.listOf(action).map(_.take(5)))
+    val prop = Prop.forAll(batchGen) { batches =>
+      val s = freshStore()
+      // model: sequential dict apply — deletes first, then in-order upserts
+      var model = Map.empty[String, String]
+      for ((batch, i) <- batches.zipWithIndex) {
+        val up = batch.zipWithIndex.collect { case ((k, false, v), j) => (k, v, j.toLong) }
+        val dl = batch.collect { case (k, true, _) => k }.distinct
+        model = model -- dl
+        for ((k, v, _) <- up) model += (k -> v)
+        s.merge("t", ups(up: _*), dels(dl: _*), s"f$i")
+      }
+      state(s) == model
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.toString)
+  }
+}

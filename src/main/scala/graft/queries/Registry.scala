@@ -21,7 +21,7 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Pipeline.queries ++ Domain.queries ++
-      Flagship.queries ++ Annotate.queries ++ Cdc.queries
+      Flagship.queries ++ Annotate.queries ++ Cdc.queries ++ Readers.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

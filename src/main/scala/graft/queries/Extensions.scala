@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.search.Ivf
+
+/** Extension-layer CORRECTNESS entries: IVF approximate-nearest-
+  * neighbor search (the indexed scale path beside brute-force q26) and
+  * multimodal binary-column handling.
+  */
+object Extensions {
+
+  /** IVF ANN top-10 for query vec 0: sampled centroids (vec_id%25==1),
+    * nprobe=4 probed cells, exact rerank inside cells. The oracle
+    * mirrors the whole index construction. (Planted-cluster recall is
+    * asserted in IvfSpec — on clustered data recall@10 ≥ 0.9; on this
+    * isotropic synthetic table ANY sublinear index scans ~nprobe/ncells
+    * of the corpus by design.)
+    */
+  private val q47AnnIvf = Q(
+    "q47_ann_ivf",
+    (s, d) => Ivf.search(s, Tables.embeddings(s, d), queryId = 0L,
+      centroidMod = 25, nprobe = 4, k = 10),
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+               FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+               FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+          FROM sims) t WHERE rn = 1),
+      qprobe AS (SELECT cid AS cell FROM (
+          SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
+          FROM sims WHERE vid = 0) t WHERE rn <= 4),
+      cand AS (SELECT vid FROM assign JOIN qprobe USING (cell) WHERE vid <> 0),
+      qel AS (SELECT i, x FROM el WHERE vec_id = 0),
+      qn AS (SELECT n2 AS qn2 FROM nrm WHERE vec_id = 0),
+      dp AS (SELECT el.vec_id AS vid, sum(el.x * qel.x) AS dp
+             FROM el JOIN qel ON el.i = qel.i JOIN cand c ON el.vec_id = c.vid
+             GROUP BY 1)
+      SELECT vid AS vec_id, round(dp / sqrt(n.n2 * qn2), 6) AS cos_sim
+      FROM dp JOIN nrm n ON vid = n.vec_id CROSS JOIN qn
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+    bench = true)
+
+  /** Multimodal metadata over the opaque binary payload — all
+    * codegen'd expressions (byte length, content digest, magic bytes,
+    * format routing).
+    */
+  private val q48MultimodalMeta = Q(
+    "q48_multimodal_meta",
+    (s, d) => {
+      val bin = Multimodal.binarize(Tables.documents(s, d))
+      val firstByte = conv(substring(lower(hex(col("content"))), 1, 2), 16, 10)
+        .cast("int")
+      bin.select(col("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_md5"),
+          substring(lower(hex(col("content"))), 1, 16).as("magic_hex"),
+          when(firstByte % 3 === 0, "png")
+            .when(firstByte % 3 === 1, "jpeg")
+            .otherwise("webp").as("format"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS content_md5,
+        substr(lower(hex(encode(text))), 1, 16) AS magic_hex,
+        CASE CAST('0x' || substr(lower(hex(encode(text))), 1, 2) AS INT) % 3
+          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+      FROM documents ORDER BY doc_id"""))
+
+  /** Partition-batched stub decode/feature-extraction (mapPartitions
+    * with a per-partition handle); the deterministic stub formulas are
+    * reproduced by the oracle, pinning the whole binary→features path.
+    */
+  private val q49MultimodalFeatures = Q(
+    "q49_multimodal_features",
+    (s, d) =>
+      Multimodal.extractFeatures(Multimodal.binarize(Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id"),
+    Some("""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+      SELECT doc_id,
+        CAST(64 + CAST('0x' || substr(h, 1, 4) AS BIGINT) % 1024 AS INT) AS width,
+        CAST(64 + CAST('0x' || substr(h, 5, 4) AS BIGINT) % 1024 AS INT) AS height,
+        CAST(CAST('0x' || substr(md5(h || '_0'), 1, 8) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f0,
+        CAST(CAST('0x' || substr(md5(h || '_1'), 1, 8) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f1,
+        CAST(CAST('0x' || substr(md5(h || '_2'), 1, 8) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f2,
+        CAST(CAST('0x' || substr(md5(h || '_3'), 1, 8) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f3
+      FROM m ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(q47AnnIvf, q48MultimodalMeta, q49MultimodalFeatures)
+}

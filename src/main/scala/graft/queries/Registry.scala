@@ -21,7 +21,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Pipeline.queries ++ Domain.queries ++
-      Flagship.queries ++ Annotate.queries ++ Cdc.queries ++ Readers.queries
+      Flagship.queries ++ Annotate.queries ++ Cdc.queries ++
+      Readers.queries ++ Extensions.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

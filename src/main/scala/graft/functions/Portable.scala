@@ -57,15 +57,15 @@ object Portable {
     java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
   }
 
-  /** Dot product of two double arrays, sequential left-to-right fold.
-    * (Pair it with round(..., 6) before any comparison.)
+  /** Dot product of two double arrays, sequential left-to-right fold —
+    * evaluated by the codegen'd [[DotProduct]] expression (identical
+    * IEEE op order to the HOF `aggregate(zip_with(...))` fold it
+    * replaces). Pair with round(..., 6) before any comparison.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VecOps.dot(a, b)
 
-  /** Squared L2 norm of a double array. */
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  /** Squared L2 norm of a double array ([[SquaredNorm]], same fold). */
+  def norm2(a: Column): Column = VecOps.norm2(a)
 
   /** Array[Float] -> Array[Double] elementwise. */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))

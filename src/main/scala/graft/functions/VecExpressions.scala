@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native vector arithmetic for the similarity operators.
+  *
+  * Semantics are EXACTLY those of the HOF formulation they replace
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`): a strict sequential
+  * left-to-right double fold, null if the arrays differ in length or
+  * any element is null. Identical IEEE operation order means identical
+  * bits — every existing DuckDB oracle remains valid — while the tight
+  * JVM loop replaces per-element interpreted lambda evaluation
+  * (~64 boxed calls per row → one static call).
+  */
+object VecOps {
+  def dotBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def norm2Boxed(a: ArrayData): java.lang.Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  def dot(a: Column, b: Column): Column =
+    GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def norm2(a: Column): Column =
+    GraftShim.column(SquaredNorm(GraftShim.expression(a)))
+}
+
+/** Random-hyperplane band keys for cosine LSH, all bands in one pass.
+  *
+  * Exact semantics of the per-plane HOF construction in
+  * graft.queries.Pipeline (bit_p = Σ floor(x_i·1e9)·w_pi ≥ 0 in exact
+  * integer arithmetic; key_bd = Σ bit·2^k): the md5-derived ±1 weight
+  * matrix is identical (Portable.h32s of "p_i"), a null element or a
+  * length mismatch zeroes the affected plane's bit exactly as the
+  * null-propagating `aggregate(zip_with(...)) >= 0` comparison does.
+  */
+object RhOps {
+  val bands = 4
+  val planesPerBand = 8
+  val dim = 64
+  private val nPlanes = bands * planesPerBand
+
+  /** ±1 sign matrix, same formula as the DuckDB oracle regenerates. */
+  lazy val weights: Array[Array[Int]] =
+    Array.tabulate(nPlanes)(p =>
+      Array.tabulate(dim)(i0 => if (Portable.h32s(s"${p}_${i0 + 1}") % 2 == 1) 1 else -1))
+
+  def bandKeys(a: ArrayData): ArrayData = {
+    val out = new Array[Int](bands)
+    val n = a.numElements()
+    var usable = n == dim
+    var i = 0
+    while (usable && i < n) { if (a.isNullAt(i)) usable = false; i += 1 }
+    if (usable) {
+      val scaled = new Array[Long](dim)
+      i = 0
+      while (i < dim) { scaled(i) = math.floor(a.getDouble(i) * 1e9).toLong; i += 1 }
+      var p = 0
+      while (p < nPlanes) {
+        val w = weights(p)
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += scaled(j) * w(j); j += 1 }
+        if (acc >= 0) out(p / planesPerBand) |= (1 << (p % planesPerBand))
+        p += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def bandKeysCol(a: Column): Column =
+    GraftShim.column(RhBandKeys(GraftShim.expression(a)))
+}
+
+/** Band-key array (one int key per LSH band) for a vector column. */
+case class RhBandKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "rh_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RhOps.bandKeys(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RhOps.bandKeys($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RhBandKeys =
+    copy(child = newChild)
+}
+
+/** dot(a, b) over array<double> columns. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) null
+    else VecOps.dotBoxed(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val boxed = ctx.freshName("dotRes")
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        java.lang.Double $boxed =
+          graft.functions.VecOps.dotBoxed(${lg.value}, ${rg.value});
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sum(x^2) over an array<double> column. */
+case class SquaredNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_norm2"
+
+  override def eval(input: InternalRow): Any = {
+    val c = child.eval(input)
+    if (c == null) null else VecOps.norm2Boxed(c.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    val boxed = ctx.freshName("n2Res")
+    ev.copy(code = code"""
+      ${cg.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${cg.isNull}) {
+        java.lang.Double $boxed =
+          graft.functions.VecOps.norm2Boxed(${cg.value});
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SquaredNorm =
+    copy(child = newChild)
+}

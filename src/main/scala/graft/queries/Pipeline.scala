@@ -204,30 +204,10 @@ object Pipeline {
         CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
       FROM bits GROUP BY 1 ORDER BY 1"""))
 
-  /** Number of random hyperplanes for cosine LSH: 4 bands × 8 planes.
-    * Plane sign matrix is derived from md5 (h32s) so the DuckDB oracle
-    * regenerates the identical matrix from the same formula.
-    */
-  private val rhBands = 4
-  private val rhPlanesPerBand = 8
-  private def planeSigns(p: Int): Seq[Int] =
-    (1 to 64).map(i => if (h32s(s"${p}_${i}") % 2 == 1) 1 else -1)
-
-  /** Signed projection of the bound vector column onto plane p, in exact
-    * integer arithmetic (floor(x*1e9) per element) so the bit is
-    * independent of float summation order in either engine.
-    */
-  private def planeBit(v: Column, p: Int): Column = {
-    val w = typedLit(planeSigns(p))
-    when(aggregate(
-      zip_with(v, w, (x, wi) => floor(x * lit(1e9)).cast("long") * wi),
-      lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0)
-  }
-
   /** Embedding-cosine near-dup pairs (pipeline op), blocked by
-    * random-hyperplane LSH bands (the scale-safe replacement for the
-    * round-1 label blocking, which was O(n²/|labels|)). Band keys are
-    * computed map-side; candidates = vectors sharing any band key;
+    * random-hyperplane LSH bands (4 bands × 8 planes — the scale-safe
+    * replacement for the round-1 label blocking, which was
+    * O(n²/|labels|)). Band keys are computed map-side; candidates = vectors sharing any band key;
     * exact cosine verifies candidates only. Work is proportional to
     * bucket sizes — never all-pairs — and buckets split exponentially
     * in the number of planes per band.
@@ -237,14 +217,13 @@ object Pipeline {
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val bandStructs = (0 until rhBands).map { bd =>
-        val key = (0 until rhPlanesPerBand)
-          .map(k => planeBit(col("v"), rhPlanesPerBand * bd + k) * lit(1 << k))
-          .reduce(_ + _)
-        struct(lit(bd).as("band"), key.as("bkey"))
-      }
-      val keys = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      // all 32 hyperplane bits + 4 band keys in one codegen'd pass
+      // (graft.functions.RhBandKeys; md5-derived ±1 weights identical
+      // to what the oracle regenerates)
+      val keys = e.select(col("vec_id"),
+          posexplode(graft.functions.RhOps.bandKeysCol(col("v"))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bkey")
       val cand = keys.as("x")
         .join(keys.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.annotate.Annotator
+import graft.domain.Rules
+
+/** Remaining SURVEY §2 operators: registry-links m:n linkage (J4/U4),
+  * the /meta endpoint (A1/S13/F16), and the annotate-new-records
+  * pipeline (P8 + batched enrichment + P10 guard).
+  */
+object Coverage {
+
+  private def sqlS(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  // ---- q51: registry links m:n (ictrp.py:386-419) ---------------------------
+
+  final case class Pub(pmid: String, ab: String, regids: Seq[String])
+  final case class Trial(regid: String, ti: String)
+
+  /** pm_data registry ids ∪ regex hits over the abstract (U4), exploded
+    * into the m:n link table, consumed by a 3-way join (J4).
+    */
+  private val pubs = Seq(
+    Pub("p1", "Also registered as NCT01234567 and ISRCTN12345678.", Seq("NCT01234567")),
+    Pub("p2", "Registry id ACTRN12605000123456 appears only in the abstract.", Seq()),
+    Pub("p3", "No ids in text.", Seq("NCT01234567", "ISRCTN12345678")),
+    Pub("p4", "Unlinked trial DRKS00012345.", Seq()))
+
+  private val trials = Seq(
+    Trial("NCT01234567", "Aspirin RCT"),
+    Trial("ISRCTN12345678", "Heparin RCT"),
+    Trial("ACTRN12605000123456", "Exercise RCT"))
+
+  private val q51RegistryLinks = Q(
+    "q51_registry_links",
+    (s, d) => {
+      val p = s.createDataFrame(pubs)
+      val t = s.createDataFrame(trials)
+      val links = p.select(col("pmid"),
+          explode(array_union(col("regids"), Rules.registryIds(col("ab")))).as("regid"))
+      links.join(t, "regid")
+        .select(col("regid"), col("pmid"), col("ti"))
+        .orderBy("regid", "pmid")
+    },
+    Some(s"""WITH pubs(pmid, ab, regids) AS (VALUES ${pubs.map(p =>
+        s"(${sqlS(p.pmid)}, ${sqlS(p.ab)}, ${p.regids.map(sqlS).mkString("[", ", ", "]")})")
+        .mkString(", ")}),
+      trials(regid, ti) AS (VALUES ${trials.map(t =>
+        s"(${sqlS(t.regid)}, ${sqlS(t.ti)})").mkString(", ")}),
+      links AS (SELECT pmid, unnest(list_distinct(list_concat(regids,
+          regexp_extract_all(ab, '${Rules.registryIdPattern}')))) AS regid
+        FROM pubs)
+      SELECT l.regid, l.pmid, t.ti
+      FROM links l JOIN trials t ON l.regid = t.regid
+      ORDER BY 1, 2"""))
+
+  // ---- q53: /meta (cnxapp.py:107-123; A1 count + S13 recency + F16) ---------
+
+  private val q53Meta = Q(
+    "q53_meta",
+    (s, d) => {
+      val nRct = Tables.documents(s, d).filter(col("lang") === "en").count()
+      // humanized count (F16) + latest-update recency (S13) in one row
+      Tables.events(s, d)
+        .agg(max(col("ts")).as("last_ts"))
+        .select(
+          lit(nRct).as("n_rcts"),
+          format_number(lit(nRct), 0).as("n_rcts_str"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_update"))
+    },
+    Some("""SELECT
+        (SELECT count(*) FROM documents WHERE lang = 'en') AS n_rcts,
+        format('{:,}', (SELECT count(*) FROM documents WHERE lang = 'en')) AS n_rcts_str,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_update
+      FROM events"""))
+
+  // ---- q54: annotate-new pipeline (pubmed.py:561-635) -----------------------
+
+  /** done = doc_id % 7 == 0 (already in the annotations table); todo =
+    * anti-join; stub-enrich per partition; P10 nulls num_randomized
+    * above 1e6. The oracle reproduces the deterministic stub.
+    */
+  private val q54AnnotateNew = Q(
+    "q54_annotate_new",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val done = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      Annotator.annotateNew(docs, done).toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH todo AS (SELECT doc_id, md5(text) AS h,
+          string_split(text, ' ') AS ws FROM documents WHERE doc_id % 7 <> 0),
+      ann AS (SELECT doc_id,
+          CAST('0x' || substr(md5(h || '_n'), 1, 8) AS BIGINT) % 2000000 AS raw_n,
+          CAST(CAST('0x' || substr(md5(h || '_p'), 1, 8) AS BIGINT) % 100 AS DOUBLE) / 100.0 AS prob_low_rob,
+          array_to_string(ws[1:least(4, len(ws))], ' ') AS punchline_text,
+          CAST('0x' || substr(md5(h || '_e'), 1, 8) AS BIGINT) % 3 AS e
+        FROM todo)
+      SELECT doc_id,
+        CASE WHEN raw_n > 1000000 THEN NULL ELSE raw_n END AS num_randomized,
+        prob_low_rob, punchline_text,
+        CASE e WHEN 0 THEN 'significant-positive'
+               WHEN 1 THEN 'significant-negative'
+               ELSE 'no-diff' END AS effect
+      FROM ann ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(q51RegistryLinks, q53Meta, q54AnnotateNew)
+}

@@ -89,5 +89,30 @@ object Flagship {
     (s, d) => Pico.search(s, d, q41Query),
     Some(oracleSql(q41Query)))
 
-  val queries: Seq[Q] = Seq(q40, q41)
+  /** P5: nested boolean query tree — (pop C10 AND int C64) OR
+    * (pop TS-COV19): arbitrary AND/OR nesting recursively folded into
+    * one codegen'd predicate (reference prototype: nb/testing pico mesh
+    * search.ipynb nested_mesh/queryize).
+    */
+  private val q52Tree = Pico.OrExpr(Seq(
+    Pico.AndExpr(Seq(
+      Pico.Leaf(PicoTerm("population", "C10")),
+      Pico.Leaf(PicoTerm("interventions", "C64")))),
+    Pico.Leaf(PicoTerm("population", Pico.CovidCui))))
+
+  private val q42Nested = Q(
+    "q52_nested_query",
+    (s, d) =>
+      Pico.annotations(graft.Tables.documents(s, d))
+        .filter(Pico.queryize(q52Tree, expand = true))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("source"))
+        .orderBy("doc_id"),
+    Some(s"""WITH $annCte
+      SELECT doc_id, lang, source FROM ann
+      WHERE ${Pico.queryizeSql(q52Tree, expand = true)}
+      ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(q40, q41, q42Nested)
 }

@@ -22,7 +22,8 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Pipeline.queries ++ Domain.queries ++
       Flagship.queries ++ Annotate.queries ++ Cdc.queries ++
-      Readers.queries ++ Extensions.queries
+      Readers.queries ++ Extensions.queries ++ Ictrp.queries ++
+      Coverage.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

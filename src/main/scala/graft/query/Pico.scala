@@ -98,6 +98,35 @@ object Pico {
       .withColumn("num_randomized", col("n_chars"))
   }
 
+  // ---------------------------------------------------------------------------
+  // P5: nested boolean query trees (reference prototype:
+  // nb/testing pico mesh search.ipynb — nested_mesh/queryize). Arbitrary
+  // AND/OR nesting over terms; each leaf still subtree-expands.
+  // ---------------------------------------------------------------------------
+
+  sealed trait PicoExpr
+  final case class Leaf(term: PicoTerm) extends PicoExpr
+  final case class AndExpr(children: Seq[PicoExpr]) extends PicoExpr
+  final case class OrExpr(children: Seq[PicoExpr]) extends PicoExpr
+
+  /** Recursive Column builder for a nested query tree. */
+  def queryize(e: PicoExpr, expand: Boolean): Column = e match {
+    case Leaf(t) =>
+      val expansion = expandTerm(t, expand)
+      exists(col(s"${t.field}_mesh"), s => s.getField("cui").isin(expansion: _*))
+    case AndExpr(cs) => cs.map(queryize(_, expand)).reduce(_ && _)
+    case OrExpr(cs)  => cs.map(queryize(_, expand)).reduce(_ || _)
+  }
+
+  /** Same tree rendered as DuckDB SQL over the mirrored mesh columns. */
+  def queryizeSql(e: PicoExpr, expand: Boolean): String = e match {
+    case Leaf(t) =>
+      val expansion = expandTerm(t, expand).map(c => "'" + c + "'").mkString(", ")
+      s"len(list_filter(${t.field}_mesh, s -> s.cui IN ($expansion))) > 0"
+    case AndExpr(cs) => cs.map(queryizeSql(_, expand)).mkString("(", ") AND (", ")")
+    case OrExpr(cs)  => cs.map(queryizeSql(_, expand)).mkString("(", ") OR (", ")")
+  }
+
   /** P3/P4: AND across terms; OR within a term's subtree expansion —
     * `exists(field_mesh, s -> s.cui ∈ expansion)` per term, folded with
     * AND (cnxapp.py:187-207). Pure codegen'd predicate, pushed into the

@@ -28,7 +28,8 @@ object StreamIngest {
       schema: StructType,
       store: TableStore,
       table: String,
-      keyCol: String): Unit = {
+      keyCol: String,
+      maintainCounts: Boolean = false): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -46,6 +47,12 @@ object StreamIngest {
           val dels = b.filter(col("op") === "delete").select(keyCol)
           store.merge(table, ups, dels, f)
         }
+        // derived-state maintenance (T5/A1): refresh the tiny count
+        // "matview" after each batch, the reference's
+        // REFRESH MATERIALIZED VIEW pubmed_rct_count (pubmed.py:163-167)
+        if (maintainCounts) store.snapshot(table).foreach(snap =>
+          snap.groupBy().count().withColumnRenamed("count", "n_rows")
+            .write.mode("overwrite").parquet(store.matviewDir(table)))
         ()
       }
       .start()

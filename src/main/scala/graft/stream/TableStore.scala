@@ -39,6 +39,9 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   private def tableDir(table: String) = s"$root/$table"
   private def logDir = s"$root/_update_log"
 
+  /** Location of a table's maintained aggregate snapshot (T5). */
+  def matviewDir(table: String): String = s"$root/_matviews/$table"
+
   private def versions(table: String): Seq[Int] = {
     val dir = Paths.get(tableDir(table))
     if (!Files.exists(dir)) Seq.empty

@@ -41,12 +41,16 @@ class StreamIngestSpec extends AnyFunSuite {
       """{"k":"a","v":null,"seq":1,"op":"delete","source_filename":"u2.json"}"""), t0 + 2000)
 
     val store = new TableStore(spark, root, "k")
-    StreamIngest.runAvailableNow(spark, landing.toString, ckpt, schema, store, "t", "k")
+    StreamIngest.runAvailableNow(spark, landing.toString, ckpt, schema, store,
+      "t", "k", maintainCounts = true)
 
     val state = store.snapshot("t").get.collect()
       .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
     assert(state === Map("c" -> "new")) // a deleted last, b deleted, c last-wins
     assert(store.appliedFiles() === Set("u0.json", "u1.json", "u2.json"))
+    // T5: the maintained count matview reflects the final snapshot
+    val mv = spark.read.parquet(store.matviewDir("t")).collect()
+    assert(mv.length === 1 && mv.head.getLong(0) === 1L)
   }
 
   test("restarted stream re-delivery is idempotent (update_log gates)") {

@@ -105,5 +105,56 @@ object Coverage {
                ELSE 'no-diff' END AS effect
       FROM ann ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(q51RegistryLinks, q53Meta, q54AnnotateNew)
+  // ---- q60: calibration-artifact thresholding (P6/P7) -----------------------
+
+  /** The reference's published calibration values (data/
+    * rct_model_calibration.json, 2019-01-25) for the two models the
+    * classify() gate selects between.
+    */
+  private val calPtyp = (3.7070634945154053, 2.1057231048584675, 0.11009816065822994)
+  private val calNoPtyp = (2.1089724394656733, 1.6498606653424648, 0.059092738155457056)
+
+  private val calibrationJson =
+    s"""{"timestamp": "RobotReviewer RCT model calibration 2019-01-25 13:03",
+        "thresholds": {
+          "svm_cnn": {"precise": ${calNoPtyp._1}, "balanced": ${calNoPtyp._2}, "sensitive": ${calNoPtyp._3}},
+          "svm_cnn_ptyp": {"precise": ${calPtyp._1}, "balanced": ${calPtyp._2}, "sensitive": ${calPtyp._3}}}}"""
+
+  final case class Scored(pmid: String, status: String, indexing_method: String, clf_score: Double)
+
+  private val scored = Seq(
+    Scored("s1", "MEDLINE", "Human", 4.0),           // ptyp model, all true
+    Scored("s2", "MEDLINE", "Curated", 2.5),         // ptyp: balanced+sensitive
+    Scored("s3", "MEDLINE", "Automated", 2.5),       // gate falls back: precise too
+    Scored("s4", "In-Process", "Human", 1.0),        // no-ptyp: sensitive only
+    Scored("s5", "MEDLINE", "Human", calPtyp._2),    // exact boundary -> true (>=)
+    Scored("s6", "PubMed-not-MEDLINE", "Human", 0.0))
+
+  private val q60Calibration = Q(
+    "q60_calibration",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cal-")
+      java.nio.file.Files.writeString(dir.resolve("rct_model_calibration.json"),
+        calibrationJson)
+      val cfg = graft.domain.Calibration.load(s, dir.toString)
+      val cols = graft.domain.Calibration.flags(
+        cfg, col("status"), col("indexing_method"), col("clf_score"))
+      s.createDataFrame(scored)
+        .select(Seq(col("pmid"),
+          graft.domain.Calibration.modelChoice(col("status"), col("indexing_method"))
+            .as("clf_type")) ++ cols: _*)
+        .orderBy("pmid")
+    },
+    Some(s"""WITH fx(pmid, status, indexing_method, clf_score) AS (VALUES ${scored.map(r =>
+        s"(${sqlS(r.pmid)}, ${sqlS(r.status)}, ${sqlS(r.indexing_method)}, ${r.clf_score})")
+        .mkString(", ")}),
+      g AS (SELECT *, (status = 'MEDLINE' AND indexing_method <> 'Automated') AS ptyp FROM fx)
+      SELECT pmid,
+        CASE WHEN ptyp THEN 'svm_cnn_ptyp' ELSE 'svm_cnn' END AS clf_type,
+        clf_score >= (CASE WHEN ptyp THEN ${calPtyp._1} ELSE ${calNoPtyp._1} END) AS is_rct_precise,
+        clf_score >= (CASE WHEN ptyp THEN ${calPtyp._2} ELSE ${calNoPtyp._2} END) AS is_rct_balanced,
+        clf_score >= (CASE WHEN ptyp THEN ${calPtyp._3} ELSE ${calNoPtyp._3} END) AS is_rct_sensitive
+      FROM g ORDER BY pmid"""))
+
+  val queries: Seq[Q] = Seq(q51RegistryLinks, q53Meta, q54AnnotateNew, q60Calibration)
 }

@@ -21,7 +21,7 @@ import graft.functions.Portable._
   */
 object Pipeline {
 
-  private val tokCte =
+  private def tokCte: String =
     """tok AS (SELECT DISTINCT doc_id, lang, w FROM (
       SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents) raw)"""
 
@@ -40,26 +40,32 @@ object Pipeline {
       min(doc_id) AS survivor_id FROM documents GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
-  /** n-gram (unigram-set) Jaccard near-dup pairs, blocked by lang.
+  /** n-gram (4-gram shingle-set) Jaccard near-dup pairs, blocked by
+    * lang.
+    *
+    * Features are DISTINCT SHINGLE HASHES, not unigrams: on a
+    * small-vocabulary corpus every doc's token SET resembles every
+    * other's (unigram Jaccard is dense and any exact algorithm is
+    * Ω(output)), while the order-sensitive shingle space keeps true
+    * near-dup pairs sparse.
     *
     * Candidate generation uses exact PREFIX FILTERING (ppjoin-style):
-    * tokens are globally ordered by ascending document frequency; a pair
-    * with Jaccard >= t must share a token within each doc's first
-    * `|d| - ceil(t*|d|) + 1` tokens of that order, so only those prefix
-    * tokens are join keys. Hot stopwords (huge df) never become join
-    * keys, which removes the O(df^2) blowup of a naive token join; the
-    * verification step computes the exact Jaccard via array_intersect on
-    * just the candidate pairs. Output is provably identical to the
-    * all-pairs definition the oracle evaluates (we build prefixes with a
-    * slightly lower t' = 0.8799 so pairs that round UP to the 0.88
-    * threshold are still covered).
+    * shingles are globally ordered by ascending document frequency; a
+    * pair with Jaccard >= t must share a shingle within each doc's
+    * first `|d| - ceil(t*|d|) + 1` of that order, so only those prefix
+    * shingles become join keys (hot shingles never do, removing the
+    * O(df^2) blowup). Verification computes exact Jaccard via
+    * array_intersect on candidates only — provably the same output as
+    * the oracle's all-pairs definition (prefixes use a slightly lower
+    * t' = 0.8799 so pairs that round UP to 0.88 stay covered).
     */
   private val q22NgramJaccard = Q(
     "q22_ngram_jaccard",
     (s, d) => {
       val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"), col("lang"),
-          array_distinct(tokens(col("text"))).as("toks"))
+          array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("toks"))
       val tok = docs.select(col("doc_id"), col("lang"),
         size(col("toks")).as("sz"), explode(col("toks")).as("w"))
       val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
@@ -90,7 +96,10 @@ object Pipeline {
         .filter(col("jaccard") >= 0.88)
         .orderBy("a_id", "b_id")
     },
-    Some(s"""WITH $tokCte,
+    Some(s"""WITH $shingleCte,
+      tok AS (SELECT DISTINCT s.doc_id, d.lang,
+          CAST('0x' || substr(md5(s.s), 1, 8) AS BIGINT) AS w
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
       sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
@@ -103,7 +112,9 @@ object Pipeline {
       JOIN sizes sa ON a_id = sa.doc_id
       JOIN sizes sb ON b_id = sb.doc_id
       WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.88
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""",
+    ),
+    bench = true)
 
   /** Fixed (i, a, b) permutation parameters for MinHash. */
   private val mhParams: Seq[(Int, Long, Long)] = Seq(
@@ -112,7 +123,7 @@ object Pipeline {
     (4, 961751L, 86028121L), (5, 437071L, 104395301L),
     (6, 746777L, 122949823L), (7, 526363L, 141650939L))
 
-  private val mhParamsSqlValues =
+  private def mhParamsSqlValues: String =
     mhParams.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
 
   /** 4-gram shingle feature space (brief/reference construction:
@@ -123,7 +134,7 @@ object Pipeline {
     * [[graft.functions.ShingleHash32]] expression: one evaluation per
     * row inside the scan's WholeStageCodegen span.
     */
-  private val shingleCte =
+  private def shingleCte: String =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS s FROM ws)"""

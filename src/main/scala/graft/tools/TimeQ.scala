@@ -1,0 +1,19 @@
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- args) {
+      val q = graft.queries.Registry.byName(n)
+      val df = q.fn(spark, "/root/testdata/sf0.1")
+      df.selectExpr("sum(xxhash64(struct(*)))").collect()  // warm
+      val t0 = System.nanoTime()
+      df.selectExpr("sum(xxhash64(struct(*)))").collect()
+      println(s"TIME $n: ${(System.nanoTime() - t0) / 1e9}")
+    }
+    spark.stop()
+  }
+}

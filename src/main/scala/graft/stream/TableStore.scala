@@ -71,6 +71,30 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   def updateLog(): Option[DataFrame] =
     if (Files.exists(Paths.get(logDir))) Some(spark.read.parquet(logDir)) else None
 
+  /** Batch-stats counters (A4; the reference's collections.Counter at
+    * pubmed.py:458,480,550) — distributed-safe accumulators.
+    */
+  val mergedBatches = spark.sparkContext.longAccumulator("graft.merge.batches")
+  val mergedUpserts = spark.sparkContext.longAccumulator("graft.merge.upserts")
+  val mergedTombstones = spark.sparkContext.longAccumulator("graft.merge.tombstones")
+
+  /** T6 full-refresh escape hatch (pubmed.py:436-444 force_update):
+    * drop the table's snapshots so the next merges rebuild from
+    * scratch. The update_log keeps its history (an audit table), so
+    * re-ingest must use fresh source_filenames — exactly the
+    * reference's wipe-and-reprocess flow.
+    */
+  def forceRefresh(table: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p).iterator()
+        while (it.hasNext) rm(it.next())
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(tableDir(table)))
+  }
+
   /** MERGE one CDC batch. `upserts` must contain `keyCol` plus a `seq`
     * ordering column for within-batch last-wins (P9); `tombstones` is a
     * one-column frame of keys to delete. Returns true if applied, false
@@ -79,6 +103,9 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   def merge(table: String, upserts: DataFrame, tombstones: DataFrame,
       sourceFilename: String): Boolean = {
     if (appliedFiles().contains(sourceFilename)) return false
+    mergedBatches.add(1)
+    mergedUpserts.add(upserts.count())
+    mergedTombstones.add(tombstones.count())
 
     // last-wins within the batch (pubmed.py:492-504, reverse-pop loop)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("seq").desc)

@@ -76,6 +76,20 @@ class TableStoreSpec extends AnyFunSuite {
     assert(state(s2) === Map("a" -> "x"))
   }
 
+  test("accumulator batch stats (A4) and force-refresh escape hatch (T6)") {
+    val s = freshStore()
+    val b0 = s.mergedBatches.value
+    s.merge("t", ups(("a", "1", 1), ("b", "2", 2)), dels("z"), "f0")
+    s.merge("t", ups(("a", "CLOBBER", 1)), dels(), "f0") // gated, not counted
+    assert(s.mergedBatches.value === b0 + 1)
+    assert(state(s) === Map("a" -> "1", "b" -> "2"))
+    s.forceRefresh("t")
+    assert(s.snapshot("t").isEmpty)            // wiped
+    assert(s.appliedFiles().contains("f0"))    // audit log retained
+    s.merge("t", ups(("c", "3", 1)), dels(), "f1")
+    assert(state(s) === Map("c" -> "3"))       // rebuilt from scratch
+  }
+
   test("property: merge sequence ≡ reference apply loop model") {
     val key = Gen.oneOf("k1", "k2", "k3")
     val action = for {

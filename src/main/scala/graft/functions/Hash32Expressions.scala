@@ -69,6 +69,26 @@ object Hash32 {
   def distinctTokensArrayData(text: UTF8String): GenericArrayData =
     new GenericArrayData(distinctTokens(text.toString))
 
+  /** Synthetic concept annotations for field k (graft.query.Pico's
+    * data model): every token w with h32(w)%3==k contributes a
+    * struct(cui='C'+h32(w)%100, cui_str=w), in token order.
+    */
+  def meshFor(text: UTF8String, k: Int): GenericArrayData = {
+    val ws = text.toString.split(" ", -1)
+    val buf = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < ws.length) {
+      val h = h32(ws(i))
+      if (h % 3 == k) {
+        buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString("C" + (h % 100)),
+            UTF8String.fromString(ws(i))))
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** Column API: per-doc 4-gram shingle h32 array. */
   def shingleHashes(c: Column): Column =
     GraftShim.column(ShingleHash32(GraftShim.expression(c)))
@@ -76,6 +96,10 @@ object Hash32 {
   /** Column API: per-doc distinct-token h32 array. */
   def tokenHashes(c: Column): Column =
     GraftShim.column(DistinctTokenHash32(GraftShim.expression(c)))
+
+  /** Column API: field-k concept mesh (array<struct<cui,cui_str>>). */
+  def meshForCol(c: Column, k: Int): Column =
+    GraftShim.column(MeshFor(GraftShim.expression(c), k))
 }
 
 abstract class Hash32ArrayExpression extends UnaryExpression with ExpectsInputTypes {
@@ -100,6 +124,29 @@ case class ShingleHash32(child: Expression) extends Hash32ArrayExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
     copy(child = newChild)
   override def prettyName: String = "shingle_h32"
+}
+
+/** `mesh_for(text, k)`: the synthetic concept-annotation array for
+  * PICO field k — codegen'd single pass (the HOF filter+transform pair
+  * would tokenize and re-hash per consumer).
+  */
+case class MeshFor(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cui", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cui_str", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "mesh_for"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash32.meshFor(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash32.meshFor($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MeshFor =
+    copy(child = newChild)
 }
 
 /** `distinct_token_h32(text)`: array of h32 hashes of distinct tokens. */

@@ -76,12 +76,10 @@ object Pico {
   // (nullable score exercises NULLS LAST, cnxapp.py:217).
   // ---------------------------------------------------------------------------
 
+  // codegen'd single pass (graft.functions.MeshFor); semantically
+  // identical to transform(filter(tokens, h32%3==k), struct(...))
   private def meshFor(k: Int): Column =
-    transform(
-      filter(tokens(col("text")), w => pmod(h32(w), lit(3)) === k),
-      w => struct(
-        concat(lit("C"), pmod(h32(w), lit(100)).cast("string")).as("cui"),
-        w.as("cui_str")))
+    graft.functions.Hash32.meshForCol(col("text"), k)
 
   /** documents + annotation columns (map-side; mirrored in oracle SQL). */
   def annotations(docs: DataFrame): DataFrame = {

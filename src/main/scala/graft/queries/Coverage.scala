@@ -60,13 +60,15 @@ object Coverage {
   private val q53Meta = Q(
     "q53_meta",
     (s, d) => {
-      val nRct = Tables.documents(s, d).filter(col("lang") === "en").count()
-      // humanized count (F16) + latest-update recency (S13) in one row
-      Tables.events(s, d)
-        .agg(max(col("ts")).as("last_ts"))
+      // one declarative plan: two 1-row aggregates cross-joined (no
+      // driver-side action); humanized count (F16) + recency (S13)
+      val nRct = Tables.documents(s, d).filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n_rcts"))
+      val lastTs = Tables.events(s, d).agg(max(col("ts")).as("last_ts"))
+      nRct.crossJoin(lastTs)
         .select(
-          lit(nRct).as("n_rcts"),
-          format_number(lit(nRct), 0).as("n_rcts_str"),
+          col("n_rcts"),
+          format_number(col("n_rcts"), 0).as("n_rcts_str"),
           date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_update"))
     },
     Some("""SELECT

@@ -50,14 +50,18 @@ object Pipeline {
     * near-dup pairs sparse.
     *
     * Candidate generation uses exact PREFIX FILTERING (ppjoin-style):
-    * shingles are globally ordered by ascending document frequency; a
-    * pair with Jaccard >= t must share a shingle within each doc's
-    * first `|d| - ceil(t*|d|) + 1` of that order, so only those prefix
-    * shingles become join keys (hot shingles never do, removing the
-    * O(df^2) blowup). Verification computes exact Jaccard via
-    * array_intersect on candidates only — provably the same output as
-    * the oracle's all-pairs definition (prefixes use a slightly lower
-    * t' = 0.8799 so pairs that round UP to 0.88 stay covered).
+    * under ANY fixed global order of the feature space, a pair with
+    * Jaccard >= t must share a feature within each doc's first
+    * `|d| - ceil(t*|d|) + 1` features of that order — so only those
+    * prefix features become join keys. We order by the (uniform) h32
+    * value, which makes the prefix computable MAP-SIDE
+    * (slice(array_sort(...))): zero shuffles before the candidate
+    * join. (Ascending-df ordering — one extra small aggregation —
+    * remains the classic variant when the feature space has heavy
+    * skew.) Verification computes exact Jaccard via array_intersect on
+    * candidates only — provably the same output as the oracle's
+    * all-pairs definition (prefixes use a slightly lower t' = 0.8799
+    * so pairs that round UP to 0.88 stay covered).
     */
   private val q22NgramJaccard = Q(
     "q22_ngram_jaccard",
@@ -66,18 +70,12 @@ object Pipeline {
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"), col("lang"),
           array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("toks"))
-      val tok = docs.select(col("doc_id"), col("lang"),
-        size(col("toks")).as("sz"), explode(col("toks")).as("w"))
-      val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
       // prefix length for t' = 8799/10000, in exact integer arithmetic:
       // L = sz - ceil(8799*sz/10000) + 1
-      val prefLen = col("sz") - ((col("sz") * 8799L + 9999L) / 10000L).cast("long") + 1
-      val pref = tok.join(dfreq, "w")
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-        .filter(col("rk") <= prefLen)
-        .select(col("doc_id"), col("lang"), col("w"))
+      val sz = size(col("toks"))
+      val prefLen = sz - ((sz * 8799L + 9999L) / 10000L).cast("long") + 1
+      val pref = docs.select(col("doc_id"), col("lang"),
+        explode(slice(array_sort(col("toks")), lit(1), prefLen)).as("w"))
       val cand = pref.as("a")
         .join(pref.as("b"),
           col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&

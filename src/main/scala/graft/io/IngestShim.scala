@@ -29,7 +29,8 @@ object IngestShim {
     */
   def listValidated(dir: String, ext: String): Seq[Listed] = {
     val d = Paths.get(dir)
-    val all = Files.list(d).iterator().asScala.toSeq
+    val stream = Files.list(d)
+    val all = try stream.iterator().asScala.toSeq finally stream.close()
     val dataFiles = all.filter(_.getFileName.toString.endsWith(ext))
       .sortBy(_.getFileName.toString)
     dataFiles.map { p =>

@@ -46,13 +46,16 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     val dir = Paths.get(tableDir(table))
     if (!Files.exists(dir)) Seq.empty
     else {
-      val it = Files.list(dir).iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[Int]()
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("v")) buf += name.drop(1).toInt
-      }
-      buf.toSeq.sorted
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[Int]()
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("v")) buf += name.drop(1).toInt
+        }
+        buf.toSeq.sorted
+      } finally stream.close()
     }
   }
 
@@ -87,8 +90,15 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   def forceRefresh(table: String): Unit = {
     def rm(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p)) {
-        val it = Files.list(p).iterator()
-        while (it.hasNext) rm(it.next())
+        val stream = Files.list(p)
+        val children =
+          try {
+            val it = stream.iterator()
+            val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+            while (it.hasNext) buf += it.next()
+            buf.toSeq
+          } finally stream.close()
+        children.foreach(rm)
       }
       Files.deleteIfExists(p)
     }

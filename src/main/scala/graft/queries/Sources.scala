@@ -180,5 +180,38 @@ object Sources {
       ('p6', true, 'https://oa.example/1', 'https://oa.example/1.pdf')
       ) t(pmid, is_oa, url, url_for_pdf) ORDER BY pmid"""))
 
-  val queries: Seq[Q] = Seq(q55InvertedIndex, q56Medrxiv, q57Upw)
+  // ---- q61: ingest shim listing + md5 validation (S3) -----------------------
+
+  /** The transport contract: filename-ordered listing with md5 sidecar
+    * validation, corrupt files quarantined (pubmed.py:42-117,289-299).
+    */
+  private val q61IngestShim = Q(
+    "q61_ingest_shim",
+    (s, d) => {
+      import graft.io.IngestShim
+      val dir = Files.createTempDirectory("graft-shim-")
+      def put(name: String, content: String, md5: Option[String]): Unit = {
+        Files.writeString(dir.resolve(name), content)
+        md5.foreach(m => Files.writeString(dir.resolve(name + ".md5"), m))
+      }
+      put("u2.xml", "beta", Some(IngestShim.md5Hex("beta".getBytes("UTF-8"))))
+      put("u1.xml", "alpha", Some(IngestShim.md5Hex("alpha".getBytes("UTF-8"))))
+      put("u3.xml", "gamma", Some("00000000000000000000000000000000"))
+      put("u4.xml", "delta", None)
+      Files.writeString(dir.resolve("notes.txt"), "ignored")
+      import s.implicits._
+      val listed = IngestShim.listValidated(dir.toString, ".xml")
+        .map(l => (l.name, l.md5Ok.map(_.toString).getOrElse("none")))
+      val applied = IngestShim.applyList(dir.toString, ".xml").map(_.name).toSet
+      listed.toDF("name", "md5_ok")
+        .withColumn("in_apply_list",
+          col("name").isin(applied.toSeq.map(x => x: Any): _*))
+        .orderBy("name")
+    },
+    Some("""SELECT * FROM (VALUES
+      ('u1.xml', 'true', true), ('u2.xml', 'true', true),
+      ('u3.xml', 'false', false), ('u4.xml', 'none', true)
+      ) t(name, md5_ok, in_apply_list) ORDER BY name"""))
+
+  val queries: Seq[Q] = Seq(q55InvertedIndex, q56Medrxiv, q57Upw, q61IngestShim)
 }

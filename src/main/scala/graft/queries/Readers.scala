@@ -94,8 +94,12 @@ object Readers {
   private val q45PubmedXml = Q(
     "q45_pubmed_xml",
     (s, d) => {
+      // gzipped, as PubMed ships its baselines (S1): the XML source
+      // decompresses by extension
       val dir = Files.createTempDirectory("graft-pmxml-")
-      Files.writeString(dir.resolve("baseline.xml"), pubmedXmlFixture)
+      val gz = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(dir.resolve("baseline.xml.gz")))
+      try gz.write(pubmedXmlFixture.getBytes("UTF-8")) finally gz.close()
       val deletions = PubmedXml.readDeletions(s, dir.toString)
         .collect().map(_.getString(0)).sorted
       require(deletions.toSeq == Seq("99901", "99902"),

@@ -151,6 +151,105 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Driver-built IVF codebook: the coarse-centroid matrix, shipped to
+  * executors inside the serialized plan (for codebooks past ~tens of
+  * MB a `SparkContext.broadcast` handle would replace the plain field
+  * — same expression shape). Norms and validity are precomputed once.
+  */
+final class IvfCodebook(
+    val cids: Array[Long],
+    val vecs: Array[Array[Double]],
+    val valid: Array[Boolean]) extends Serializable {
+  val norms: Array[Double] = Array.tabulate(vecs.length) { c =>
+    if (!valid(c)) 0.0
+    else { var a = 0.0; var i = 0; val v = vecs(c)
+           while (i < v.length) { a += v(i) * v(i); i += 1 }; a }
+  }
+}
+
+/** Map-side nearest-centroid assignment for IVF.
+  *
+  * Exact semantics of the join+window formulation it replaces
+  * (`row_number over (partition by vec_id order by cs desc, cid)`):
+  * cosine rounded to 6 decimals via Spark's `round` double path
+  * (pass NaN/Inf through, else BigDecimal HALF_UP), descending-NaN-
+  * first comparison via `java.lang.Double.compare`, ties broken by
+  * smallest centroid id (cids are kept ascending; strict `>` keeps
+  * the first winner). A vector whose cosine is null against every
+  * centroid (null element / length mismatch) falls back to the
+  * smallest cid, exactly as the all-null window ordering did.
+  */
+object IvfOps {
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else scala.math.BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def nearest(v: ArrayData, cb: IvfCodebook): java.lang.Long = {
+    if (cb.cids.isEmpty) return null
+    val n = v.numElements()
+    var vOk = true
+    var i = 0
+    while (vOk && i < n) { if (v.isNullAt(i)) vOk = false; i += 1 }
+    var nv = 0.0
+    if (vOk) {
+      i = 0
+      while (i < n) { val x = v.getDouble(i); nv += x * x; i += 1 }
+    }
+    var hasBest = false
+    var bestCs = 0.0
+    var bestCid = cb.cids(0)
+    var c = 0
+    while (c < cb.cids.length) {
+      if (vOk && cb.valid(c) && cb.vecs(c).length == n) {
+        val cv = cb.vecs(c)
+        var d = 0.0
+        i = 0
+        while (i < n) { d += v.getDouble(i) * cv(i); i += 1 }
+        val cs = round6(d / math.sqrt(nv * cb.norms(c)))
+        if (!hasBest || java.lang.Double.compare(cs, bestCs) > 0) {
+          hasBest = true; bestCs = cs; bestCid = cb.cids(c)
+        }
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  def nearestCol(v: Column, cb: IvfCodebook): Column =
+    GraftShim.column(NearestCentroid(GraftShim.expression(v), cb))
+}
+
+/** `nearest_centroid(v)` against a plan-bound codebook. */
+case class NearestCentroid(child: Expression, codebook: IvfCodebook)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IvfOps.nearest(input.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("ivfCodebook", codebook,
+      classOf[IvfCodebook].getName)
+    val cg = child.genCode(ctx)
+    val boxed = ctx.freshName("nearRes")
+    ev.copy(code = code"""
+      ${cg.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${cg.isNull}) {
+        java.lang.Long $boxed =
+          graft.functions.IvfOps.nearest(${cg.value}, $cb);
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** sum(x^2) over an array<double> column. */
 case class SquaredNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType

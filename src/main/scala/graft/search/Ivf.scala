@@ -1,8 +1,8 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{IvfCodebook, IvfOps}
 import graft.functions.Portable.{dot, norm2, toDouble}
 
 /** IVF (inverted-file) approximate nearest neighbor search — the
@@ -10,17 +10,17 @@ import graft.functions.Portable.{dot, norm2, toDouble}
   * for the reference's Annoy index (PICO_search.py:28-86).
   *
   * Training-free deterministic flavor: coarse centroids are a fixed
-  * sample of the corpus (`vec_id % centroidMod == 1`); every vector is
-  * assigned to its nearest centroid map-side via a BROADCAST join
-  * (ncentroids ~ sqrt(N) rows — never a shuffle of the big side); a
-  * query probes its `nprobe` nearest cells and reranks only those
-  * cells' vectors exactly.
+  * sample of the corpus (`vec_id % centroidMod == 1`), collected once
+  * into a driver-side codebook (C ≈ √N rows — the IVF "train" step);
+  * every vector is assigned to its nearest centroid map-side by one
+  * codegen'd argmax pass (`NearestCentroid`) — a pure projection with
+  * no join and no exchange; a query probes its `nprobe` nearest cells
+  * and reranks only those cells' vectors exactly.
   *
-  * Scale shape: the expensive side (N vectors) flows through one
-  * broadcast-join + one window on vec_id for the argmax — at cluster
-  * scale the assignment is computed once, persisted bucketed by cell,
-  * and probing reads only the probed cells (partition pruning on
-  * cell).
+  * Scale shape: the expensive side (N vectors) never shuffles for
+  * assignment — at cluster scale the assignment is computed once,
+  * persisted bucketed by cell, and probing reads only the probed
+  * cells (partition pruning on cell).
   *
   * Plan/oracle determinism: similarities are rounded to 6 decimals and
   * tie-broken by centroid id before the argmax, so assignment is
@@ -32,18 +32,36 @@ object Ivf {
   private def cos6(v: Column, c: Column): Column =
     round(dot(v, c) / sqrt(norm2(v) * norm2(c)), 6)
 
-  /** (vec_id, cell) assignment: nearest sampled centroid. */
+  /** Coarse codebook: the sampled centroids, collected once on the
+    * driver (C ≈ √N rows — the standard IVF train step; a 100 TB
+    * corpus still has a codebook of a few tens of MB). Kept ascending
+    * by cid so the expression's strict-`>` argmax breaks ties on the
+    * smallest id, matching the old window's `order by cs desc, cid`.
+    */
+  def codebook(e: DataFrame, centroidMod: Int): IvfCodebook = {
+    val rows = e.filter(col("vec_id") % centroidMod === 1)
+      .select(col("vec_id"), toDouble(col("embedding")).as("cv"))
+      .orderBy(col("vec_id"))
+      .collect()
+    val cids = rows.map(_.getLong(0))
+    val raw = rows.map(r => if (r.isNullAt(1)) null else r.getSeq[Any](1))
+    val valid = raw.map(s => s != null && s.forall(_ != null))
+    val vecs = raw.zip(valid).map { case (s, ok) =>
+      if (ok) s.map(_.asInstanceOf[Double]).toArray else Array.empty[Double]
+    }
+    new IvfCodebook(cids, vecs, valid)
+  }
+
+  /** (vec_id, cell) assignment: nearest sampled centroid, computed
+    * map-side in one codegen'd pass per row against the plan-bound
+    * codebook — a pure projection, no join, no exchange. (Replaces a
+    * broadcast-join producing N×C rows + a row_number window that
+    * shuffled them — N^1.5 bytes at C≈√N.)
+    */
   def assignments(e: DataFrame, centroidMod: Int): DataFrame = {
-    val vecs = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cents = vecs.filter(col("vec_id") % centroidMod === 1)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cid"))
-    vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), cos6(col("v"), col("cv")).as("cs"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+    val cb = codebook(e, centroidMod)
+    e.select(col("vec_id"),
+      IvfOps.nearestCol(toDouble(col("embedding")), cb).as("cell"))
   }
 
   /** Top-k by exact cosine among the vectors in the query's `nprobe`

@@ -66,17 +66,12 @@ object Rules {
 
   /** is_rct(study_design) — ictrp.py:169-186: null → unknown; cleaned
     * lowercase text matched against non-RCT phrases first, then RCT
-    * phrases; else unknown.
+    * phrases; else unknown. One codegen'd pass per row ([[RctClass]] —
+    * the HOF `exists` formulation re-ran the cleanup per phrase).
     */
-  def isRct(studyDesign: Column): Column = {
-    val cleaned = cleanText(lower(studyDesign))
-    val nonHit = exists(typedLit(nonRctPhrases), p => cleaned.contains(p))
-    val rctHit = exists(typedLit(rctPhrases), p => cleaned.contains(p))
-    when(studyDesign.isNull, "unknown")
-      .when(nonHit, "non-RCT")
-      .when(rctHit, "RCT")
-      .otherwise("unknown")
-  }
+  def isRct(studyDesign: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      RctClass(org.apache.spark.sql.graftshim.GraftShim.expression(studyDesign)))
 
   /** is_recruiting normalizer — ictrp.py:161-167 (exact-match map). */
   def isRecruiting(status: Column): Column =

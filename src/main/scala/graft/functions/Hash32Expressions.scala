@@ -63,6 +63,30 @@ object Hash32 {
     out
   }
 
+  /** 32-bit SimHash over the distinct-token h32s: bit j is set iff at
+    * least half the token hashes have bit j set (2·ones ≥ n — ties and
+    * the empty doc set the bit, matching the HOF formulation this
+    * replaces: `2·size(filter(hs, bit_j)) >= size(hs)`). One pass per
+    * row instead of 32 interpreted lambda evaluations re-referencing
+    * the bound array.
+    */
+  def simhash(text: String): Long = {
+    val hs = distinctTokens(text)
+    val n = hs.length
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      var ones = 0
+      var i = 0
+      while (i < n) { if (((hs(i) >> j) & 1L) == 1L) ones += 1; i += 1 }
+      if (2 * ones >= n) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  def simhashUTF8(text: UTF8String): Long = simhash(text.toString)
+
   // entry points for generated code (UTF8String in, ArrayData out)
   def shinglesArrayData(text: UTF8String): GenericArrayData =
     new GenericArrayData(shingles(text.toString))
@@ -100,6 +124,26 @@ object Hash32 {
   /** Column API: field-k concept mesh (array<struct<cui,cui_str>>). */
   def meshForCol(c: Column, k: Int): Column =
     GraftShim.column(MeshFor(GraftShim.expression(c), k))
+
+  /** Column API: 32-bit SimHash of a text column. */
+  def simhashCol(c: Column): Column =
+    GraftShim.column(SimHash32(GraftShim.expression(c)))
+}
+
+/** `simhash32(text)`: 32-bit majority SimHash of distinct-token h32s. */
+case class SimHash32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash32.simhashUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash32.simhashUTF8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
 }
 
 abstract class Hash32ArrayExpression extends UnaryExpression with ExpectsInputTypes {

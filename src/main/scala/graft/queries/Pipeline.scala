@@ -185,24 +185,17 @@ object Pipeline {
     bench = true)
 
   /** SimHash (pipeline op: SimHash dedup): 32-bit signature — per bit,
-    * sign-sum of token-hash bits. Entirely MAP-SIDE per doc: an
-    * `aggregate` over the 32 bit positions, each testing the bound
-    * token-hash array with `filter`/`size`; no explode, no shuffle
-    * (sgn >= 0  ⟺  2·#ones >= #tokens).
+    * sign-sum of token-hash bits. Entirely MAP-SIDE per doc, one
+    * codegen'd pass per row (graft.functions.SimHash32); no explode,
+    * no shuffle (bit set  ⟺  2·#ones >= #tokens — ties up).
     */
   private val q24Simhash = Q(
     "q24_simhash",
-    (s, d) => {
-      val doc = Tables.documents(s, d)
-        .select(col("doc_id"), graft.functions.Hash32.tokenHashes(col("text")).as("hs"))
-      val simhash = aggregate(
-        sequence(lit(0), lit(31)), lit(0L),
-        (acc, j) => acc + when(
-          lit(2) * size(filter(col("hs"),
-            h => floor(h / pow(lit(2.0), j)).cast("long") % 2 === 1)) >= size(col("hs")),
-          pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
-      doc.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
-    },
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Hash32.simhashCol(col("text")).as("simhash"))
+        .orderBy("doc_id"),
     Some(s"""WITH $tokCte,
       th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
       bits AS (SELECT doc_id, j,

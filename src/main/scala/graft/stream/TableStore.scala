@@ -64,12 +64,33 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     versions(table).lastOption.map(v =>
       spark.read.parquet(s"${tableDir(table)}/v$v"))
 
-  /** Applied source_filenames (empty before first merge). */
+  /** Applied source_filenames across ALL tables (audit view). */
   def appliedFiles(): Set[String] = {
     if (!Files.exists(Paths.get(logDir))) Set.empty
     else spark.read.parquet(logDir).select("source_filename")
       .collect().map(_.getString(0)).toSet
   }
+
+  /** Applied source_filenames FOR ONE TABLE — the exactly-once gate is
+    * scoped like the reference's `WHERE update_type='pubmed_update'`
+    * lookup (pubmed.py:113-117): the same source file merged into two
+    * different tables applies to both. Loaded from the log once per
+    * (instance, table) and maintained incrementally by merge(); this
+    * instance is the log's writer, so the cache cannot go stale.
+    */
+  def appliedFiles(table: String): Set[String] =
+    appliedCache.getOrElseUpdate(table, {
+      if (!Files.exists(Paths.get(logDir)))
+        scala.collection.mutable.Set.empty[String]
+      else scala.collection.mutable.Set(
+        spark.read.parquet(logDir)
+          .filter(col("update_type") === table)
+          .select("source_filename")
+          .collect().map(_.getString(0)).toIndexedSeq: _*)
+    }).toSet
+
+  private val appliedCache =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
 
   def updateLog(): Option[DataFrame] =
     if (Files.exists(Paths.get(logDir))) Some(spark.read.parquet(logDir)) else None
@@ -112,35 +133,54 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     */
   def merge(table: String, upserts: DataFrame, tombstones: DataFrame,
       sourceFilename: String): Boolean = {
-    if (appliedFiles().contains(sourceFilename)) return false
+    if (appliedFiles(table).contains(sourceFilename)) return false
     mergedBatches.add(1)
-    mergedUpserts.add(upserts.count())
-    mergedTombstones.add(tombstones.count())
 
-    // last-wins within the batch (pubmed.py:492-504, reverse-pop loop)
+    // Batch-stat counts ride the merge job itself as observed metrics
+    // (CollectMetrics on each input's single-consumption path) — no
+    // extra count() actions re-running the upstream lineage.
+    val obsUp = org.apache.spark.sql.Observation()
+    val obsTomb = org.apache.spark.sql.Observation()
+
+    // last-wins within the batch (pubmed.py:492-504, reverse-pop loop).
+    // The observation sits on the union path, which consumes the raw
+    // upserts exactly once (Catalyst clones shared subtrees, and a
+    // duplicated CollectMetrics name is an analysis error).
     val w = Window.partitionBy(col(keyCol)).orderBy(col("seq").desc)
     val dedupedUpserts = upserts
+      .observe(obsUp, count(lit(1)).as("n"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "seq")
 
     val next = snapshot(table) match {
-      case None => dedupedUpserts
+      case None =>
+        // Bootstrap: tombstones are a no-op and never execute, so the
+        // observation would never fire — count them with one small
+        // extra job, first merge of a table's life only.
+        mergedTombstones.add(tombstones.count())
+        dedupedUpserts
       case Some(old) =>
         old
-          .join(tombstones.select(col(tombstones.columns.head).as(keyCol)),
+          .join(tombstones
+              .observe(obsTomb, count(lit(1)).as("n"))
+              .select(col(tombstones.columns.head).as(keyCol)),
             Seq(keyCol), "left_anti")
-          .join(dedupedUpserts.select(keyCol), Seq(keyCol), "left_anti")
+          .join(upserts.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(dedupedUpserts)
     }
 
+    val bootstrap = next eq dedupedUpserts
     val v = versions(table).lastOption.getOrElse(0) + 1
     next.write.mode(SaveMode.Overwrite).parquet(s"${tableDir(table)}/v$v")
+    mergedUpserts.add(obsUp.get("n").asInstanceOf[Long])
+    if (!bootstrap) mergedTombstones.add(obsTomb.get("n").asInstanceOf[Long])
 
     import spark.implicits._
     Seq((table, sourceFilename, java.time.Instant.now.toString))
       .toDF("update_type", "source_filename", "update_date")
       .write.mode(SaveMode.Append).parquet(logDir)
+    appliedCache(table) += sourceFilename
     true
   }
 }

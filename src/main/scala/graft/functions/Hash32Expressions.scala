@@ -130,7 +130,15 @@ object Hash32 {
     GraftShim.column(SimHash32(GraftShim.expression(c)))
 }
 
-/** `simhash32(text)`: 32-bit majority SimHash of distinct-token h32s. */
+/** `simhash32(text)`: 32-bit majority SimHash of distinct-token h32s.
+  *
+  * NULL contract: null-in/null-out (standard `nullSafeEval`). The HOF
+  * formulation this replaced evaluated `size(null_tokens)` → null
+  * condition → `otherwise(0)` on every bit, yielding 0L for NULL text.
+  * Callers that must preserve that legacy value on a nullable text
+  * column should wrap with `coalesce(simhashCol(c), lit(0L))`; the
+  * q24 entry feeds `documents.text`, which is non-null by generation.
+  */
 case class SimHash32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType

@@ -176,8 +176,10 @@ final class IvfCodebook(
   * first comparison via `java.lang.Double.compare`, ties broken by
   * smallest centroid id (cids are kept ascending; strict `>` keeps
   * the first winner). A vector whose cosine is null against every
-  * centroid (null element / length mismatch) falls back to the
-  * smallest cid, exactly as the all-null window ordering did.
+  * centroid (null element / length mismatch / zero-norm divisor —
+  * Spark's Divide yields null on /0, so a zero-norm vector or
+  * centroid never wins) falls back to the smallest cid, exactly as
+  * the all-null window ordering did.
   */
 object IvfOps {
   private def round6(x: Double): Double =
@@ -201,7 +203,8 @@ object IvfOps {
     var bestCid = cb.cids(0)
     var c = 0
     while (c < cb.cids.length) {
-      if (vOk && cb.valid(c) && cb.vecs(c).length == n) {
+      if (vOk && nv != 0.0 && cb.valid(c) && cb.norms(c) != 0.0 &&
+          cb.vecs(c).length == n) {
         val cv = cb.vecs(c)
         var d = 0.0
         i = 0

@@ -57,11 +57,19 @@ object Ivf {
     * codebook — a pure projection, no join, no exchange. (Replaces a
     * broadcast-join producing N×C rows + a row_number window that
     * shuffled them — N^1.5 bytes at C≈√N.)
+    *
+    * Degenerate-input parity with the replaced join+window: a NULL
+    * cell (empty codebook, or a NULL embedding) is filtered out, so an
+    * empty codebook yields zero assignment rows exactly as the inner
+    * join did. A vector whose cosine is null/undefined against every
+    * centroid (zero norm, length mismatch) falls back to the smallest
+    * sampled cid — the all-null window ordering's pick.
     */
   def assignments(e: DataFrame, centroidMod: Int): DataFrame = {
     val cb = codebook(e, centroidMod)
     e.select(col("vec_id"),
       IvfOps.nearestCol(toDouble(col("embedding")), cb).as("cell"))
+      .filter(col("cell").isNotNull)
   }
 
   /** Top-k by exact cosine among the vectors in the query's `nprobe`

@@ -75,19 +75,36 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     * scoped like the reference's `WHERE update_type='pubmed_update'`
     * lookup (pubmed.py:113-117): the same source file merged into two
     * different tables applies to both. Loaded from the log once per
-    * (instance, table) and maintained incrementally by merge(); this
-    * instance is the log's writer, so the cache cannot go stale.
+    * (instance, table) and maintained incrementally by merge(); a
+    * filename MISSING from the cache triggers a log re-read before
+    * merge applies it, so a second live instance writing the same root
+    * cannot cause a double-apply (the cache only ever under-reports,
+    * and the miss path restores the read-the-log-every-merge
+    * robustness of the uncached design at the same cost).
     */
   def appliedFiles(table: String): Set[String] =
-    appliedCache.getOrElseUpdate(table, {
-      if (!Files.exists(Paths.get(logDir)))
-        scala.collection.mutable.Set.empty[String]
-      else scala.collection.mutable.Set(
-        spark.read.parquet(logDir)
-          .filter(col("update_type") === table)
-          .select("source_filename")
-          .collect().map(_.getString(0)).toIndexedSeq: _*)
-    }).toSet
+    appliedCache.getOrElseUpdate(table, readLog(table)).toSet
+
+  private def readLog(table: String): scala.collection.mutable.Set[String] =
+    if (!Files.exists(Paths.get(logDir)))
+      scala.collection.mutable.Set.empty[String]
+    else scala.collection.mutable.Set(
+      spark.read.parquet(logDir)
+        .filter(col("update_type") === table)
+        .select("source_filename")
+        .collect().map(_.getString(0)).toIndexedSeq: _*)
+
+  /** Cache-hit fast path; on miss, refresh from the log (another
+    * instance may have applied the file since this cache loaded).
+    */
+  private def isApplied(table: String, sourceFilename: String): Boolean = {
+    val cached = appliedCache.getOrElseUpdate(table, readLog(table))
+    cached.contains(sourceFilename) || {
+      val fresh = readLog(table)
+      appliedCache(table) = fresh
+      fresh.contains(sourceFilename)
+    }
+  }
 
   private val appliedCache =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
@@ -126,6 +143,28 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     rm(Paths.get(tableDir(table)))
   }
 
+  /** Batch-stat count from an observation that rode the merge write,
+    * with a bounded wait: QueryExecutionListener events are delivered
+    * async, and for a merge nested inside a STREAMING foreachBatch the
+    * nested execution's end event never reaches the listener bus at
+    * all — `Observation.get` would block forever (empirically: the
+    * StreamIngest path). After ~1s, fall back to one small count()
+    * action; the count feeds only the A4 stats counters, so merge
+    * correctness is unaffected and the extra job occurs only where
+    * observation cannot deliver.
+    */
+  private def observedCount(obs: org.apache.spark.sql.Observation,
+      input: DataFrame): Long = {
+    var tries = 0
+    while (tries < 10) {   // an unresolved observation yields Row.empty
+      org.apache.spark.sql.graftshim.GraftShim.observedOrEmpty(obs) match {
+        case Some(row) if row.length > 0 => return row.getLong(0)
+        case _ => tries += 1; Thread.sleep(50L)
+      }
+    }
+    input.count()
+  }
+
   /** MERGE one CDC batch. `upserts` must contain `keyCol` plus a `seq`
     * ordering column for within-batch last-wins (P9); `tombstones` is a
     * one-column frame of keys to delete. Returns true if applied, false
@@ -133,7 +172,7 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     */
   def merge(table: String, upserts: DataFrame, tombstones: DataFrame,
       sourceFilename: String): Boolean = {
-    if (appliedFiles(table).contains(sourceFilename)) return false
+    if (isApplied(table, sourceFilename)) return false
     mergedBatches.add(1)
 
     // Batch-stat counts ride the merge job itself as observed metrics
@@ -173,8 +212,8 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     val bootstrap = next eq dedupedUpserts
     val v = versions(table).lastOption.getOrElse(0) + 1
     next.write.mode(SaveMode.Overwrite).parquet(s"${tableDir(table)}/v$v")
-    mergedUpserts.add(obsUp.get("n").asInstanceOf[Long])
-    if (!bootstrap) mergedTombstones.add(obsTomb.get("n").asInstanceOf[Long])
+    mergedUpserts.add(observedCount(obsUp, upserts))
+    if (!bootstrap) mergedTombstones.add(observedCount(obsTomb, tombstones))
 
     import spark.implicits._
     Seq((table, sourceFilename, java.time.Instant.now.toString))

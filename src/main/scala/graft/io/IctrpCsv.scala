@@ -57,7 +57,7 @@ object IctrpCsv {
   private def splitTrim(c: Column): Column =
     transform(split(c, ";"), s => trim(s))
 
-  private val cleanupUdf = udf { spans: Seq[String] =>
+  private[io] val cleanupUdf = udf { spans: Seq[String] =>
     Minimap.uniqueTerms(
       spans.filter(s => s != null && s.nonEmpty)
         .map(s => s.replaceAll("[^a-zA-Z\\d]", " ").replaceAll("\\s\\s+", " ")))

@@ -113,10 +113,10 @@ object Coverage {
     * rct_model_calibration.json, 2019-01-25) for the two models the
     * classify() gate selects between.
     */
-  private val calPtyp = (3.7070634945154053, 2.1057231048584675, 0.11009816065822994)
-  private val calNoPtyp = (2.1089724394656733, 1.6498606653424648, 0.059092738155457056)
+  private[queries] val calPtyp = (3.7070634945154053, 2.1057231048584675, 0.11009816065822994)
+  private[queries] val calNoPtyp = (2.1089724394656733, 1.6498606653424648, 0.059092738155457056)
 
-  private val calibrationJson =
+  private[queries] val calibrationJson =
     s"""{"timestamp": "RobotReviewer RCT model calibration 2019-01-25 13:03",
         "thresholds": {
           "svm_cnn": {"precise": ${calNoPtyp._1}, "balanced": ${calNoPtyp._2}, "sensitive": ${calNoPtyp._3}},

@@ -12,13 +12,13 @@ import graft.query.Pico.{PicoQuery, PicoTerm}
   */
 object Flagship {
 
-  private val h32w = "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)"
+  private[queries] val h32w = "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)"
 
   private def meshSql(k: Int): String =
     s"list_transform(list_filter(string_split(text, ' '), w -> $h32w % 3 = $k), " +
       s"w -> struct_pack(cui := 'C' || CAST($h32w % 100 AS VARCHAR), cui_str := w))"
 
-  private val annCte =
+  private[queries] val annCte =
     s"""ann AS (SELECT doc_id, lang, source, n_chars,
       ${meshSql(0)} ||
         CASE WHEN source = 'src2'
@@ -31,7 +31,7 @@ object Flagship {
       n_chars AS num_randomized
       FROM documents)"""
 
-  private def predSql(q: PicoQuery): String =
+  private[queries] def predSql(q: PicoQuery): String =
     q.terms.map { t =>
       val expansion = Pico.expandTerm(t, q.expandTerms)
         .map(c => "'" + c + "'").mkString(", ")

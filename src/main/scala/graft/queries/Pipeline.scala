@@ -114,15 +114,9 @@ object Pipeline {
     ),
     bench = true)
 
-  /** Fixed (i, a, b) permutation parameters for MinHash. */
-  private val mhParams: Seq[(Int, Long, Long)] = Seq(
-    (0, 1299721L, 15485863L), (1, 611953L, 32452843L),
-    (2, 824633L, 49979687L), (3, 186583L, 67867967L),
-    (4, 961751L, 86028121L), (5, 437071L, 104395301L),
-    (6, 746777L, 122949823L), (7, 526363L, 141650939L))
-
   private def mhParamsSqlValues: String =
-    mhParams.map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    graft.ops.Dedup.mhParams
+      .map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
 
   /** 4-gram shingle feature space (brief/reference construction:
     * shingle → minhash → band → bucket-join). Unigram features
@@ -151,23 +145,10 @@ object Pipeline {
       val doc = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"), graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
-      def mh(i: Int): Column = {
-        val (_, a, b) = mhParams(i)
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % 2147483647L))
-      }
-      val bandStructs = (0 until 4).map { bd =>
-        struct(lit(bd).as("band"),
-          concat_ws(",", mh(2 * bd).cast("string"), mh(2 * bd + 1).cast("string")).as("sig"))
-      }
-      val bands = doc
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("n_bands"))
+      // band signatures + bucket self-join via the shared Dedup helpers
+      // (DedupRobustnessSpec drives the same path with a bucket cap
+      // against adversarial identical-doc floods)
+      graft.ops.Dedup.candidates(graft.ops.Dedup.bandSignatures(doc))
         .orderBy("a_id", "b_id")
     },
     Some(s"""WITH $shingleCte,
@@ -407,8 +388,54 @@ object Pipeline {
       FROM h GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  /** q66: the embedding-GENERATION seam (PICO_BERT.py:32-151) — the
+    * stage producing the vector column q25/q26/q47 consume, via the
+    * partition-batched stub encoder. Consumer compatibility is proven
+    * in-flow: the generated (doc_id → vec_id, embedding) frame is fed
+    * through Ivf.assignments, whose per-row cell lands in the output;
+    * the oracle recomputes generation AND assignment from the same
+    * closed md5 form.
+    */
+  private val q66EmbedSeam = Q(
+    "q66_embed_seam",
+    (s, d) => {
+      val emb = graft.annotate.Embedder.embed(Tables.documents(s, d)).toDF()
+      val cells = graft.search.Ivf.assignments(
+        emb.select(col("doc_id").as("vec_id"), col("embedding")), 25)
+      emb.select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").as("dim"),
+          col("col").cast("double").as("val"))
+        .join(cells.select(col("vec_id"), col("cell")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("dim"), col("val"), col("cell"))
+        .orderBy("doc_id", "dim")
+    },
+    Some("""WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+      dims AS (SELECT CAST(range AS INT) AS i FROM range(8)),
+      vals AS (SELECT d.doc_id, dims.i,
+          CAST(CAST(CAST('0x' || substr(md5(d.h || '_' || CAST(dims.i AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2001 - 1000 AS DOUBLE) / 1000.0 AS REAL) AS fval
+        FROM docs d CROSS JOIN dims),
+      cents AS (SELECT doc_id AS cid, i, CAST(fval AS DOUBLE) AS cx
+        FROM vals WHERE doc_id % 25 = 1),
+      cnrm AS (SELECT cid, sum(cx * cx) AS cn2 FROM cents GROUP BY 1),
+      vnrm AS (SELECT doc_id, sum(CAST(fval AS DOUBLE) * CAST(fval AS DOUBLE)) AS vn2
+        FROM vals GROUP BY 1),
+      cs AS (SELECT v.doc_id, c.cid,
+          round(sum(CAST(v.fval AS DOUBLE) * c.cx) / sqrt(any_value(n.vn2) * any_value(cn.cn2)), 6) AS cs
+        FROM vals v JOIN cents c ON v.i = c.i
+        JOIN vnrm n ON v.doc_id = n.doc_id
+        JOIN cnrm cn ON c.cid = cn.cid
+        GROUP BY v.doc_id, c.cid),
+      assign AS (SELECT doc_id, cid AS cell FROM (
+          SELECT doc_id, cid, row_number() OVER (PARTITION BY doc_id
+            ORDER BY cs DESC, cid) AS rn FROM cs) t WHERE rn = 1)
+      SELECT v.doc_id, v.i AS dim, CAST(v.fval AS DOUBLE) AS val, a.cell
+      FROM vals v JOIN assign a ON v.doc_id = a.doc_id
+      ORDER BY v.doc_id, v.i"""))
+
   val queries: Seq[Q] = Seq(
     q21DedupExact, q22NgramJaccard, q23MinhashLsh, q24Simhash,
     q25NeardupCosine, q26AnnTopk, q27LangId, q28QualityScore,
-    q29TokenStats, q30Fingerprint)
+    q29TokenStats, q30Fingerprint, q66EmbedSeam)
 }

@@ -156,6 +156,31 @@ VN  - Ovid Technologies
 TI  - Ovid record two
 """
 
+  /** Ovid RIS dialect: bare "n." record headers (ris.py:52-55). */
+  private val risOvidRisFixture: String =
+    """1.
+TI  - Ovid RIS one
+AU  - Adams B
+2.
+TI  - Ovid RIS two
+"""
+
+  /** Wiley dialect: blank-line delimited with ignorable provider
+    * header lines (ris.py:33-44).
+    */
+  private val risWileyFixture: String =
+    """Record #1 of 2
+Provider: John Wiley & Sons, Ltd.
+Content: text/plain; charset="UTF-8"
+TY  - JOUR
+TI  - Wiley one
+
+Record #2 of 2
+Provider: John Wiley & Sons, Ltd.
+TY  - JOUR
+TI  - Wiley two
+"""
+
   private val q46Ris = Q(
     "q46_ris_parse",
     (s, d) => {
@@ -168,7 +193,8 @@ TI  - Ovid record two
             }
           }
         }
-      (rows("pubmed", risPubmedFixture) ++ rows("ovid_en", risOvidFixture))
+      (rows("pubmed", risPubmedFixture) ++ rows("ovid_en", risOvidFixture) ++
+        rows("ovid_ris", risOvidRisFixture) ++ rows("wiley", risWileyFixture))
         .toDF("dialect", "rid", "tag", "idx", "value")
         .orderBy("dialect", "rid", "tag", "idx")
     },
@@ -177,6 +203,9 @@ TI  - Ovid record two
       ('ovid_en', 0, 'DB', 0, 'Embase'),
       ('ovid_en', 1, 'VN', 0, 'Ovid Technologies'),
       ('ovid_en', 1, 'TI', 0, 'Ovid record two'),
+      ('ovid_ris', 0, 'TI', 0, 'Ovid RIS one'),
+      ('ovid_ris', 0, 'AU', 0, 'Adams B'),
+      ('ovid_ris', 1, 'TI', 0, 'Ovid RIS two'),
       ('pubmed', 0, 'PMID', 0, '12345'),
       ('pubmed', 0, 'TI', 0, 'A randomized trial of something'),
       ('pubmed', 0, 'TI', 1, 'with a continuation line'),
@@ -184,7 +213,11 @@ TI  - Ovid record two
       ('pubmed', 0, 'AU', 1, 'Jones T'),
       ('pubmed', 1, 'PMID', 0, '67890'),
       ('pubmed', 1, 'TI', 0, 'Second record'),
-      ('pubmed', 1, 'AU', 0, 'Brown K')
+      ('pubmed', 1, 'AU', 0, 'Brown K'),
+      ('wiley', 0, 'TY', 0, 'JOUR'),
+      ('wiley', 0, 'TI', 0, 'Wiley one'),
+      ('wiley', 1, 'TY', 0, 'JOUR'),
+      ('wiley', 1, 'TI', 0, 'Wiley two')
       ) t(dialect, rid, tag, idx, value)
       ORDER BY dialect, rid, tag, idx"""))
 

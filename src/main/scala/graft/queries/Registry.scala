@@ -23,7 +23,8 @@ object Registry {
     Relational.queries ++ Pipeline.queries ++ Domain.queries ++
       Flagship.queries ++ Annotate.queries ++ Cdc.queries ++
       Readers.queries ++ Extensions.queries ++ Ictrp.queries ++
-      Coverage.queries ++ Sources.queries ++ Api.queries
+      Coverage.queries ++ Sources.queries ++ Api.queries ++ EndToEnd.queries ++
+      Sinks.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -94,7 +94,15 @@ object Pipeline {
         .filter(col("jaccard") >= 0.88)
         .orderBy("a_id", "b_id")
     },
-    Some(s"""WITH $shingleCte,
+    Some(jaccardPairsOracle),
+    bench = true)
+
+  /** All-pairs shingle-Jaccard ≥ 0.88 oracle — the output DEFINITION
+    * shared by q22 (h32-ordered prefix filter) and q69 (ascending-df
+    * ordered prefix filter): both plans must produce exactly this.
+    */
+  private[queries] def jaccardPairsOracle: String =
+    s"""WITH $shingleCte,
       tok AS (SELECT DISTINCT s.doc_id, d.lang,
           CAST('0x' || substr(md5(s.s), 1, 8) AS BIGINT) AS w
         FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
@@ -110,11 +118,9 @@ object Pipeline {
       JOIN sizes sa ON a_id = sa.doc_id
       JOIN sizes sb ON b_id = sb.doc_id
       WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.88
-      ORDER BY 1, 2""",
-    ),
-    bench = true)
+      ORDER BY 1, 2"""
 
-  private def mhParamsSqlValues: String =
+  private[queries] def mhParamsSqlValues: String =
     graft.ops.Dedup.mhParams
       .map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
 
@@ -126,7 +132,7 @@ object Pipeline {
     * [[graft.functions.ShingleHash32]] expression: one evaluation per
     * row inside the scan's WholeStageCodegen span.
     */
-  private def shingleCte: String =
+  private[queries] def shingleCte: String =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS s FROM ws)"""

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Training-data curation operators beyond the pair-finding primitives
+  * in [[Pipeline]]: cluster resolution for dedup (q67), intra-document
+  * repetition scoring (q68), the skew-robust ascending-df variant of
+  * prefix-filtered Jaccard join (q69), and deterministic hash-bucket
+  * dataset splitting (q70).
+  *
+  * Same portability contract as Pipeline: all hashes go through
+  * Portable.h32 (md5-derived) and every ratio is rounded to 6 decimals,
+  * so the DuckDB oracles compute bit-identical values.
+  */
+object Training {
+
+  /** q67: near-dup CLUSTER RESOLUTION — connected components over the
+    * MinHash-LSH candidate pairs (q23's exact edge set), electing the
+    * min doc id of each component as the canonical survivor. This is
+    * the step a real dedup pipeline needs between "pairs found" and
+    * "rows dropped": a≈b and b≈c must collapse to ONE survivor even
+    * when (a,c) never shared a band bucket (the sf0.01 corpus contains
+    * such a transitive triple). Plan shape: label propagation in
+    * [[graft.ops.Cluster]] — one uniform-key shuffle per round,
+    * rounds = component diameter (small by LSH construction). The
+    * oracle computes the same fixpoint via a recursive CTE.
+    */
+  private val q67DedupClusters = Q(
+    "q67_dedup_clusters",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"), graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      val pairs = graft.ops.Dedup
+        .candidates(graft.ops.Dedup.bandSignatures(doc))
+        .select(col("a_id"), col("b_id"))
+      val comp = graft.ops.Cluster.connectedComponents(pairs)
+      val sizes = comp.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
+          (col("id") === col("cluster")).as("is_survivor"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+      reach AS (SELECT src AS id, src AS lab FROM sym
+                UNION
+                SELECT s2.src, r.lab FROM sym s2 JOIN reach r ON s2.dst = r.id),
+      comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY 1),
+      sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT c.id AS doc_id, c.cluster, z.cluster_size,
+        (c.id = c.cluster) AS is_survivor
+      FROM comp c JOIN sizes z ON c.cluster = z.cluster
+      ORDER BY 1"""))
+
+  /** q68: intra-document REPETITION scoring (Gopher-style quality
+    * rule): per doc, the fraction of bigram occurrences belonging to
+    * repeated bigrams (`dup_frac`) and to the single most frequent
+    * bigram (`top_frac`); `repetitive` flags dup_frac ≥ 0.08.
+    * Complements q28 (which scores surface statistics): boilerplate and
+    * template text shows up as repetition, not as odd token lengths.
+    * Plan shape: two hash aggregations keyed (doc_id, gram) then
+    * (doc_id) — both uniform, both partial-agg friendly; no joins.
+    */
+  private val q68Repetition = Q(
+    "q68_repetition",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val bigrams = transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      val dupocc = sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+      Tables.documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_frac"),
+          round(dupocc.cast("double") / sum(col("c")), 6).as("dup_frac"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("top_frac"), col("dup_frac"),
+          (col("dup_frac") >= 0.08).as("repetitive"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+               i -> concat_ws(' ', w[i], w[i+1]))) AS g
+             FROM ws WHERE len(w) >= 2),
+      c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      st AS (SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct,
+               round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac,
+               round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_frac
+             FROM c GROUP BY 1)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, n_distinct,
+        top_frac, dup_frac, dup_frac >= 0.08 AS repetitive
+      FROM st ORDER BY doc_id"""))
+
+  /** q69: ascending-DF prefix-filtered Jaccard join — the classic
+    * ppjoin feature order. q22 orders the feature space by the uniform
+    * h32 value so the prefix is computable map-side; under HEAVY
+    * feature skew the classic variant pays two extra uniform-key
+    * shuffles (a document-frequency aggregation + a per-doc regroup) to
+    * order features rarest-first, which shrinks candidate buckets on
+    * skewed corpora (rare features index far fewer docs). Same prefix
+    * bound, same exact verification, same output as q22 — the oracle
+    * IS q22's all-pairs definition, so the driver proves both orderings
+    * compute identical pairs.
+    */
+  private val q69JaccardDfOrder = Q(
+    "q69_jaccard_df_order",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("toks"))
+      val feats = docs.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+      // global document frequency per feature (uniform hash keys)
+      val dfreq = feats.groupBy("w").agg(count(lit(1)).as("df"))
+      // per-doc features sorted (df ASC, w ASC) — rarest first; ties
+      // broken by the feature value so the order is total (required
+      // for prefix-filter soundness)
+      val ordered = feats.join(dfreq, "w")
+        .groupBy("doc_id", "lang")
+        .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("skw"))
+      val sz = size(col("skw"))
+      val prefLen = sz - ((sz * 8799L + 9999L) / 10000L).cast("long") + 1
+      val pref = ordered.select(col("doc_id"), col("lang"),
+        explode(slice(transform(col("skw"), s0 => s0.getField("w")), lit(1), prefLen)).as("w"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("common"),
+          size(col("ta")).cast("long").as("sa"), size(col("tb")).cast("long").as("sb"))
+        .select(col("a_id"), col("b_id"),
+          round(col("common").cast("double") /
+            (col("sa") + col("sb") - col("common")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.88)
+        .orderBy("a_id", "b_id")
+    },
+    Some(Pipeline.jaccardPairsOracle))
+
+  /** q70: deterministic hash-bucket dataset SPLIT (train/val/test
+    * 80/10/10) — the standard leakage-safe way to split a training
+    * corpus: membership depends only on the row's own id (md5 bucket),
+    * so it is stable under re-ingestion, insertion of new docs, and
+    * any partitioning/order change. Reported stratified by source to
+    * show the split is unbiased per stratum. Pure map-side expressions
+    * plus one small aggregation.
+    */
+  private val q70HashSplit = Q(
+    "q70_hash_split",
+    (s, d) => {
+      val bucket = h32(col("doc_id").cast("string")) % 100
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      Tables.documents(s, d)
+        .select(col("source"), split.as("split"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy("source", "split")
+    },
+    Some("""SELECT source,
+        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val queries: Seq[Q] = Seq(
+    q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit)
+}

@@ -87,6 +87,32 @@ object Hash32 {
 
   def simhashUTF8(text: UTF8String): Long = simhash(text.toString)
 
+  /** Per-doc bigram repetition statistics in ONE pass: (occurrence
+    * count, distinct count, max per-bigram count, occurrences belonging
+    * to repeated bigrams). The HOF formulation (explode + two
+    * aggregations) shuffles every bigram string twice; this never
+    * leaves the row.
+    */
+  def bigramStats(text: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val ws = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < ws.length - 1) {
+      counts.merge(ws(i) + " " + ws(i + 1), 1, Integer.sum _)
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > top) top = c
+      if (c > 1L) dup += c
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](math.max(ws.length - 1, 0).toLong, counts.size.toLong, top, dup))
+  }
+
   // entry points for generated code (UTF8String in, ArrayData out)
   def shinglesArrayData(text: UTF8String): GenericArrayData =
     new GenericArrayData(shingles(text.toString))
@@ -128,6 +154,12 @@ object Hash32 {
   /** Column API: 32-bit SimHash of a text column. */
   def simhashCol(c: Column): Column =
     GraftShim.column(SimHash32(GraftShim.expression(c)))
+
+  /** Column API: per-doc bigram repetition stats
+    * (struct<n_bigrams,n_distinct,top_cnt,dup_occ>, all long).
+    */
+  def bigramStatsCol(c: Column): Column =
+    GraftShim.column(BigramStats32(GraftShim.expression(c)))
 }
 
 /** `simhash32(text)`: 32-bit majority SimHash of distinct-token h32s.
@@ -198,6 +230,28 @@ case class MeshFor(child: Expression, k: Int) extends UnaryExpression with Expec
     defineCodeGen(ctx, ev, c => s"graft.functions.Hash32.meshFor($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MeshFor =
+    copy(child = newChild)
+}
+
+/** `bigram_stats32(text)`: one-pass per-doc bigram repetition counters
+  * (see [[Hash32.bigramStats]]). Null-in/null-out.
+  */
+case class BigramStats32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_cnt", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup_occ", LongType, nullable = false)))
+  override def prettyName: String = "bigram_stats32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash32.bigramStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash32.bigramStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramStats32 =
     copy(child = newChild)
 }
 

@@ -74,29 +74,26 @@ object Training {
     * bigram (`top_frac`); `repetitive` flags dup_frac ≥ 0.08.
     * Complements q28 (which scores surface statistics): boilerplate and
     * template text shows up as repetition, not as odd token lengths.
-    * Plan shape: two hash aggregations keyed (doc_id, gram) then
-    * (doc_id) — both uniform, both partial-agg friendly; no joins.
+    * Plan shape: ZERO shuffles before the output sort — the per-doc
+    * bigram counting runs in the codegen'd
+    * [[graft.functions.BigramStats32]] expression, one pass per row
+    * inside the scan's WholeStageCodegen span (the explode + double
+    * aggregation formulation shuffled every bigram string twice and
+    * scaled 5.5x worse; see SCALING.md).
     */
   private val q68Repetition = Q(
     "q68_repetition",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val bigrams = transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-      val dupocc = sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+      val st = graft.functions.Hash32.bigramStatsCol(col("text"))
       Tables.documents(s, d)
-        .filter(size(toks) >= 2)
-        .select(col("doc_id"), explode(bigrams).as("g"))
-        .groupBy("doc_id", "g")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_bigrams"),
-          count(lit(1)).as("n_distinct"),
-          round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_frac"),
-          round(dupocc.cast("double") / sum(col("c")), 6).as("dup_frac"))
-        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
-          col("top_frac"), col("dup_frac"),
-          (col("dup_frac") >= 0.08).as("repetitive"))
+        .select(col("doc_id"), st.as("st"))
+        .filter(col("st.n_bigrams") >= 1)
+        .select(col("doc_id"),
+          col("st.n_bigrams").as("n_bigrams"),
+          col("st.n_distinct").as("n_distinct"),
+          round(col("st.top_cnt").cast("double") / col("st.n_bigrams"), 6).as("top_frac"),
+          round(col("st.dup_occ").cast("double") / col("st.n_bigrams"), 6).as("dup_frac"))
+        .withColumn("repetitive", col("dup_frac") >= 0.08)
         .orderBy("doc_id")
     },
     Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -110,7 +107,8 @@ object Training {
              FROM c GROUP BY 1)
       SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, n_distinct,
         top_frac, dup_frac, dup_frac >= 0.08 AS repetitive
-      FROM st ORDER BY doc_id"""))
+      FROM st ORDER BY doc_id"""),
+    bench = true)
 
   /** q69: ascending-DF prefix-filtered Jaccard join — the classic
     * ppjoin feature order. q22 orders the feature space by the uniform
@@ -161,7 +159,8 @@ object Training {
         .filter(col("jaccard") >= 0.88)
         .orderBy("a_id", "b_id")
     },
-    Some(Pipeline.jaccardPairsOracle))
+    Some(Pipeline.jaccardPairsOracle),
+    bench = true)
 
   /** q70: deterministic hash-bucket dataset SPLIT (train/val/test
     * 80/10/10) — the standard leakage-safe way to split a training
@@ -192,6 +191,46 @@ object Training {
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q71: SEQUENCE PACKING — map each document onto contiguous token
+    * offsets of fixed-size training sequences (budget 256 tokens),
+    * GPT-style (documents may straddle a sequence boundary; packing is
+    * dense, no padding waste). Layout must be deterministic AND
+    * distributed: a single global running sum would serialize on one
+    * partition, so documents are first routed to a hash SHARD (md5 of
+    * doc_id — same leakage-safe determinism as q70) and the running
+    * offset is a window cumsum WITHIN the shard; each shard becomes an
+    * independent output stream of sequences (at 100 TB: one shard per
+    * writer task, thousands of shards). Output: each doc's shard,
+    * token offset, and first/last sequence index it lands in.
+    */
+  private val q71SeqPack = Q(
+    "q71_seq_pack",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nt = size(tokens(col("text"))).cast("long")
+      val shard = h32(col("doc_id").cast("string")) % 8
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), shard.as("shard"), nt.as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("offset"),
+          ((col("cum") - col("n_tokens")) / lit(256L)).cast("long").as("seq_first"),
+          ((col("cum") - lit(1L)) / lit(256L)).cast("long").as("seq_last"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+      SELECT doc_id, shard, n_tokens, cum - n_tokens AS offset,
+        (cum - n_tokens) // 256 AS seq_first, (cum - 1) // 256 AS seq_last
+      FROM c ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
-    q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit)
+    q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
+    q71SeqPack)
 }

@@ -49,6 +49,25 @@ class Hash32Spec extends AnyFunSuite {
     assert(viaExpr.toSeq === viaHof.toSeq)
   }
 
+  test("BigramStats32 ≡ explode+double-aggregation; property over random text") {
+    val textGen = Gen.choose(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "")).map(_.mkString(" ")))
+    val samples = Gen.listOfN(60, textGen).sample.get
+    val got = samples.toDF("text")
+      .select(Hash32.bigramStatsCol(col("text")).as("st"))
+      .select("st.n_bigrams", "st.n_distinct", "st.top_cnt", "st.dup_occ")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = samples.map { t =>
+      val ws = t.split(" ", -1)
+      val grams = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (grams.size.toLong, counts.size.toLong,
+        if (counts.isEmpty) 0L else counts.values.max,
+        counts.values.filter(_ > 1L).sum)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("pure-scala shingles match python-style slide") {
     val prop = Prop.forAll(Gen.listOf(Gen.alphaStr.map(_.take(4)))) { words =>
       val text = words.mkString(" ")

@@ -230,7 +230,80 @@ object Training {
         (cum - n_tokens) // 256 AS seq_first, (cum - 1) // 256 AS seq_last
       FROM c ORDER BY doc_id"""))
 
+  /** q72: benchmark DECONTAMINATION — flag training documents sharing
+    * any 4-gram shingle with a (small) held-out benchmark set, the
+    * standard n-gram-overlap contamination test run before training.
+    * The benchmark side of the join is tiny by nature (benchmarks are
+    * KBs, the corpus is TBs), so its distinct shingle set is BROADCAST:
+    * the corpus side never shuffles — each scan task probes the
+    * broadcast hash set and only the (rare) matches enter the per-doc
+    * count aggregation. Shingles, not unigrams, so overlap means a
+    * shared 4-token span rather than a shared word.
+    */
+  private val q72Decontam = Q(
+    "q72_decontam",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("hs"))
+      val benchSh = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(benchSh), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      bench AS (SELECT DISTINCT h FROM th WHERE doc_id % 97 = 0)
+      SELECT t.doc_id, count(*) AS n_shared_shingles
+      FROM th t JOIN bench b ON t.h = b.h
+      WHERE t.doc_id % 97 <> 0
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** q73: token-budget data MIXING — cap each source's contribution to
+    * the training mixture at a fixed token budget (3,000), taking
+    * documents in deterministic doc_id order until the budget is
+    * exhausted (the first doc crossing the budget is excluded; docs are
+    * atomic here, unlike q71's packing). One window cumsum partitioned
+    * by source + one small aggregation. Scale note: partitioning the
+    * window by source makes a dominant source a hot partition; the
+    * 100 TB variant splits the budget across q71-style hash shards
+    * (budget/n_shards per shard — same result in expectation, fully
+    * parallel) — at report granularity the global window is exact and
+    * is what the oracle pins.
+    */
+  private val q73MixCap = Q(
+    "q73_mix_cap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nt = size(tokens(col("text"))).cast("long")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), nt.as("nt"))
+        .withColumn("cum", sum(col("nt")).over(w))
+        .filter(col("cum") <= 3000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("nt")).as("n_tokens_kept"),
+          max(col("doc_id")).as("last_doc_id"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      c AS (SELECT source, doc_id, nt,
+        CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+      SELECT source, count(*) AS n_docs_kept,
+        CAST(sum(nt) AS BIGINT) AS n_tokens_kept, max(doc_id) AS last_doc_id
+      FROM c WHERE cum <= 3000 GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
-    q71SeqPack)
+    q71SeqPack, q72Decontam, q73MixCap)
 }

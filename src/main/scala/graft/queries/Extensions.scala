@@ -95,5 +95,42 @@ object Extensions {
         CAST(CAST('0x' || substr(md5(h || '_3'), 1, 8) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f3
       FROM m ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(q47AnnIvf, q48MultimodalMeta, q49MultimodalFeatures)
+  /** q74: the pure-SQL surface, end-to-end through the driver gate —
+    * graft's native expressions resolved by the SQL parser (registered
+    * per [[graft.functions.GraftFunctions]] / `spark.sql.extensions=
+    * graft.GraftExtensions`), computing q24's simhash plus shingle
+    * fingerprint counts with NO Column-API construction at all. Proves
+    * a spark.sql-only user gets the same codegen'd operators (and the
+    * same values: the oracle is the SQL-side definition).
+    */
+  private val q74SqlApi = Q(
+    "q74_sql_api",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
+      s.sql("""SELECT doc_id, simhash32(text) AS simhash,
+          CAST(size(shingle_h32(text)) AS BIGINT) AS n_shingles,
+          CAST(size(array_distinct(shingle_h32(text))) AS BIGINT) AS n_distinct
+        FROM graft_sql_docs WHERE size(split(text, ' ')) >= 4
+        ORDER BY doc_id""")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      hs AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      fp AS (SELECT doc_id, count(*) AS n_shingles, count(DISTINCT h) AS n_distinct
+             FROM hs GROUP BY 1),
+      tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+      bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+        GROUP BY 1, 2),
+      sim AS (SELECT doc_id,
+          CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1)
+      SELECT f.doc_id, s.simhash, f.n_shingles, f.n_distinct
+      FROM fp f JOIN sim s ON f.doc_id = s.doc_id
+      ORDER BY 1"""))
+
+  val queries: Seq[Q] =
+    Seq(q47AnnIvf, q48MultimodalMeta, q49MultimodalFeatures, q74SqlApi)
 }

@@ -22,4 +22,18 @@ object GraftShim {
     */
   def observedOrEmpty(obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] =
     obs.getRowOrEmpty
+
+  /** Register a native expression as a SQL function on a LIVE session
+    * (the session-build-time path is `spark.sql.extensions` →
+    * [[graft.GraftExtensions]], pure public API; this covers sessions
+    * that already exist — `sessionState` is `private[sql]`).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -456,10 +456,33 @@ object Relational {
       ORDER BY article_type, id"""),
     bench = true)
 
+  /** q75: gap-based SESSIONIZATION of the event stream (30-minute
+    * gap) — the batch closed form from [[graft.stream.Sessionize]]:
+    * lag/cumsum windows + aggregation, all on one user_id
+    * partitioning (a single exchange feeds both window passes and the
+    * partial aggregation). StreamSessionSpec pins the incremental
+    * `flatMapGroupsWithState` operator to this same closed form.
+    */
+  private val q75Sessionize = Q(
+    "q75_sessionize",
+    (s, d) => graft.stream.Sessionize.batch(Tables.events(s, d), 1800000000L),
+    Some("""WITH l AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        THEN 1 ELSE 0 END AS is_new FROM events),
+      s AS (SELECT user_id, ts, value,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM l)
+      SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
     q11LatestUpdate, q12Autocomplete, q13RegexExtract, q14DateParts,
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
-    q19StringClean, q20PicoFlagship)
+    q19StringClean, q20PicoFlagship, q75Sessionize)
 }

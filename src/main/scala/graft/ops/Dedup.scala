@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * the adversarial-robustness guard (round-2 verdict item 7).
   *
   * Bucket-size blowup: a flood of identical (or signature-identical)
-  * documents lands in ONE band bucket, and the bucket self-join is
-  * quadratic in the bucket size. Two-layer mitigation, in order:
+  * documents lands in ONE band bucket, and within-bucket pair
+  * generation is quadratic in the bucket size. Two-layer mitigation,
+  * in order:
   *
   *  1. EXACT dedup first (q21's md5 groupBy): byte-identical copies —
   *     the only way to mass-produce identical signatures without
@@ -21,12 +22,13 @@ import org.apache.spark.sql.functions._
   *     the drop observable via [[oversized]]), bounding the join at
   *     buckets × maxBucket² instead of N².
   *
-  * Scale shape: the bucket-size count and the candidate self-join
-  * shuffle on the SAME (band, sig) key, so AQE co-partitions them; the
-  * cap turns the worst-case quadratic bucket into a skipped key — the
-  * same move as AQE's skew-join splitting, but semantic (an oversized
-  * bucket is near-certainly a duplicate FLOOD better handled by exact
-  * dedup than by pairing).
+  * Scale shape: [[bucketPairs]] groups each bucket once and emits its
+  * pairs through pipelined generators — one shuffle, no self-join, and
+  * the cap is a free filter on the collected bucket; the cap turns the
+  * worst-case quadratic bucket into a skipped key — the same move as
+  * AQE's skew-join splitting, but semantic (an oversized bucket is
+  * near-certainly a duplicate FLOOD better handled by exact dedup than
+  * by pairing).
   */
 object Dedup {
 
@@ -64,25 +66,47 @@ object Dedup {
     bands.groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
 
+  /** Ordered id pairs (a_id < b_id) of rows sharing a bucket key —
+    * the candidate-generation core shared by every blocked similarity
+    * join in the repo (MinHash bands, prefix-filter features,
+    * random-hyperplane bands).
+    *
+    * Shape: ONE shuffle (the groupBy on the bucket key), then two
+    * pipelined codegen'd Generates emit the within-bucket pairs —
+    * no self-join, so the upstream pipeline that produces `rows`
+    * (shingle hashing, df ordering, band hashing…) is evaluated ONCE
+    * instead of once per join side, and no join build side is
+    * materialized. The bucket-size cap is a plain filter on the
+    * collected bucket (`size(ids) <= cap`): the former
+    * count-aggregate + co-partitioned join pre-pass is gone.
+    *
+    * A bucket of k ids streams k² pair rows through the generators
+    * (never materialized as one array beyond the k-element id list
+    * itself, ≤8·cap bytes/row under a cap), so the quadratic worst
+    * case is bounded exactly as before — buckets × cap².
+    */
+  def bucketPairs(
+      rows: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      maxBucket: Option[Int] = None): DataFrame = {
+    val buckets = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("__ids"))
+    val kept = maxBucket.fold(buckets)(cap =>
+      buckets.filter(size(col("__ids")) <= cap))
+    kept
+      .filter(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("a_id"), col("__ids"))
+      .select(col("a_id"), explode(col("__ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
   /** Candidate pairs (a_id < b_id, n_bands agreement count); buckets
     * larger than `maxBucket` (if set) are excluded.
     */
-  def candidates(bands: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
-    val kept = maxBucket match {
-      case None => bands
-      case Some(cap) =>
-        val sizes = bands.groupBy("band", "sig")
-          .agg(count(lit(1)).as("__bucket_n"))
-          .filter(col("__bucket_n") <= cap)
-          .drop("__bucket_n")
-        // same (band, sig) shuffle key as the self-join below
-        bands.join(sizes, Seq("band", "sig"))
-    }
-    kept.as("x")
-      .join(kept.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+  def candidates(bands: DataFrame, maxBucket: Option[Int] = None): DataFrame =
+    bucketPairs(bands, "doc_id", Seq("band", "sig"), maxBucket)
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_bands"))
-  }
 }

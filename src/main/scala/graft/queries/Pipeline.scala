@@ -76,11 +76,8 @@ object Pipeline {
       val prefLen = sz - ((sz * 8799L + 9999L) / 10000L).cast("long") + 1
       val pref = docs.select(col("doc_id"), col("lang"),
         explode(slice(array_sort(col("toks")), lit(1), prefLen)).as("w"))
-      val cand = pref.as("a")
-        .join(pref.as("b"),
-          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val cand = graft.ops.Dedup
+        .bucketPairs(pref, "doc_id", Seq("lang", "w"))
         .distinct()
       cand
         .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
@@ -142,7 +139,8 @@ object Pipeline {
     * min-folded PER DOC, MAP-SIDE, via higher-order functions over the
     * bound shingle-hash array — zero shuffles before the band join.
     * 4 bands × 2 rows; candidates = docs sharing a band signature; the
-    * band-signature self-join is the LSH bucket join: work proportional
+    * LSH bucket join is one band-signature groupBy + pipelined pair
+    * generation ([[graft.ops.Dedup.bucketPairs]]): work proportional
     * to bucket sizes, never all-pairs.
     */
   private val q23MinhashLsh = Q(
@@ -151,9 +149,9 @@ object Pipeline {
       val doc = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"), graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
-      // band signatures + bucket self-join via the shared Dedup helpers
-      // (DedupRobustnessSpec drives the same path with a bucket cap
-      // against adversarial identical-doc floods)
+      // band signatures + bucket pair generation via the shared Dedup
+      // helpers (DedupRobustnessSpec drives the same path with a bucket
+      // cap against adversarial identical-doc floods)
       graft.ops.Dedup.candidates(graft.ops.Dedup.bandSignatures(doc))
         .orderBy("a_id", "b_id")
     },
@@ -213,11 +211,8 @@ object Pipeline {
           posexplode(graft.functions.RhOps.bandKeysCol(col("v"))))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bkey")
-      val cand = keys.as("x")
-        .join(keys.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      val cand = graft.ops.Dedup
+        .bucketPairs(keys, "vec_id", Seq("band", "bkey"))
         .distinct()
       cand
         .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")

@@ -114,9 +114,10 @@ object Training {
     * ppjoin feature order. q22 orders the feature space by the uniform
     * h32 value so the prefix is computable map-side; under HEAVY
     * feature skew the classic variant pays two extra uniform-key
-    * shuffles (a document-frequency aggregation + a per-doc regroup) to
-    * order features rarest-first, which shrinks candidate buckets on
-    * skewed corpora (rare features index far fewer docs). Same prefix
+    * shuffles of the exploded feature rows — a document-frequency count
+    * windowed by feature, then a rarest-first row_number windowed by
+    * doc — to order features rarest-first, which shrinks candidate
+    * buckets on skewed corpora (rare features index far fewer docs). Same prefix
     * bound, same exact verification, same output as q22 — the oracle
     * IS q22's all-pairs definition, so the driver proves both orderings
     * compute identical pairs.
@@ -129,23 +130,25 @@ object Training {
         .select(col("doc_id"), col("lang"),
           array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("toks"))
       val feats = docs.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
-      // global document frequency per feature (uniform hash keys)
-      val dfreq = feats.groupBy("w").agg(count(lit(1)).as("df"))
-      // per-doc features sorted (df ASC, w ASC) — rarest first; ties
-      // broken by the feature value so the order is total (required
-      // for prefix-filter soundness)
-      val ordered = feats.join(dfreq, "w")
-        .groupBy("doc_id", "lang")
-        .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("skw"))
-      val sz = size(col("skw"))
-      val prefLen = sz - ((sz * 8799L + 9999L) / 10000L).cast("long") + 1
-      val pref = ordered.select(col("doc_id"), col("lang"),
-        explode(slice(transform(col("skw"), s0 => s0.getField("w")), lit(1), prefLen)).as("w"))
-      val cand = pref.as("a")
-        .join(pref.as("b"),
-          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // global document frequency per feature, then per-doc rarest-first
+      // rank — all as window functions over the exploded feature rows:
+      // one shuffle per partitioning key (w, then doc_id), no arrays
+      // collected, no second scan of the corpus. Ties broken by the
+      // feature value so the order is total (required for prefix-filter
+      // soundness).
+      import org.apache.spark.sql.expressions.Window
+      val byFeat = Window.partitionBy(col("w"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val ranked = feats
+        .withColumn("df", count(lit(1)).over(byFeat))
+        .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("w"))))
+        .withColumn("sz", count(lit(1)).over(byDoc))
+      val prefLen =
+        col("sz") - ((col("sz") * 8799L + 9999L) / 10000L).cast("long") + 1
+      val pref = ranked.filter(col("rn") <= prefLen)
+        .select(col("doc_id"), col("lang"), col("w"))
+      val cand = graft.ops.Dedup
+        .bucketPairs(pref, "doc_id", Seq("lang", "w"))
         .distinct()
       cand
         .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")

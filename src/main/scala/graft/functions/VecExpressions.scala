@@ -281,3 +281,87 @@ case class SquaredNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SquaredNorm =
     copy(child = newChild)
 }
+
+/** Driver-built integer codebook for k-means-trained IVF: quantized
+  * (floor(x*1e6)) centroid vectors, summation-order-proof by
+  * construction — every engine computing the same integer arithmetic
+  * gets the same bits, so Lloyd iterations stay oracle-checkable.
+  * Shipped to executors inside the serialized plan like [[IvfCodebook]].
+  */
+final class LongCodebook(
+    val cids: Array[Long],
+    val vecs: Array[Array[Long]]) extends Serializable
+
+/** Map-side nearest-centroid assignment by exact integer squared-L2
+  * distance over quantized vectors — the k-means assignment step.
+  *
+  * Argmin with ties broken by the smallest centroid id (cids are kept
+  * ascending; strict `<` keeps the first winner) — identical to
+  * `row_number over (partition by vec_id order by d2, cid)`. A vector
+  * that is null, or comparable with no centroid (length mismatch),
+  * yields null / the smallest cid respectively, mirroring
+  * [[NearestCentroid]]'s degenerate-input contract.
+  */
+object KmeansOps {
+  def nearestL2(v: ArrayData, cb: LongCodebook): java.lang.Long = {
+    if (cb.cids.isEmpty) return null
+    val n = v.numElements()
+    var vOk = true
+    var i = 0
+    while (vOk && i < n) { if (v.isNullAt(i)) vOk = false; i += 1 }
+    var hasBest = false
+    var bestD2 = 0L
+    var bestCid = cb.cids(0)
+    var c = 0
+    while (c < cb.cids.length) {
+      val cv = cb.vecs(c)
+      if (vOk && cv.length == n) {
+        var d2 = 0L
+        i = 0
+        while (i < n) {
+          val d = v.getLong(i) - cv(i)
+          d2 += d * d
+          i += 1
+        }
+        if (!hasBest || d2 < bestD2) {
+          hasBest = true; bestD2 = d2; bestCid = cb.cids(c)
+        }
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  def nearestL2Col(v: Column, cb: LongCodebook): Column =
+    GraftShim.column(NearestCentroidL2(GraftShim.expression(v), cb))
+}
+
+/** `nearest_centroid_l2(q)` against a plan-bound quantized codebook. */
+case class NearestCentroidL2(child: Expression, codebook: LongCodebook)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_l2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KmeansOps.nearestL2(input.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("longCodebook", codebook,
+      classOf[LongCodebook].getName)
+    val cg = child.genCode(ctx)
+    val boxed = ctx.freshName("nearL2Res")
+    ev.copy(code = code"""
+      ${cg.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${cg.isNull}) {
+        java.lang.Long $boxed =
+          graft.functions.KmeansOps.nearestL2(${cg.value}, $cb);
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidL2 =
+    copy(child = newChild)
+}

@@ -306,7 +306,57 @@ object Training {
         CAST(sum(nt) AS BIGINT) AS n_tokens_kept, max(doc_id) AS last_doc_id
       FROM c WHERE cum <= 3000 GROUP BY 1 ORDER BY 1"""))
 
+  /** q78: per-language QUALITY-QUANTILE thresholds — the cutoff-
+    * selection step of a quality-filtered curation pipeline ("keep the
+    * top X% per language"). Exact DISCRETE quantiles by rank pick
+    * (value at row ceil(p·n) in (score, doc_id) order): total order +
+    * integer ranks means no cross-engine float interpolation to match,
+    * and the oracle is the same closed form. Plan: one shuffle by
+    * lang, per-group sort, then the pivot to p10/p50/p90 folds into
+    * the same aggregation. At 100 TB the per-language sort is the
+    * documented cost of EXACTNESS; the scale alternative (t-digest /
+    * approx_percentile) trades that for mergeable sketches and is
+    * deliberately not the oracle path.
+    */
+  private val q78QualityQuantiles = Q(
+    "q78_quality_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val score = round(
+        nAlpha.cast("double") / nt - lit(10.0) * (nStop.cast("double") / nt), 6)
+      val byLang = Window.partitionBy(col("lang"))
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), score.as("score"))
+        .withColumn("rn", row_number().over(byLang.orderBy(col("score"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(byLang))
+      def pick(p: Double) =
+        max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("score")))
+      ranked.groupBy("lang")
+        .agg(max(col("n")).as("n_docs"), pick(0.1).as("p10"),
+          pick(0.5).as("p50"), pick(0.9).as("p90"))
+        .orderBy("lang")
+    },
+    Some("""WITH sc AS (SELECT doc_id, lang,
+        round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' '))
+          - 10.0 * (CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' '))), 6) AS score
+        FROM documents),
+      r AS (SELECT lang, score,
+          row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n FROM sc)
+      SELECT lang, max(n) AS n_docs,
+        max(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN score END) AS p10,
+        max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN score END) AS p50,
+        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN score END) AS p90
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
-    q71SeqPack, q72Decontam, q73MixCap)
+    q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles)
 }

@@ -479,10 +479,50 @@ object Relational {
       FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
     bench = true)
 
+  /** q79: backward AS-OF JOIN — each purchase event picks up the most
+    * recent preceding-or-equal click of the same user (the operator
+    * Spark lacks natively; [[graft.ops.AsOf]] implements it as a
+    * tagged UNION + one window pass per user — single shuffle of
+    * |L|+|R| rows, no range-join row blowup). The oracle is DuckDB's
+    * NATIVE `ASOF LEFT JOIN`, with right-side ts ties pre-collapsed to
+    * the max event id (the operator's documented tie rule), so our
+    * window formulation is checked against an independent first-class
+    * implementation of the same semantics.
+    */
+  private val q79AsofJoin = Q(
+    "q79_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("click_value"))
+      graft.ops.AsOf
+        .backward(purchases, clicks, "user_id", "ts", "purchase_id", "event_id",
+          Seq("ts", "click_value"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_event_id").as("click_id"), col("asof_click_value").as("click_value"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+             FROM events WHERE event_type = 'purchase'),
+      c0 AS (SELECT user_id, ts, event_id, value AS click_value,
+               row_number() OVER (PARTITION BY user_id, ts
+                 ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id, ts, event_id, click_value FROM c0 WHERE rn = 1)
+      SELECT p.purchase_id, p.user_id, c.event_id AS click_id, c.click_value,
+        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
     q11LatestUpdate, q12Autocomplete, q13RegexExtract, q14DateParts,
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
-    q19StringClean, q20PicoFlagship, q75Sessionize)
+    q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin)
 }

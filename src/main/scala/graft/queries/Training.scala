@@ -113,11 +113,11 @@ object Training {
   /** q69: ascending-DF prefix-filtered Jaccard join — the classic
     * ppjoin feature order. q22 orders the feature space by the uniform
     * h32 value so the prefix is computable map-side; under HEAVY
-    * feature skew the classic variant pays two extra uniform-key
-    * shuffles of the exploded feature rows — a document-frequency count
-    * windowed by feature, then a rarest-first row_number windowed by
-    * doc — to order features rarest-first, which shrinks candidate
-    * buckets on skewed corpora (rare features index far fewer docs). Same prefix
+    * feature skew the classic variant pays a document-frequency
+    * aggregation (map-side partial agg + AQE-skew-splittable join) and
+    * a rarest-first row_number windowed on the uniform doc key, to
+    * order features rarest-first — which shrinks candidate buckets on
+    * skewed corpora (rare features index far fewer docs). Same prefix
     * bound, same exact verification, same output as q22 — the oracle
     * IS q22's all-pairs definition, so the driver proves both orderings
     * compute identical pairs.
@@ -130,17 +130,17 @@ object Training {
         .select(col("doc_id"), col("lang"),
           array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("toks"))
       val feats = docs.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
-      // global document frequency per feature, then per-doc rarest-first
-      // rank — all as window functions over the exploded feature rows:
-      // one shuffle per partitioning key (w, then doc_id), no arrays
-      // collected, no second scan of the corpus. Ties broken by the
-      // feature value so the order is total (required for prefix-filter
-      // soundness).
+      // global document frequency per feature: partial-agg groupBy
+      // (map-side combine collapses hot features BEFORE the exchange)
+      // + a join AQE can skew-split — deliberately NOT a count window
+      // over w, which would pin a hot feature's rows to one task with
+      // no skew escape. The per-doc rarest-first rank then windows on
+      // the uniform doc_id key only. Ties broken by the feature value
+      // so the order is total (required for prefix-filter soundness).
       import org.apache.spark.sql.expressions.Window
-      val byFeat = Window.partitionBy(col("w"))
+      val dfreq = feats.groupBy("w").agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy(col("doc_id"))
-      val ranked = feats
-        .withColumn("df", count(lit(1)).over(byFeat))
+      val ranked = feats.join(dfreq, "w")
         .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("w"))))
         .withColumn("sz", count(lit(1)).over(byDoc))
       val prefLen =

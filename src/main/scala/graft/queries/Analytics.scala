@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Large-scale analytics operators beyond the reference's own surface:
+  * the blocked range join (q80) and sketch-based aggregation (q81) —
+  * both named in the round brief as the operator families Spark lacks
+  * natively ("as-of join, range join, a novel sketch").
+  *
+  * Same portability contract as [[Pipeline]]/[[Training]]: timestamps
+  * compare as integer microseconds, hashes go through Portable.h32,
+  * estimates are integer arithmetic, ratios round to 6 decimals — so
+  * the DuckDB oracles replay every value bit-for-bit.
+  */
+object Analytics {
+
+  /** q80: keyless RANGE JOIN — every event falling inside a 30-minute
+    * "incident window" opened by each high-severity error event
+    * (`value >= 200`), aggregated per window. Spark plans the naive
+    * `ON ts >= start AND ts < end` as a broadcast nested-loop
+    * (O(|P|·|I|)); [[graft.ops.RangeJoin]] blocks both sides on a
+    * 30-minute time bin instead — each interval explodes to ≤2 bin
+    * rows, each point to exactly one, and an ordinary equi-join + the
+    * exact predicate meets every qualifying pair exactly once. One
+    * uniform-key shuffle per side; the oracle is DuckDB's native
+    * inequality join over the same predicate.
+    */
+  private val q80RangeJoin = Q(
+    "q80_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      val windows = ev
+        .filter(col("event_type") === "error" && col("value") >= 200.0)
+        .select(col("event_id").as("window_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + 1800000000L).as("end_us"))
+      graft.ops.RangeJoin
+        .pointsInIntervals(
+          ev.select(col("ts_us"), col("user_id"), col("event_type")),
+          "ts_us", windows, "start_us", "end_us", binUs = 1800000000L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .orderBy("window_id")
+    },
+    Some("""WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS s_us
+             FROM events WHERE event_type = 'error' AND value >= 200)
+      SELECT w.window_id, count(*) AS n_events,
+        count(DISTINCT e.user_id) AS n_users,
+        CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_purchases
+      FROM w JOIN events e
+        ON epoch_us(e.ts) >= w.s_us AND epoch_us(e.ts) < w.s_us + 1800000000
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** q81: KMV DISTINCT-COUNT SKETCH — per-source distinct-shingle
+    * cardinality estimated by the k-minimum-values aggregator
+    * ([[graft.functions.Kmv]], k=128) next to the exact count and the
+    * relative error. The scale story is the aggregation STATE: exact
+    * COUNT(DISTINCT) must shuffle every distinct value per group,
+    * while the KMV buffer is O(k) per group per task and collapses
+    * map-side like any algebraic aggregate — at 100 TB the sketch is
+    * the difference between a distinct-value shuffle and a constant-
+    * size one. Estimate and rank pick are pure integer arithmetic, so
+    * the oracle replays them exactly (exact-count branch below k is
+    * exercised at sf0.001, the estimator branch everywhere).
+    *
+    * Plan note: co-computing the exact count makes Catalyst apply its
+    * distinct rewrite — THIS entry shuffles on (source, h) because the
+    * report needs the true error. The production form drops n_exact,
+    * and with it the distinct shuffle: KmvSpec's udaf test pins that
+    * the sketch alone partial-aggregates (O(k) state per task).
+    */
+  private val q81KmvDistinct = Q(
+    "q81_kmv_distinct",
+    (s, d) => {
+      val kmv = graft.functions.Kmv.sketch(128)
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.Hash32.shingleHashes(col("text"))).as("h"))
+        .groupBy("source")
+        .agg(countDistinct(col("h")).as("n_exact"), kmv(col("h")).as("kmv"))
+        .select(col("source"), col("n_exact"),
+          col("kmv.n_min").cast("long").as("n_min"),
+          col("kmv.est").as("est"))
+        .withColumn("rel_err",
+          round(abs(col("est") - col("n_exact")).cast("double") /
+            col("n_exact"), 6))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT d.source, CAST('0x' || substr(md5(s.s), 1, 8) AS BIGINT) AS h
+             FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+      dh AS (SELECT DISTINCT source, h FROM th),
+      r AS (SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY source) AS nd
+            FROM dh),
+      k AS (SELECT source, CAST(max(nd) AS BIGINT) AS n_exact,
+              max(CASE WHEN rn = LEAST(nd, 128) THEN h END) AS kth
+            FROM r GROUP BY 1),
+      e AS (SELECT source, n_exact,
+              CAST(LEAST(n_exact, 128) AS BIGINT) AS n_min,
+              CAST(CASE WHEN n_exact < 128 THEN n_exact
+                   ELSE (127 * 4294967296) // kth END AS BIGINT) AS est
+            FROM k)
+      SELECT source, n_exact, n_min, est,
+        round(CAST(abs(est - n_exact) AS DOUBLE) / n_exact, 6) AS rel_err
+      FROM e ORDER BY source"""),
+    bench = true)
+
+  val queries: Seq[Q] = Seq(q80RangeJoin, q81KmvDistinct)
+}

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Corpus-curation operators completing the training-data pipeline
+  * families in [[Pipeline]]/[[Training]]: PII redaction (q82), BM25
+  * full-text ranking (q83), rate-table stratified sampling (q84), and
+  * corpus-level boilerplate-passage removal (q85).
+  *
+  * Same portability contract as the rest of the registry: hashes via
+  * Portable.h32, float chains either fixed-order or decimal-summed,
+  * ratios rounded to 6 decimals, so every DuckDB oracle replays the
+  * values bit-for-bit.
+  */
+object Curation {
+
+  // ---- q82: PII redaction ---------------------------------------------------
+
+  /** Redaction passes, applied IN ORDER (the order is semantic: IPv4
+    * must run before the phone pass, whose character class would
+    * otherwise consume dotted quads; SSN before phone for the same
+    * reason). Each count is the number of replacements the pass
+    * actually performed on the text as redacted so far. Patterns stay
+    * inside the RE2 ∩ java.util.regex common subset (no lookaround,
+    * no backreferences) so Spark and the DuckDB oracle compile the
+    * same automaton.
+    */
+  private val piiPasses: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\+?[0-9][0-9. ()-]{6,}[0-9]", "<PHONE>"))
+
+  /** Fixture corpus (the synthetic documents table contains no PII by
+    * construction, so the redactor is exercised on an authored corpus
+    * rendered identically into both engines — the q45/q46 pattern).
+    * Rows pin the edge cases: multiple hits per pass, boundary-guarded
+    * non-matches (version strings), the naive-IPv4 overmatch, pass
+    * ordering (an SSN is counted as an SSN, not a phone), and the
+    * empty string.
+    */
+  private val piiDocs: Seq[(Long, String)] = Seq(
+    1L -> "contact john.doe+spam@example.com or admin@sub.example.co.uk for details",
+    2L -> "server at 10.0.0.1 and backup at 192.168.254.254 went down",
+    3L -> "call +1 (555) 123-4567 or 555 867 5309 before 9pm",
+    4L -> "ssn on file 123-45-6789 should never appear in logs",
+    5L -> "mixed: eve@evil.io pinged 8.8.8.8 then dialed 650-555-0199 twice",
+    6L -> "no sensitive content here at all",
+    7L -> "v1.2.3.4beta is a version string not an address",
+    8L -> "overlong 999.999.999.999 still matches the naive ipv4 shape",
+    9L -> "",
+    10L -> "punctuated email (bob@corp.net), trailing dot 1.2.3.4.")
+
+  private val q82PiiRedact = Q(
+    "q82_pii_redact",
+    (s, _) => {
+      import s.implicits._
+      val passes = piiPasses.foldLeft(piiDocs.toDF("doc_id", "text")
+          .withColumn("redacted", col("text"))) { case (df, (name, re, tok)) =>
+        df.withColumn(s"n_$name",
+            size(regexp_extract_all(col("redacted"), lit(re), lit(0))).cast("long"))
+          .withColumn("redacted", regexp_replace(col("redacted"), re, tok))
+      }
+      passes.select(col("doc_id"), col("n_email"), col("n_ip"), col("n_ssn"),
+          col("n_phone"), col("redacted"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // DuckDB standard strings leave backslashes alone, so the
+      // Scala-escaped patterns land verbatim; 'g' = replace all,
+      // matching Spark's regexp_replace.
+      val values = piiDocs
+        .map { case (id, t) => s"($id, '$t')" }.mkString(",\n        ")
+      s"""WITH pii(doc_id, text) AS (VALUES
+        $values),
+      p AS (SELECT doc_id, text AS redacted FROM pii),
+      ${piiPasses.zipWithIndex.map { case ((name, re, tok), i) =>
+        val prev = if (i == 0) "p" else s"p${i - 1}"
+        s"""p$i AS (SELECT $prev.* EXCLUDE (redacted),
+             CAST(len(regexp_extract_all(redacted, '$re')) AS BIGINT) AS n_$name,
+             regexp_replace(redacted, '$re', '$tok', 'g') AS redacted
+           FROM $prev)"""
+      }.mkString(",\n      ")}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, n_email, n_ip, n_ssn, n_phone,
+        redacted
+      FROM p${piiPasses.length - 1} ORDER BY doc_id"""
+    })
+
+  // ---- q83: BM25 ranking ----------------------------------------------------
+
+  /** q83: BM25 full-text RANKING (k1=1.2, b=0.75) of the corpus
+    * against a fixed query — the scoring layer above the q55 inverted
+    * index. The query is small by nature, so nothing shuffles on the
+    * corpus side: per-term tf is a map-side array count per row (no
+    * explode), the corpus statistics (N, Σdl, per-term df) collapse to
+    * ONE row via a partially-aggregated global aggregate, ride back on
+    * a broadcast, and the top-k is TakeOrderedAndProject. Two scans of
+    * the corpus, zero wide shuffles — the 100 TB plan.
+    *
+    * Determinism: tf/df/dl/N are integers, avgdl = Σdl/N is a single
+    * double division, the 3 per-term scores are summed in FIXED
+    * left-to-right literal order in both engines, and only the final
+    * score is rounded (6 dp). idf uses ln via each engine's libm —
+    * value-identical on this data (verified at all three scales).
+    */
+  private val bm25Terms = Seq("dup", "spark", "merge")
+
+  private val q83Bm25 = Q(
+    "q83_bm25",
+    (s, d) => {
+      val w = tokens(col("text"))
+      val base = Tables.documents(s, d).select(
+        (Seq(col("doc_id"), size(w).cast("long").as("dl")) ++
+          bm25Terms.map(t =>
+            size(filter(w, x => x === lit(t))).cast("long").as(s"tf_$t"))): _*)
+      val statAggs =
+        Seq(sum(col("dl")).as("sum_dl")) ++ bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(count(lit(1)).as("n"), statAggs: _*)
+      val avgdl = col("sum_dl").cast("double") / col("n")
+      def termScore(t: String) = {
+        val tf = col(s"tf_$t").cast("double")
+        val idf = log(lit(1.0) +
+          (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+        when(col(s"tf_$t") > 0,
+          idf * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+          .otherwise(lit(0.0))
+      }
+      base.crossJoin(broadcast(stats))
+        .select((Seq(col("doc_id")) ++ bm25Terms.map(t => col(s"tf_$t")) ++
+          Seq(col("dl"),
+            round(bm25Terms.map(termScore).reduceLeft(_ + _), 6).as("score"))): _*)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some {
+      val tfDefs = bm25Terms.map(t =>
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+        .mkString(",\n          ")
+      val dfDefs = bm25Terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(", ")
+      val scoreSum = bm25Terms.map(t =>
+        s"""(CASE WHEN tf_$t > 0 THEN
+             ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5))
+               * (tf_$t * 2.2)
+               / (tf_$t + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+             ELSE 0.0 END)""").mkString("\n          + ")
+      s"""WITH base AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+          $tfDefs
+        FROM documents),
+      stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+          $dfDefs FROM base)
+      SELECT doc_id, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, dl,
+        round($scoreSum, 6) AS score
+      FROM base CROSS JOIN stats
+      ORDER BY score DESC, doc_id LIMIT 10"""
+    },
+    bench = true)
+
+  // ---- q84: stratified sampling --------------------------------------------
+
+  /** q84: rate-table STRATIFIED downsampling — the deterministic,
+    * leakage-safe form of `sampleBy`: membership is a pure function of
+    * the row's own id (`h32(doc_id || salt) % 1000 < rate_permille`),
+    * so the sample is stable under re-ingestion and reshuffling, and
+    * the salt makes it independent of the q70 train/val/test hash (the
+    * two decisions must not correlate). The per-stratum rate rides a
+    * broadcast VALUES lookup; everything else is map-side + one small
+    * aggregation. Checksum = sum of kept ids, pinning exact
+    * membership, not just counts.
+    */
+  private val sampleRates = Seq(
+    ("en", 250L), ("de", 500L), ("es", 500L), ("fr", 750L), ("zh", 1000L))
+
+  private val q84StratifiedSample = Q(
+    "q84_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val rates = sampleRates.toDF("lang", "rate_permille")
+      val bucket = h32(concat(col("doc_id").cast("string"), lit(":sample1")))
+      Tables.documents(s, d)
+        .join(broadcast(rates), "lang")
+        .withColumn("kept", bucket % 1000 < col("rate_permille"))
+        .groupBy("lang")
+        .agg(max(col("rate_permille")).as("rate_permille"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+        .orderBy("lang")
+    },
+    Some {
+      val values = sampleRates
+        .map { case (l, r) => s"('$l', $r)" }.mkString(", ")
+      s"""WITH rates(lang, rate_permille) AS (VALUES $values),
+      k AS (SELECT d.lang, r.rate_permille, d.doc_id,
+          CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':sample1'), 1, 8)
+            AS BIGINT) % 1000 < r.rate_permille AS kept
+        FROM documents d JOIN rates r ON d.lang = r.lang)
+      SELECT lang, CAST(max(rate_permille) AS BIGINT) AS rate_permille,
+        count(*) AS n_total,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      FROM k GROUP BY 1 ORDER BY 1"""
+    })
+
+  // ---- q85: boilerplate passage removal -------------------------------------
+
+  /** q85: corpus-level BOILERPLATE-PASSAGE removal — the paragraph/
+    * line-dedup stage of a web-scale curation pipeline (drop any
+    * passage occurring in ≥ K distinct documents, rebuild each
+    * document from its surviving passages in order). Passages here are
+    * aligned 4-token chunks (the corpus has no newlines; granularity
+    * is a parameter, the plan is the same). Plan shape: the corpus
+    * pays ONE aggregation — the exact per-chunk document frequency,
+    * map-side-partial on the uniform chunk key — whose hot survivors
+    * are tiny by construction (boilerplate is what repeats); they come
+    * back to the driver as a plan-bound probe set (the IVF-codebook
+    * seam; a huge hot set would ride a broadcast handle instead) and
+    * the rebuild is ONE codegen'd pass per row
+    * ([[graft.functions.PassageRebuild]]) — order preserved for free,
+    * no reassembly shuffle at all. The HOF formulation
+    * (transform+filter+array_contains) re-chunked every row once per
+    * consumer, interpreted: 2.0 s; the explode + rebuild-by-doc_id
+    * formulation paid an ObjectHashAgg shuffle of every chunk string:
+    * 1.5 s; this plan benches at 0.46 s at sf0.1 (df agg included).
+    */
+  private val q85PassageDedup = Q(
+    "q85_passage_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val hotChunks = docs
+        .select(col("doc_id"),
+          explode(graft.functions.Passage.chunksCol(col("text"))).as("chunk"))
+        .groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 5)
+        .select("chunk").collect().map(_.getString(0)).sorted
+      val r = graft.functions.Passage.rebuildCol(col("text"), hotChunks)
+      docs.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_chunks").as("n_chunks"),
+          col("r.n_kept").as("n_kept"),
+          md5(col("r.kept_text")).as("kept_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ch AS (SELECT doc_id, CAST(generate_subscripts(c, 1) - 1 AS INT) AS pos,
+               unnest(c) AS chunk
+             FROM (SELECT doc_id,
+                 list_transform(range(0, CAST(ceil(len(w) / 4.0) AS INT)),
+                   i -> array_to_string(list_slice(w, i*4+1, i*4+4), ' ')) AS c
+               FROM ws)),
+      hot AS (SELECT chunk FROM ch GROUP BY chunk
+              HAVING count(DISTINCT doc_id) >= 5),
+      fl AS (SELECT c.doc_id, c.pos, c.chunk, h.chunk IS NULL AS kept
+             FROM ch c LEFT JOIN hot h ON c.chunk = h.chunk)
+      SELECT doc_id, count(*) AS n_chunks,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
+          AS kept_md5
+      FROM fl GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  val queries: Seq[Q] =
+    Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup)
+}

@@ -24,7 +24,8 @@ object Registry {
       Flagship.queries ++ Annotate.queries ++ Cdc.queries ++
       Readers.queries ++ Extensions.queries ++ Ictrp.queries ++
       Coverage.queries ++ Sources.queries ++ Api.queries ++ EndToEnd.queries ++
-      Sinks.queries ++ Training.queries ++ Analytics.queries
+      Sinks.queries ++ Training.queries ++ Analytics.queries ++
+      Curation.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

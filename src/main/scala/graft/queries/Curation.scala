@@ -266,6 +266,45 @@ object Curation {
       FROM fl GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  // ---- q86: bloom-prefiltered decontamination -------------------------------
+
+  /** q86: BLOOM-PREFILTERED benchmark decontamination — q72's exact
+    * contamination test, with the benchmark shingle set additionally
+    * compiled into a Bloom filter probed map-side
+    * ([[graft.functions.BloomMightContain]]) before the exact confirm
+    * join. Identical output to q72 BY CONSTRUCTION (blooms never
+    * false-negative; the confirm join removes the false positives), so
+    * it shares q72's oracle. The point is the scale regime q72's
+    * broadcast hash join ages out of: a hash build side costs ~100
+    * bytes/key, bloom bits ~10 BITS/key at 1% fpp — when the probe
+    * set is a full benchmark suite's shingle inventory (or a denylist)
+    * the bloom stays plan-shippable long after the hash side cannot,
+    * and ~all clean shingles die inside the scan stage, leaving only
+    * the rare suspects for the join.
+    */
+  private val q86BloomDecontam = Q(
+    "q86_bloom_decontam",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("hs"))
+      val benchSh = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+      val nBench = benchSh.count()
+      val bf = benchSh.stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .filter(graft.functions.Bloom.mightContainCol(col("h"), bf))
+        .join(broadcast(benchSh), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(Training.decontamOracle),
+    bench = true)
+
   val queries: Seq[Q] =
-    Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup)
+    Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
+      q86BloomDecontam)
 }

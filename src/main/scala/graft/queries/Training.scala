@@ -258,14 +258,21 @@ object Training {
         .agg(count(lit(1)).as("n_shared_shingles"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH ${Pipeline.shingleCte},
+    Some(Training.decontamOracle),
+    bench = true)
+
+  /** Shared by q72 and its bloom-prefiltered twin q86 (the bloom is a
+    * pure prefilter whose false positives are removed by the exact
+    * confirm join, so both compute the same closed form).
+    */
+  private[queries] def decontamOracle: String =
+    s"""WITH ${Pipeline.shingleCte},
       th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
       bench AS (SELECT DISTINCT h FROM th WHERE doc_id % 97 = 0)
       SELECT t.doc_id, count(*) AS n_shared_shingles
       FROM th t JOIN bench b ON t.h = b.h
       WHERE t.doc_id % 97 <> 0
-      GROUP BY 1 ORDER BY 1"""),
-    bench = true)
+      GROUP BY 1 ORDER BY 1"""
 
   /** q73: token-budget data MIXING — cap each source's contribution to
     * the training mixture at a fixed token budget (3,000), taking

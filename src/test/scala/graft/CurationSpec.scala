@@ -87,4 +87,13 @@ class CurationSpec extends AnyFunSuite {
     untouched.foreach(r => assert(r.getString(3) === r.getString(4),
       s"doc ${r.getLong(0)}: rebuild changed an untouched document"))
   }
+
+  test("q86: bloom-prefiltered decontamination equals the exact q72 form") {
+    val exact = Registry.byName("q72_decontam").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Registry.byName("q86_bloom_decontam").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloomed === exact)
+    assert(exact.nonEmpty)
+  }
 }

@@ -31,19 +31,33 @@ object Kmv {
   case class Buf(mins: Array[Long])
   case class Out(n_min: Int, kth: Long, est: Long)
 
-  class KmvAggregator(k: Int) extends Aggregator[Long, Buf, Out] {
-    require(k >= 2, s"k must be >= 2, got $k")
+  /** The k-smallest-distinct-longs buffer core, shared by the KMV
+    * estimator and the bottom-k sampler ([[BottomK]]): sorted distinct
+    * array capped at k, O(k) state, order-insensitive insert/merge.
+    */
+  private[functions] object SortedK {
+    def insert(a: Array[Long], h: Long, k: Int): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(a, h)
+      if (pos >= 0) a // already tracked
+      else {
+        val ins = -pos - 1
+        if (ins >= k) a // larger than the current k-th minimum
+        else {
+          val n = math.min(a.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(a, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(a, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
 
-    def zero: Buf = Buf(Array.emptyLongArray)
-
-    def reduce(b: Buf, h: Long): Buf = insert(b, h)
-
-    def merge(a: Buf, b: Buf): Buf = {
-      // Union of two sorted distinct arrays, truncated to k: linear,
-      // never re-sorts (the map-side buffers arrive already sorted).
-      // Ascending consumption means the first k emitted are the k
-      // smallest of the union, so stopping at k is exact.
-      val x = a.mins; val y = b.mins
+    // Union of two sorted distinct arrays, truncated to k: linear,
+    // never re-sorts (the map-side buffers arrive already sorted).
+    // Ascending consumption means the first k emitted are the k
+    // smallest of the union, so stopping at k is exact.
+    def merge(x: Array[Long], y: Array[Long], k: Int): Array[Long] = {
       val tmp = new Array[Long](math.min(x.length + y.length, k))
       var i = 0; var j = 0; var n = 0
       while (n < tmp.length && (i < x.length || j < y.length)) {
@@ -55,8 +69,18 @@ object Kmv {
           else { i += 1; j += 1; x(i - 1) } // equal: consume both once
         tmp(n) = v; n += 1
       }
-      Buf(if (n == tmp.length) tmp else java.util.Arrays.copyOf(tmp, n))
+      if (n == tmp.length) tmp else java.util.Arrays.copyOf(tmp, n)
     }
+  }
+
+  class KmvAggregator(k: Int) extends Aggregator[Long, Buf, Out] {
+    require(k >= 2, s"k must be >= 2, got $k")
+
+    def zero: Buf = Buf(Array.emptyLongArray)
+
+    def reduce(b: Buf, h: Long): Buf = Buf(SortedK.insert(b.mins, h, k))
+
+    def merge(a: Buf, b: Buf): Buf = Buf(SortedK.merge(a.mins, b.mins, k))
 
     def finish(b: Buf): Out = {
       val n = b.mins.length
@@ -66,24 +90,6 @@ object Kmv {
 
     def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     def outputEncoder: Encoder[Out] = Encoders.product[Out]
-
-    private def insert(b: Buf, h: Long): Buf = {
-      val a = b.mins
-      val pos = java.util.Arrays.binarySearch(a, h)
-      if (pos >= 0) b // already tracked
-      else {
-        val ins = -pos - 1
-        if (ins >= k) b // larger than the current k-th minimum
-        else {
-          val n = math.min(a.length + 1, k)
-          val out = new Array[Long](n)
-          System.arraycopy(a, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(a, ins, out, ins + 1, n - ins - 1)
-          Buf(out)
-        }
-      }
-    }
   }
 
   /** `sketch(k)(h)`: aggregate Column over a non-null h32 hash column;
@@ -91,6 +97,45 @@ object Kmv {
     */
   def sketch(k: Int): Column => Column = {
     val f = udaf(new KmvAggregator(k), Encoders.scalaLong)
+    h => f(h)
+  }
+}
+
+/** Exact bottom-k-by-hash per group — deterministic uniform k-sampling
+  * as a MERGEABLE aggregate: the k smallest `h32(id‖salt)`-ranked rows
+  * of each group, with O(k) state per group per task that partial-
+  * aggregates map-side and merges by sorted union (vs the window-sort
+  * formulation, which shuffles and sorts every group member). The
+  * caller packs (hash, id) into one long — hash in the high 32 bits —
+  * so rank order IS numeric order and the [[Kmv.SortedK]] core applies
+  * unchanged; ids must fit 32 bits (at a wider id space the buffer
+  * becomes an array of (hash, id) pairs, same shape).
+  */
+object BottomK {
+
+  /** Struct-wrapped result ([[Encoders.product]] is the stable public
+    * encoder constructor, as with [[Kmv.Buf]]): `mins` are the k
+    * smallest packed values, ascending.
+    */
+  case class Out(mins: Array[Long])
+
+  class BottomKAggregator(k: Int) extends Aggregator[Long, Kmv.Buf, Out] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def zero: Kmv.Buf = Kmv.Buf(Array.emptyLongArray)
+    def reduce(b: Kmv.Buf, h: Long): Kmv.Buf =
+      Kmv.Buf(Kmv.SortedK.insert(b.mins, h, k))
+    def merge(a: Kmv.Buf, b: Kmv.Buf): Kmv.Buf =
+      Kmv.Buf(Kmv.SortedK.merge(a.mins, b.mins, k))
+    def finish(b: Kmv.Buf): Out = Out(b.mins)
+    def bufferEncoder: Encoder[Kmv.Buf] = Encoders.product[Kmv.Buf]
+    def outputEncoder: Encoder[Out] = Encoders.product[Out]
+  }
+
+  /** `agg(k)(packed)`: struct<mins: array<long>> of the k smallest
+    * packed values.
+    */
+  def agg(k: Int): Column => Column = {
+    val f = udaf(new BottomKAggregator(k), Encoders.scalaLong)
     h => f(h)
   }
 }

@@ -304,7 +304,49 @@ object Curation {
     Some(Training.decontamOracle),
     bench = true)
 
+  // ---- q87: exact per-group bottom-k sampling -------------------------------
+
+  /** q87: exact k-per-group SAMPLING as a mergeable aggregate — "give
+    * me exactly 5 uniform, deterministic sample docs per source". Rank
+    * is `h32(doc_id‖salt)` (leakage-safe and reshuffle-stable like
+    * q70/q84), and the k smallest ranks per group are kept by the
+    * [[graft.functions.BottomK]] typed Aggregator: O(k) state per
+    * group per task, partial-aggregates map-side, merges by sorted
+    * union — where the window formulation (q10's shape) shuffles and
+    * sorts EVERY group member to discard all but k. (hash, id) pack
+    * 31+31 bits into one SIGNED long — a full 32-bit hash would
+    * overflow the sign bit — so rank order is numeric order; the
+    * oracle replays the same 31-bit rank with a window over the same
+    * md5 formula. Ids past 2^31 take the (hash, id) pair-buffer form,
+    * same aggregator shape.
+    */
+  private val q87GroupSample = Q(
+    "q87_group_sample",
+    (s, d) => {
+      val bk = graft.functions.BottomK.agg(5)
+      val packed =
+        (h32(concat(col("doc_id").cast("string"), lit(":bk1"))) % lit(2147483648L)) *
+          lit(2147483648L) + col("doc_id")
+      Tables.documents(s, d)
+        .select(col("source"), packed.as("pk"))
+        .groupBy("source")
+        .agg(bk(col("pk")).as("bk"))
+        .select(col("source"), posexplode(col("bk.mins")).as(Seq("pos", "pk")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("pk").bitwiseAND(lit(2147483647L)).as("doc_id"))
+        .orderBy("source", "rank")
+    },
+    Some("""WITH h AS (SELECT source, doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bk1'), 1, 8)
+            AS BIGINT) % 2147483648 AS h
+        FROM documents),
+      r AS (SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+        FROM h)
+      SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+      FROM r WHERE rank <= 5 ORDER BY source, rank"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
-      q86BloomDecontam)
+      q86BloomDecontam, q87GroupSample)
 }

@@ -88,6 +88,43 @@ class CurationSpec extends AnyFunSuite {
       s"doc ${r.getLong(0)}: rebuild changed an untouched document"))
   }
 
+  test("prefix-filter completeness: df-ordered prefixes never lose a true pair") {
+    // Randomized differential for the q69 core (Prefix.prefix): on
+    // random corpora with planted near-duplicates, every pair with
+    // true Jaccard >= 0.88 must share at least one feature in both
+    // docs' rarest-first prefixes — the ppjoin soundness property the
+    // blocked join relies on (candidates are a superset; the exact
+    // verify join removes the rest).
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("agg", "row", "scan", "slow", "fast", "table", "key", "dup")
+    def randDoc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.length)))
+    val base = (1 to 80).map(_ => randDoc(6 + rnd.nextInt(8)))
+    val nearDups = base.take(25).map(d => d :+ vocab(rnd.nextInt(vocab.length)))
+    val docs = (base ++ nearDups)
+      .map(toks => graft.functions.Hash32.shingles(toks.mkString(" ")).distinct)
+      .filter(_.nonEmpty)
+
+    val dfCount = docs.flatten.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val pairs = dfCount.filter(_._2 >= 2)
+    val dfm = new graft.functions.FeatureDfMap(
+      pairs.keys.toArray, pairs.values.toArray)
+    val prefixes = docs.map(fs => graft.functions.Prefix
+      .prefix(new org.apache.spark.sql.catalyst.util.GenericArrayData(fs), dfm)
+      .toLongArray().toSet)
+
+    var truePairs = 0
+    for (i <- docs.indices; j <- docs.indices if i < j) {
+      val a = docs(i).toSet; val b = docs(j).toSet
+      val common = (a intersect b).size
+      if (common * 100L >= 88L * (a.size + b.size - common)) {
+        truePairs += 1
+        assert((prefixes(i) intersect prefixes(j)).nonEmpty,
+          s"true pair ($i,$j) lost by the prefix filter")
+      }
+    }
+    assert(truePairs >= 10, s"planted near-dups missing: $truePairs")
+  }
+
   test("q86: bloom-prefiltered decontamination equals the exact q72 form") {
     val exact = Registry.byName("q72_decontam").fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

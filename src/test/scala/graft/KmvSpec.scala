@@ -65,4 +65,22 @@ class KmvSpec extends AnyFunSuite {
     assert((got.getInt(0), got.getLong(1), got.getLong(2)) ===
       ((out.n_min, out.kth, out.est)))
   }
+
+  test("BottomK: distributed grouped sampling == naive sorted take(k)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.fill(3000)((rnd.nextInt(6), rnd.nextLong().abs % (1L << 62)))
+    val naive = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted.take(5)
+    }
+    val got = rows.toDF("g", "pk").repartition(11)
+      .groupBy("g")
+      .agg(graft.functions.BottomK.agg(5)(
+        org.apache.spark.sql.functions.col("pk")).as("bk"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getStruct(1).getSeq[Long](0).toSeq)
+      .toMap
+    assert(got === naive)
+  }
 }

@@ -346,7 +346,63 @@ object Curation {
       SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
       FROM r WHERE rank <= 5 ORDER BY source, rank"""))
 
+  // ---- q88: quality-aware canonical selection -------------------------------
+
+  /** q88: QUALITY-AWARE survivor election for near-dup clusters — the
+    * composition a real dedup pipeline actually runs: q67's connected
+    * components over the MinHash-LSH candidate edges, but electing the
+    * HIGHEST-QUALITY member of each cluster (q78's composite score,
+    * ties to the smaller id) instead of the min id. One extra
+    * broadcast-sized aggregation over the cluster assignment: the
+    * argmax is `max(struct(score, -id))`, which partial-aggregates
+    * map-side (no per-cluster sort); the oracle replays it as a
+    * window rank over the same recursive-CTE fixpoint.
+    */
+  private val q88QualitySurvivor = Q(
+    "q88_quality_survivor",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      val pairs = graft.ops.Dedup
+        .candidates(graft.ops.Dedup.bandSignatures(doc))
+        .select(col("a_id"), col("b_id"))
+      val comp = graft.ops.Cluster.connectedComponents(pairs)
+      val toks = tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val score = round(
+        nAlpha.cast("double") / nt - lit(10.0) * (nStop.cast("double") / nt), 6)
+      val scored = Tables.documents(s, d).select(col("doc_id"), score.as("score"))
+      comp.join(scored, comp("id") === scored("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster"), col("cluster_size"),
+          (-col("best.nid")).as("survivor_id"),
+          col("best.score").as("survivor_score"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ${Training.clusterCtes},
+      sc AS (SELECT doc_id,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' '))
+            - 10.0 * (CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a'))) AS DOUBLE)
+              / len(string_split(text, ' '))), 6) AS score
+        FROM documents),
+      j AS (SELECT c.cluster, c.id, s.score FROM comp c JOIN sc s ON c.id = s.doc_id),
+      r AS (SELECT cluster, id, score,
+          row_number() OVER (PARTITION BY cluster ORDER BY score DESC, id) AS rn,
+          count(*) OVER (PARTITION BY cluster) AS n FROM j)
+      SELECT cluster, CAST(max(n) AS BIGINT) AS cluster_size,
+        max(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+        max(CASE WHEN rn = 1 THEN score END) AS survivor_score
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
-      q86BloomDecontam, q87GroupSample)
+      q86BloomDecontam, q87GroupSample, q88QualitySurvivor)
 }

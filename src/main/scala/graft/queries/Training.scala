@@ -44,7 +44,19 @@ object Training {
           (col("id") === col("cluster")).as("is_survivor"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE ${Pipeline.shingleCte},
+    Some(s"""WITH RECURSIVE ${Training.clusterCtes},
+      sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT c.id AS doc_id, c.cluster, z.cluster_size,
+        (c.id = c.cluster) AS is_survivor
+      FROM comp c JOIN sizes z ON c.cluster = z.cluster
+      ORDER BY 1"""))
+
+  /** MinHash-LSH candidate pairs → connected components (`comp(id,
+    * cluster)`), shared by q67 and q88's quality-aware survivor
+    * election.
+    */
+  private[queries] def clusterCtes: String =
+    s"""${Pipeline.shingleCte},
       th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
       params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
       mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
@@ -61,12 +73,7 @@ object Training {
       reach AS (SELECT src AS id, src AS lab FROM sym
                 UNION
                 SELECT s2.src, r.lab FROM sym s2 JOIN reach r ON s2.dst = r.id),
-      comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY 1),
-      sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
-      SELECT c.id AS doc_id, c.cluster, z.cluster_size,
-        (c.id = c.cluster) AS is_survivor
-      FROM comp c JOIN sizes z ON c.cluster = z.cluster
-      ORDER BY 1"""))
+      comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY 1)"""
 
   /** q68: intra-document REPETITION scoring (Gopher-style quality
     * rule): per doc, the fraction of bigram occurrences belonging to

@@ -125,6 +125,38 @@ class CurationSpec extends AnyFunSuite {
     assert(truePairs >= 10, s"planted near-dups missing: $truePairs")
   }
 
+  test("Passage/Prefix expression edge cases") {
+    import graft.functions.{FeatureDfMap, Passage, Prefix, PassageHotSet}
+    // chunking: empty string is one empty chunk (split keeps the empty
+    // token); exact multiples and ragged tails
+    assert(Passage.chunks("").toSeq === Seq(""))
+    assert(Passage.chunks("a b c d").toSeq === Seq("a b c d"))
+    assert(Passage.chunks("a b c d e").toSeq === Seq("a b c d", "e"))
+    assert(Passage.chunks("a b c d e f g h").toSeq === Seq("a b c d", "e f g h"))
+    // rebuild: drop middle / drop all / drop none
+    def rb(text: String, hot: Seq[String]) = {
+      val r = Passage.rebuild(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        new PassageHotSet(hot.toArray))
+      (r.getLong(0), r.getLong(1), r.getUTF8String(2).toString)
+    }
+    assert(rb("a b c d e f g h i", Seq("e f g h")) === ((3L, 2L, "a b c d i")))
+    assert(rb("a b c d", Seq("a b c d")) === ((1L, 0L, "")))
+    assert(rb("a b c d", Seq()) === ((1L, 1L, "a b c d")))
+    // prefix: n=1 keeps 1; absent features order by value ascending;
+    // listed (hot) features sort after all df-1 features
+    def pfx(toks: Seq[Long], dfm: FeatureDfMap) = Prefix.prefix(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(toks.toArray),
+      dfm).toLongArray().toSeq
+    val empty = new FeatureDfMap(Array.empty, Array.empty)
+    assert(pfx(Seq(42L), empty) === Seq(42L))
+    // n=10: prefLen = 10 - ceil(8.8) + 1 = 2
+    val ten = Seq(9L, 5L, 7L, 1L, 3L, 8L, 2L, 6L, 4L, 10L)
+    assert(pfx(ten, empty) === Seq(1L, 2L))
+    val hot = new FeatureDfMap(Array(1L, 2L), Array(50L, 9L))
+    assert(pfx(ten, hot) === Seq(3L, 4L)) // 1 and 2 pushed past the rare tier
+  }
+
   test("q86: bloom-prefiltered decontamination equals the exact q72 form") {
     val exact = Registry.byName("q72_decontam").fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -124,5 +124,51 @@ object Analytics {
       FROM e ORDER BY source"""),
     bench = true)
 
-  val queries: Seq[Q] = Seq(q80RangeJoin, q81KmvDistinct)
+  /** q90: HEAVY-HITTER vocabulary mining — exact frequencies of every
+    * token above 0.5% of the corpus, found WITHOUT shuffling the
+    * vocabulary. Pass 1 is a single global aggregate whose state is a
+    * capacity-255 Misra–Gries summary ([[graft.functions.HeavyHitters]]):
+    * O(m) per task, partial-aggregated map-side, merged associatively —
+    * candidates ⊇ every token with frequency > N/256, and
+    * 0.005 > 1/256, so no heavy token can be missed. Pass 2 confirms
+    * candidates exactly: the ≤255-token set rides the plan as an IN
+    * filter, so ~the whole vocabulary dies inside the scan stage and
+    * the confirming groupBy aggregates a ≤255-key stream (hot keys,
+    * but the partial aggregate collapses them map-side to one row per
+    * task). Net: two scans, no vocabulary-sized exchange anywhere —
+    * vs the exact formulation the oracle runs, which shuffles every
+    * distinct token. The confirmed output is deterministic and exact
+    * even though the MG candidate set itself is partition-order-
+    * dependent.
+    */
+  private val q90HeavyHitters = Q(
+    "q90_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val mg = graft.functions.HeavyHitters.agg(255)
+      val first = toks.agg(count(lit(1)).as("n"), mg(col("w")).as("hh")).head()
+      val total = first.getLong(0)
+      val cands = first.getStruct(1)
+        .getAs[scala.collection.Seq[String]]("words").toSeq
+      val thr = math.ceil(0.005 * total).toLong
+      toks.filter(col("w").isin(cands: _*))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thr)
+        .select(col("w"), col("cnt"), lit(total).as("n_total"))
+        .orderBy(col("cnt").desc, col("w"))
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      tt AS (SELECT w FROM t WHERE len(w) > 0),
+      n AS (SELECT count(*) AS total FROM tt)
+      SELECT w, count(*) AS cnt, max(total) AS n_total
+      FROM tt CROSS JOIN n
+      GROUP BY w
+      HAVING count(*) >= ceil(0.005 * max(total))
+      ORDER BY cnt DESC, w"""),
+    bench = true)
+
+  val queries: Seq[Q] = Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters)
 }

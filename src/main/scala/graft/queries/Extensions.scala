@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.search.Ivf
+import graft.functions.Portable.{dot, norm2, toDouble}
 
 /** Extension-layer CORRECTNESS entries: IVF approximate-nearest-
   * neighbor search (the indexed scale path beside brute-force q26) and
@@ -184,7 +185,84 @@ object Extensions {
       ORDER BY 1, 2"""),
     bench = true)
 
+  /** q89: SemDeDup-style SEMANTIC near-dup pruning — the published
+    * cluster-then-prune recipe for embedding-level dedup at corpus
+    * scale (Abbas et al. 2023, "SemDeDup"): all-pairs cosine is
+    * O(N²) and dead on arrival; clustering first bounds the pair
+    * space to O(Σ cᵢ²) with cᵢ capped by the codebook size choice
+    * (K ≈ N/target-cluster-size at 100 TB).
+    *
+    * Plan shape: cell assignment is the q47 seam — ONE codegen'd
+    * argmax projection per row against the plan-bound codebook (no
+    * join, no exchange); the within-cell pair generation is a single
+    * self-join keyed on `cell`, whose per-key cardinality is bounded
+    * by construction (cluster size), so the shuffle cannot develop
+    * unbounded skew; pruning keeps the smallest vec_id of each
+    * ≥τ-similar pair (deterministic id-order greedy — the SQL-
+    * replayable variant of SemDeDup's keep-one-per-group).
+    *
+    * Output pins exact membership per cell: member count, removed
+    * count, and the removed-id checksum.
+    */
+  private val q89SemDedup = Q(
+    "q89_semdedup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = graft.search.Ivf.codebook(e, centroidMod = 25)
+      val av = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("v"),
+          graft.functions.IvfOps.nearestCol(col("v"), cb).as("cell"))
+        .filter(col("cell").isNotNull)
+      val a = av.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
+      val b = av.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
+      val removed = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(dot(col("va"), col("vb")) /
+          sqrt(norm2(col("va")) * norm2(col("vb"))), 6) >= 0.35)
+        .select(col("cell"), col("b_id")).distinct()
+      val members = av.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      val prunes = removed.groupBy("cell")
+        .agg(count(lit(1)).as("n_removed"), sum(col("b_id")).as("removed_id_sum"))
+      members.join(prunes, Seq("cell"), "left")
+        .select(col("cell"), col("n_members"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("removed_id_sum"), lit(0L)).as("removed_id_sum"))
+        .orderBy("cell")
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+               FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+               FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+          FROM sims) t WHERE rn = 1),
+      m AS (SELECT a1.cell, a1.vid AS a_id, a2.vid AS b_id
+            FROM assign a1 JOIN assign a2
+            ON a1.cell = a2.cell AND a1.vid < a2.vid),
+      pd AS (SELECT m.cell, m.a_id, m.b_id, sum(x1.x * x2.x) AS dp
+             FROM m JOIN el x1 ON x1.vec_id = m.a_id
+             JOIN el x2 ON x2.vec_id = m.b_id AND x1.i = x2.i
+             GROUP BY 1, 2, 3),
+      rm AS (SELECT DISTINCT cell, b_id
+             FROM pd JOIN nrm na ON a_id = na.vec_id
+             JOIN nrm nb ON b_id = nb.vec_id
+             WHERE round(dp / sqrt(na.n2 * nb.n2), 6) >= 0.35),
+      mem AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY 1),
+      rs AS (SELECT cell, count(*) AS n_removed,
+               CAST(sum(b_id) AS BIGINT) AS removed_id_sum
+             FROM rm GROUP BY 1)
+      SELECT mem.cell, mem.n_members,
+        COALESCE(rs.n_removed, 0) AS n_removed,
+        COALESCE(rs.removed_id_sum, 0) AS removed_id_sum
+      FROM mem LEFT JOIN rs USING (cell) ORDER BY cell"""),
+    bench = true)
+
   val queries: Seq[Q] =
     Seq(q47AnnIvf, q48MultimodalMeta, q49MultimodalFeatures, q74SqlApi,
-      q77IvfKmeans)
+      q77IvfKmeans, q89SemDedup)
 }

@@ -12,15 +12,20 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   *
   * For a session that already exists (notebooks, tests), use
-  * [[graft.functions.GraftFunctions.register]] instead.
+  * [[graft.functions.GraftFunctions.register]] /
+  * [[graft.plans.NativeAsOf.ensureRegistered]] instead.
   *
-  * This is deliberately the WHOLE extension surface: graft needs no
-  * custom logical plans, optimizer rules, or physical strategies —
-  * every operator is expressed through the declarative DataFrame API
-  * (so Catalyst keeps optimizing it), and only per-row hot loops are
-  * native expressions (the brief's preference order (a)/(b)).
+  * The extension surface is deliberately small: almost every operator
+  * is expressed through the declarative DataFrame API (so Catalyst
+  * keeps optimizing it), per-row hot loops are native expressions
+  * (the brief's preference order (a)/(b)), and the ONE whole-operator
+  * physical node — the backward as-of join, whose exchange shape no
+  * composition can reproduce (see [[graft.plans.AsOfJoin]]) — is the
+  * single planner strategy (preference (c)).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -170,5 +170,49 @@ object Analytics {
       ORDER BY cnt DESC, w"""),
     bench = true)
 
-  val queries: Seq[Q] = Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters)
+  /** q91: BUCKETED CO-LOCATED fact⋈fact join — the storage-level
+    * answer to the shuffle question every 100 TB join raises: both
+    * sides are written `bucketBy(8, orderkey)` + sorted (the layout a
+    * production deployment maintains for its central fact tables), and
+    * the sort-merge join then reads bucket i against bucket i with NO
+    * exchange on either side — the query itself asserts that on its
+    * executed plan, so the zero-shuffle property is checked through
+    * the driver gate on every run, not just in BucketingSpec. The
+    * only shuffle left is the 5-key priority rollup above the join.
+    * The oracle replays the join+rollup on the raw parquet — bucketing
+    * must be invisible in the values.
+    */
+  private val q91BucketedJoin = Q(
+    "q91_bucketed_join",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.option("path", s"$root/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_b")
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.option("path", s"$root/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_ord_b")
+      val joined = s.table("graft_li_b").hint("merge")
+        .join(s.table("graft_ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      // executedPlan (not sparkPlan): exchanges are only inserted by
+      // the EnsureRequirements preparation pass
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$joinPlan")
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o.o_orderpriority, count(*) AS n_items,
+        CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  val queries: Seq[Q] =
+    Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin)
 }

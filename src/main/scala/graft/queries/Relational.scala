@@ -519,10 +519,54 @@ object Relational {
       ORDER BY purchase_id"""),
     bench = true)
 
+  /** q92: the same backward as-of join through the NATIVE Catalyst
+    * operator ([[graft.plans.AsOfJoin]]: logical node + planner
+    * strategy + merge-join physical operator) instead of the q79
+    * union+window composition. Same oracle as q79 — DuckDB's native
+    * `ASOF LEFT JOIN` — so the custom operator is checked against an
+    * independent first-class implementation, through the driver gate.
+    *
+    * What the native exchange shape buys at 100 TB: each side shuffles
+    * separately on its own key with NO row widening (the composed form
+    * pushes every left row through the exchange carrying the right
+    * payload's null columns and vice versa), the per-partition merge
+    * holds O(1) state (vs the window's buffered frame), and a side
+    * that is already bucketed by key shuffles not at all.
+    */
+  private val q92AsofNative = Q(
+    "q92_asof_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("click_value"))
+      graft.plans.NativeAsOf
+        .backward(purchases, clicks, "user_id", "ts", "event_id",
+          Seq("ts", "click_value"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_event_id").as("click_id"), col("asof_click_value").as("click_value"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+             FROM events WHERE event_type = 'purchase'),
+      c0 AS (SELECT user_id, ts, event_id, value AS click_value,
+               row_number() OVER (PARTITION BY user_id, ts
+                 ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id, ts, event_id, click_value FROM c0 WHERE rn = 1)
+      SELECT p.purchase_id, p.user_id, c.event_id AS click_id, c.click_value,
+        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
     q11LatestUpdate, q12Autocomplete, q13RegexExtract, q14DateParts,
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
-    q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin)
+    q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin, q92AsofNative)
 }

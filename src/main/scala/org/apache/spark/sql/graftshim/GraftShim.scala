@@ -28,6 +28,16 @@ object GraftShim {
     * [[graft.GraftExtensions]], pure public API; this covers sessions
     * that already exist — `sessionState` is `private[sql]`).
     */
+  /** Build a DataFrame from a custom [[LogicalPlan]] node (the
+    * entry every custom-operator library needs; `Dataset.ofRows` is
+    * `private[sql]`).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       name: String,

@@ -40,6 +40,7 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     desc("shingle_h32", classOf[ShingleHash32], 1, es => ShingleHash32(es.head)),
+    desc("bigram_h32", classOf[BigramHash32], 1, es => BigramHash32(es.head)),
     desc("distinct_token_h32", classOf[DistinctTokenHash32], 1,
       es => DistinctTokenHash32(es.head)),
     desc("simhash32", classOf[SimHash32], 1, es => SimHash32(es.head)),

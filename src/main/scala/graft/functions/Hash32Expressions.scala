@@ -139,9 +139,33 @@ object Hash32 {
     new GenericArrayData(buf.toArray)
   }
 
+  /** Whitespace bigram h32 hashes (same split semantics as
+    * [[shingles]]; n=2 instead of 4).
+    */
+  def bigrams(text: String): Array[Long] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 2) Array.emptyLongArray
+    else {
+      val out = new Array[Long](ws.length - 1)
+      var i = 0
+      while (i < out.length) {
+        out(i) = h32(ws(i) + " " + ws(i + 1))
+        i += 1
+      }
+      out
+    }
+  }
+
+  def bigramsArrayData(s: UTF8String): GenericArrayData =
+    new GenericArrayData(bigrams(s.toString))
+
   /** Column API: per-doc 4-gram shingle h32 array. */
   def shingleHashes(c: Column): Column =
     GraftShim.column(ShingleHash32(GraftShim.expression(c)))
+
+  /** Column API: per-doc bigram h32 array. */
+  def bigramHashes(c: Column): Column =
+    GraftShim.column(BigramHash32(GraftShim.expression(c)))
 
   /** Column API: per-doc distinct-token h32 array. */
   def tokenHashes(c: Column): Column =
@@ -208,6 +232,17 @@ case class ShingleHash32(child: Expression) extends Hash32ArrayExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
     copy(child = newChild)
   override def prettyName: String = "shingle_h32"
+}
+
+/** `bigram_h32(text)`: array of h32 hashes of whitespace bigrams. */
+case class BigramHash32(child: Expression) extends Hash32ArrayExpression {
+  override protected def staticCall: String =
+    "graft.functions.Hash32.bigramsArrayData"
+  override protected def evalImpl(s: UTF8String): GenericArrayData =
+    Hash32.bigramsArrayData(s)
+  override protected def withNewChildInternal(newChild: Expression): BigramHash32 =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_h32"
 }
 
 /** `mesh_for(text, k)`: the synthetic concept-annotation array for

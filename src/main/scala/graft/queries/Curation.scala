@@ -107,60 +107,72 @@ object Curation {
     */
   private val bm25Terms = Seq("dup", "spark", "merge")
 
+  /** Every document BM25-scored against the fixed query (shared by
+    * q83's top-10 report and q94's first retrieval stage): columns
+    * (doc_id, tf_<term>..., dl, score).
+    */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = tokens(col("text"))
+    val base = Tables.documents(s, d).select(
+      (Seq(col("doc_id"), size(w).cast("long").as("dl")) ++
+        bm25Terms.map(t =>
+          size(filter(w, x => x === lit(t))).cast("long").as(s"tf_$t"))): _*)
+    val statAggs =
+      Seq(sum(col("dl")).as("sum_dl")) ++ bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(count(lit(1)).as("n"), statAggs: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      when(col(s"tf_$t") > 0,
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    base.crossJoin(broadcast(stats))
+      .select((Seq(col("doc_id")) ++ bm25Terms.map(t => col(s"tf_$t")) ++
+        Seq(col("dl"),
+          round(bm25Terms.map(termScore).reduceLeft(_ + _), 6).as("score"))): _*)
+  }
+
   private val q83Bm25 = Q(
     "q83_bm25",
-    (s, d) => {
-      val w = tokens(col("text"))
-      val base = Tables.documents(s, d).select(
-        (Seq(col("doc_id"), size(w).cast("long").as("dl")) ++
-          bm25Terms.map(t =>
-            size(filter(w, x => x === lit(t))).cast("long").as(s"tf_$t"))): _*)
-      val statAggs =
-        Seq(sum(col("dl")).as("sum_dl")) ++ bm25Terms.map(t =>
-          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-      val stats = base.agg(count(lit(1)).as("n"), statAggs: _*)
-      val avgdl = col("sum_dl").cast("double") / col("n")
-      def termScore(t: String) = {
-        val tf = col(s"tf_$t").cast("double")
-        val idf = log(lit(1.0) +
-          (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
-        when(col(s"tf_$t") > 0,
-          idf * (tf * lit(2.2)) /
-            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
-          .otherwise(lit(0.0))
-      }
-      base.crossJoin(broadcast(stats))
-        .select((Seq(col("doc_id")) ++ bm25Terms.map(t => col(s"tf_$t")) ++
-          Seq(col("dl"),
-            round(bm25Terms.map(termScore).reduceLeft(_ + _), 6).as("score"))): _*)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
-    },
-    Some {
-      val tfDefs = bm25Terms.map(t =>
-        s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
-        .mkString(",\n          ")
-      val dfDefs = bm25Terms.map(t =>
-        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
-        .mkString(", ")
-      val scoreSum = bm25Terms.map(t =>
-        s"""(CASE WHEN tf_$t > 0 THEN
-             ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5))
-               * (tf_$t * 2.2)
-               / (tf_$t + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
-             ELSE 0.0 END)""").mkString("\n          + ")
-      s"""WITH base AS (SELECT doc_id,
+    (s, d) => bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10),
+    Some(s"""WITH $bm25ScoredCtes
+      SELECT * FROM scored
+      ORDER BY score DESC, doc_id LIMIT 10"""),
+    bench = true)
+
+  /** DuckDB CTEs ending in `scored(doc_id, tf_*..., dl, score)` — the
+    * oracle twin of [[bm25Scored]], shared by q83 and q94.
+    */
+  private lazy val bm25ScoredCtes: String = {
+    val tfDefs = bm25Terms.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n          ")
+    val dfDefs = bm25Terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(", ")
+    val scoreSum = bm25Terms.map(t =>
+      s"""(CASE WHEN tf_$t > 0 THEN
+           ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5))
+             * (tf_$t * 2.2)
+             / (tf_$t + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+           ELSE 0.0 END)""").mkString("\n          + ")
+    s"""base AS (SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
           $tfDefs
         FROM documents),
       stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
-          $dfDefs FROM base)
-      SELECT doc_id, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, dl,
-        round($scoreSum, 6) AS score
-      FROM base CROSS JOIN stats
-      ORDER BY score DESC, doc_id LIMIT 10"""
-    },
-    bench = true)
+          $dfDefs FROM base),
+      scored AS (SELECT doc_id, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
+          dl, round($scoreSum, 6) AS score
+        FROM base CROSS JOIN stats)"""
+  }
 
   // ---- q84: stratified sampling --------------------------------------------
 
@@ -402,7 +414,136 @@ object Curation {
         max(CASE WHEN rn = 1 THEN score END) AS survivor_score
       FROM r GROUP BY 1 ORDER BY 1"""))
 
+  // ---- q93: corpus-trained bigram-LM quality scoring -----------------------
+
+  /** q93: statistical LM quality filtering (the CCNet/KenLM-style
+    * stage): every document scored by the average log-probability of
+    * its bigrams under a model TRAINED ON THE CORPUS ITSELF — the
+    * cross-document signal the per-row scorers (q28 surface stats,
+    * q68 repetition) cannot see; outlier docs score low because their
+    * word transitions are rare corpus-wide.
+    *
+    * Two passes. Train: bigram hashes come from ONE codegen'd pass per
+    * row ([[graft.functions.BigramHash32]]); counts partial-aggregate
+    * on the uniform hash key and the df≥3 threshold bounds the model
+    * (the threshold is the size knob — an open web vocabulary would
+    * raise it or route through the q90 Misra–Gries bound; past
+    * broadcast size the model takes the bloom/probe-set seam of
+    * q85/q86). Score: model + one-row corpus stats ride broadcasts,
+    * per-doc aggregation is the only shuffle (uniform doc_id key).
+    *
+    * Determinism: the model is integer counts; each bigram's
+    * `ln(cnt/total)` is rounded into DECIMAL(28,6) before the exact
+    * per-doc sum ([[Portable.dsum6]]), so summation order cannot leak,
+    * and the SUM is what the entry emits — deliberately not the
+    * rounded average: `lp / n_modeled` can land on an exact decimal
+    * tie (sf0.001 doc 434: -460.36323/68 = -6.7700475), where Spark's
+    * BigDecimal HALF_UP and DuckDB's double-space round legitimately
+    * disagree in the last digit. Filtering on the average is the same
+    * predicate as `lp <= τ · n_modeled`, which stays in exact
+    * arithmetic. All-OOV docs yield NULL lp (both engines: empty SUM).
+    */
+  private val q93BigramLm = Q(
+    "q93_bigram_lm",
+    (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.Hash32.bigramHashes(col("text"))).as("b"))
+      val model = bg.groupBy("b").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)
+      val stats = bg.agg(count(lit(1)).as("total"))
+      bg.join(broadcast(model), Seq("b"), "left")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+          dsum6(log(col("cnt").cast("double") / col("total"))).as("lp"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("lp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tok AS (SELECT doc_id, CAST(generate_subscripts(t, 1) AS INT) AS i,
+              unnest(t) AS u FROM w),
+      bg AS (SELECT a.doc_id,
+               CAST('0x' || substr(md5(a.u || ' ' || b.u), 1, 8) AS BIGINT) AS b
+             FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      model AS (SELECT b, count(*) AS cnt FROM bg GROUP BY 1
+                HAVING count(*) >= 3),
+      n AS (SELECT count(*) AS total FROM bg),
+      sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+              CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_oov,
+              CAST(sum(CAST(CASE WHEN m.cnt IS NOT NULL
+                  THEN ln(CAST(m.cnt AS DOUBLE) / total) END
+                AS DECIMAL(28,6))) AS DOUBLE) AS lp
+             FROM bg LEFT JOIN model m USING (b) CROSS JOIN n
+             GROUP BY 1)
+      SELECT doc_id, n_bigrams, n_oov, lp
+      FROM sc ORDER BY doc_id"""),
+    bench = true)
+
+  // ---- q94: two-stage retrieval (BM25 recall -> batched rerank) ------------
+
+  /** Typed rerank output (stable case class for the Dataset encoder,
+    * as with [[graft.multimodal.Multimodal.MediaFeatures]]).
+    */
+  final case class Reranked(doc_id: Long, bm25: Double, ce_score: Double)
+
+  /** q94: TWO-STAGE retrieval — the recall-then-precision pattern
+    * every RAG / training-data-selection pipeline runs: a cheap
+    * corpus-wide scorer (q83's BM25) narrows to a candidate set
+    * (top-50), and only candidates pay the expensive model
+    * (cross-encoder rerank). Stage 2 runs in the partition-batched
+    * typed seam ([[graft.multimodal.Multimodal]]'s shape: one "model"
+    * handle per partition, streamed rows) — the cross-encoder itself
+    * is an honest deterministic STUB (md5-derived score; the container
+    * has no model runtime), so the oracle replays the whole path.
+    *
+    * Plan shape: stage 1 is q83's two-scan zero-wide-shuffle plan +
+    * TakeOrderedAndProject(50); the 50-row candidate set broadcasts
+    * back onto the documents scan to fetch text, so the rerank join
+    * shuffles nothing; the final top-10 is again TakeOrdered. At
+    * 100 TB the candidate cut is what makes the expensive stage
+    * affordable — the model sees 50 rows, not the corpus.
+    */
+  private val q94Rerank = Q(
+    "q94_rerank",
+    (s, d) => {
+      import s.implicits._
+      val cands = bm25Scored(s, d)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("score").as("bm25"))
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .join(broadcast(cands), "doc_id")
+        .select(col("doc_id"), col("bm25"), col("text"))
+        .as[(Long, Double, String)]
+        .mapPartitions { it =>
+          // per-partition "cross-encoder" handle (a reused digest)
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, bm25, text) =>
+            digest.reset()
+            val md5Hex = digest.digest(text.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            Reranked(id, bm25, (h32s(md5Hex + ":q94") % 100000) / 100000.0)
+          }
+        }
+        .toDF()
+        .orderBy(col("ce_score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH $bm25ScoredCtes,
+      cand AS (SELECT doc_id, score AS bm25 FROM scored
+               ORDER BY score DESC, doc_id LIMIT 50),
+      re AS (SELECT c.doc_id, c.bm25,
+               CAST(CAST('0x' || substr(md5(md5(dd.text) || ':q94'), 1, 8)
+                 AS BIGINT) % 100000 AS DOUBLE) / 100000.0 AS ce_score
+             FROM cand c JOIN documents dd ON c.doc_id = dd.doc_id)
+      SELECT doc_id, bm25, ce_score FROM re
+      ORDER BY ce_score DESC, doc_id LIMIT 10"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
-      q86BloomDecontam, q87GroupSample, q88QualitySurvivor)
+      q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
+      q94Rerank)
 }

@@ -369,7 +369,68 @@ object Training {
         max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN score END) AS p90
       FROM r GROUP BY 1 ORDER BY 1"""))
 
+  /** q95: the documented SCALE PATH beside q78's exact per-language
+    * sort — quantile thresholds from a 3-decimal HISTOGRAM. The corpus
+    * pays only a map-side-combinable (lang, bin) count (bins =
+    * `floor(score·1000)` in exact DECIMAL arithmetic, so the binning
+    * is bit-identical cross-engine); the cumulative-sum window then
+    * runs over HISTOGRAM rows (hundreds per language), not documents —
+    * at 100 TB that is the difference between sorting every row per
+    * language (q78) and shuffling a bounded histogram. Thresholds come
+    * out as integer bins (p = smallest bin whose cumulative count
+    * reaches ceil(p·n)) — by construction `p_bin = floor(p_exact·1000)`
+    * for q78's discrete quantiles, and no float leaves the plan.
+    */
+  private val q95BinnedQuantiles = Q(
+    "q95_binned_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val score = round(
+        nAlpha.cast("double") / nt - lit(10.0) * (nStop.cast("double") / nt), 6)
+      val bin = floor(score.cast("decimal(28,6)") * 1000).cast("long")
+      val hist = Tables.documents(s, d)
+        .select(col("lang"), bin.as("bin"))
+        .groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+      val byLang = Window.partitionBy(col("lang"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          byLang.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byLang))
+      def pick(p: Double) =
+        min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("bin")))
+      cum.groupBy("lang")
+        .agg(max(col("n")).as("n_docs"), pick(0.1).as("p10_bin"),
+          pick(0.5).as("p50_bin"), pick(0.9).as("p90_bin"))
+        .orderBy("lang")
+    },
+    Some("""WITH sc AS (SELECT doc_id, lang,
+        round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' '))
+          - 10.0 * (CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' '))), 6) AS score
+        FROM documents),
+      b AS (SELECT lang,
+          CAST(floor(CAST(score AS DECIMAL(28,6)) * 1000) AS BIGINT) AS bin
+        FROM sc),
+      h AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      cw AS (SELECT lang, bin, c,
+          sum(c) OVER (PARTITION BY lang ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(c) OVER (PARTITION BY lang) AS n FROM h)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        min(CASE WHEN cum >= ceil(0.1 * n) THEN bin END) AS p10_bin,
+        min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS p50_bin,
+        min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS p90_bin
+      FROM cw GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
-    q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles)
+    q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
+    q95BinnedQuantiles)
 }

@@ -74,6 +74,25 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(out(1).getLong(3) === 5L && out(1).getDouble(4) === 9.0)
   }
 
+  test("bucketed inputs satisfy the distribution: ZERO exchanges") {
+    val (left, right) = randomInputs(211, 400, 400)
+    spark.sql("DROP TABLE IF EXISTS asof_bkt_l")
+    spark.sql("DROP TABLE IF EXISTS asof_bkt_r")
+    left.write.bucketBy(8, "key").sortBy("key", "ts").saveAsTable("asof_bkt_l")
+    right.write.bucketBy(8, "key").sortBy("key", "ts").saveAsTable("asof_bkt_r")
+    val df = NativeAsOf.backward(
+      spark.table("asof_bkt_l"), spark.table("asof_bkt_r"),
+      "key", "ts", "r_id", Seq("value"))
+    val expected = NativeAsOf
+      .backward(left, right, "key", "ts", "r_id", Seq("value"))
+      .orderBy("l_id").collect()
+    assert(df.orderBy("l_id").collect() === expected)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of inputs must not shuffle:\n$plan")
+  }
+
   test("plan: AsOfJoinExec with one exchange per side, none above") {
     val (left, right) = randomInputs(101, 300, 300)
     val df = NativeAsOf.backward(left, right, "key", "ts", "r_id", Seq("value"))

@@ -68,8 +68,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     (new GraftExtensions)(ext) // must inject without throwing
     // and the shared registry carries every expected name
     val names = GraftFunctions.all.map(_._1.funcName).toSet
-    assert(names === Set("shingle_h32", "distinct_token_h32", "simhash32",
-      "bigram_stats32", "mesh_for", "dot_product", "squared_norm",
-      "rh_band_keys", "rct_class"))
+    assert(names === Set("shingle_h32", "bigram_h32", "distinct_token_h32",
+      "simhash32", "bigram_stats32", "mesh_for", "dot_product",
+      "squared_norm", "rh_band_keys", "rct_class"))
   }
 }

@@ -31,22 +31,29 @@ object Hash32 {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  /** Whitespace 4-gram shingle h32 hashes (split semantics identical to
-    * Spark `split(text, " ")`, i.e. trailing empties kept).
+  /** Whitespace n-gram h32 hashes (split semantics identical to Spark
+    * `split(text, " ")`, i.e. trailing empties kept) — the one
+    * definition behind [[shingles]] (n=4) and [[bigrams]] (n=2).
     */
-  def shingles(text: String): Array[Long] = {
+  private def ngrams(text: String, n: Int): Array[Long] = {
     val ws = text.split(" ", -1)
-    if (ws.length < 4) Array.emptyLongArray
+    if (ws.length < n) Array.emptyLongArray
     else {
-      val out = new Array[Long](ws.length - 3)
+      val out = new Array[Long](ws.length - n + 1)
       var i = 0
       while (i < out.length) {
-        out(i) = h32(ws(i) + " " + ws(i + 1) + " " + ws(i + 2) + " " + ws(i + 3))
+        val sb = new java.lang.StringBuilder(ws(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+        out(i) = h32(sb.toString)
         i += 1
       }
       out
     }
   }
+
+  /** Whitespace 4-gram shingle h32 hashes. */
+  def shingles(text: String): Array[Long] = ngrams(text, 4)
 
   /** h32 of each distinct whitespace token, first-occurrence order
     * (matches `transform(array_distinct(split(text, ' ')), h32)`).
@@ -139,22 +146,8 @@ object Hash32 {
     new GenericArrayData(buf.toArray)
   }
 
-  /** Whitespace bigram h32 hashes (same split semantics as
-    * [[shingles]]; n=2 instead of 4).
-    */
-  def bigrams(text: String): Array[Long] = {
-    val ws = text.split(" ", -1)
-    if (ws.length < 2) Array.emptyLongArray
-    else {
-      val out = new Array[Long](ws.length - 1)
-      var i = 0
-      while (i < out.length) {
-        out(i) = h32(ws(i) + " " + ws(i + 1))
-        i += 1
-      }
-      out
-    }
-  }
+  /** Whitespace bigram h32 hashes. */
+  def bigrams(text: String): Array[Long] = ngrams(text, 2)
 
   def bigramsArrayData(s: UTF8String): GenericArrayData =
     new GenericArrayData(bigrams(s.toString))

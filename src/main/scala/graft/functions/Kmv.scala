@@ -106,10 +106,13 @@ object Kmv {
   * of each group, with O(k) state per group per task that partial-
   * aggregates map-side and merges by sorted union (vs the window-sort
   * formulation, which shuffles and sorts every group member). The
-  * caller packs (hash, id) into one long — hash in the high 32 bits —
-  * so rank order IS numeric order and the [[Kmv.SortedK]] core applies
-  * unchanged; ids must fit 32 bits (at a wider id space the buffer
-  * becomes an array of (hash, id) pairs, same shape).
+  * caller packs (hash, id) into one long as `(h % 2^31)·2^31 + id` —
+  * 31 bits each, BOTH truncated below the sign bit, so the packed
+  * value stays non-negative and rank order IS numeric order (a full
+  * 32-bit hash in the high half would go negative for h ≥ 2^31 and
+  * invert the order); see q87 for the canonical packing and unpack.
+  * Ids must fit 31 bits — at a wider id space the buffer becomes an
+  * array of (hash, id) pairs, same [[Kmv.SortedK]] shape.
   */
 object BottomK {
 

@@ -301,8 +301,12 @@ object Curation {
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"),
           array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("hs"))
+      // persisted: the build side feeds three consumers (count for
+      // bloom sizing, the bloom build, the confirm-join broadcast) —
+      // uncached it re-ran the scan+shingle+distinct pipeline per use
       val benchSh = docs.filter(col("doc_id") % 97 === 0)
         .select(explode(col("hs")).as("h")).distinct()
+        .persist()
       val nBench = benchSh.count()
       val bf = benchSh.stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
       docs.filter(col("doc_id") % 97 =!= 0)
@@ -381,13 +385,8 @@ object Curation {
         .candidates(graft.ops.Dedup.bandSignatures(doc))
         .select(col("a_id"), col("b_id"))
       val comp = graft.ops.Cluster.connectedComponents(pairs)
-      val toks = tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
-      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
-      val score = round(
-        nAlpha.cast("double") / nt - lit(10.0) * (nStop.cast("double") / nt), 6)
-      val scored = Tables.documents(s, d).select(col("doc_id"), score.as("score"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), Training.qualityScore.as("score"))
       comp.join(scored, comp("id") === scored("doc_id"))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"),
@@ -399,11 +398,7 @@ object Curation {
     },
     Some(s"""WITH RECURSIVE ${Training.clusterCtes},
       sc AS (SELECT doc_id,
-          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-              / len(string_split(text, ' '))
-            - 10.0 * (CAST(len(list_filter(string_split(text, ' '),
-                t -> t IN ('the', 'a'))) AS DOUBLE)
-              / len(string_split(text, ' '))), 6) AS score
+          ${Training.qualityScoreSql} AS score
         FROM documents),
       j AS (SELECT c.cluster, c.id, s.score FROM comp c JOIN sc s ON c.id = s.doc_id),
       r AS (SELECT cluster, id, score,

@@ -319,6 +319,28 @@ object Training {
         CAST(sum(nt) AS BIGINT) AS n_tokens_kept, max(doc_id) AS last_doc_id
       FROM c WHERE cum <= 3000 GROUP BY 1 ORDER BY 1"""))
 
+  /** Composite quality score (alpha-density minus stopword penalty,
+    * rounded to 6dp) shared by q78/q95 here and q88's survivor
+    * election — ONE definition so the scoring rule cannot
+    * de-synchronize across its consumers.
+    */
+  private[queries] def qualityScore: org.apache.spark.sql.Column = {
+    val toks = tokens(col("text"))
+    val nt = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
+    round(
+      nAlpha.cast("double") / nt - lit(10.0) * (nStop.cast("double") / nt), 6)
+  }
+
+  /** DuckDB twin of [[qualityScore]] (an expression over `text`). */
+  private[queries] val qualityScoreSql: String =
+    """round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' '))
+          - 10.0 * (CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' '))), 6)"""
+
   /** q78: per-language QUALITY-QUANTILE thresholds — the cutoff-
     * selection step of a quality-filtered curation pipeline ("keep the
     * top X% per language"). Exact DISCRETE quantiles by rank pick
@@ -335,15 +357,9 @@ object Training {
     "q78_quality_quantiles",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
-      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
-      val score = round(
-        nAlpha.cast("double") / nt - lit(10.0) * (nStop.cast("double") / nt), 6)
       val byLang = Window.partitionBy(col("lang"))
       val ranked = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), score.as("score"))
+        .select(col("doc_id"), col("lang"), qualityScore.as("score"))
         .withColumn("rn", row_number().over(byLang.orderBy(col("score"), col("doc_id"))))
         .withColumn("n", count(lit(1)).over(byLang))
       def pick(p: Double) =
@@ -353,12 +369,8 @@ object Training {
           pick(0.5).as("p50"), pick(0.9).as("p90"))
         .orderBy("lang")
     },
-    Some("""WITH sc AS (SELECT doc_id, lang,
-        round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-            / len(string_split(text, ' '))
-          - 10.0 * (CAST(len(list_filter(string_split(text, ' '),
-              t -> t IN ('the', 'a'))) AS DOUBLE)
-            / len(string_split(text, ' '))), 6) AS score
+    Some(s"""WITH sc AS (SELECT doc_id, lang,
+        $qualityScoreSql AS score
         FROM documents),
       r AS (SELECT lang, score,
           row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
@@ -385,13 +397,7 @@ object Training {
     "q95_binned_quantiles",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
-      val nAlpha = length(regexp_replace(col("text"), " ", "")).cast("long")
-      val score = round(
-        nAlpha.cast("double") / nt - lit(10.0) * (nStop.cast("double") / nt), 6)
-      val bin = floor(score.cast("decimal(28,6)") * 1000).cast("long")
+      val bin = floor(qualityScore.cast("decimal(28,6)") * 1000).cast("long")
       val hist = Tables.documents(s, d)
         .select(col("lang"), bin.as("bin"))
         .groupBy("lang", "bin").agg(count(lit(1)).as("c"))
@@ -408,12 +414,8 @@ object Training {
           pick(0.5).as("p50_bin"), pick(0.9).as("p90_bin"))
         .orderBy("lang")
     },
-    Some("""WITH sc AS (SELECT doc_id, lang,
-        round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-            / len(string_split(text, ' '))
-          - 10.0 * (CAST(len(list_filter(string_split(text, ' '),
-              t -> t IN ('the', 'a'))) AS DOUBLE)
-            / len(string_split(text, ' '))), 6) AS score
+    Some(s"""WITH sc AS (SELECT doc_id, lang,
+        $qualityScoreSql AS score
         FROM documents),
       b AS (SELECT lang,
           CAST(floor(CAST(score AS DECIMAL(28,6)) * 1000) AS BIGINT) AS bin

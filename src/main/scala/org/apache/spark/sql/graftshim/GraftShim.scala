@@ -23,14 +23,8 @@ object GraftShim {
   def observedOrEmpty(obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] =
     obs.getRowOrEmpty
 
-  /** Register a native expression as a SQL function on a LIVE session
-    * (the session-build-time path is `spark.sql.extensions` →
-    * [[graft.GraftExtensions]], pure public API; this covers sessions
-    * that already exist — `sessionState` is `private[sql]`).
-    */
-  /** Build a DataFrame from a custom [[LogicalPlan]] node (the
-    * entry every custom-operator library needs; `Dataset.ofRows` is
-    * `private[sql]`).
+  /** Build a DataFrame from a custom LogicalPlan node (the entry every
+    * custom-operator library needs; `Dataset.ofRows` is `private[sql]`).
     */
   def ofRows(
       spark: org.apache.spark.sql.SparkSession,
@@ -38,6 +32,11 @@ object GraftShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Register a native expression as a SQL function on a LIVE session
+    * (the session-build-time path is `spark.sql.extensions` →
+    * [[graft.GraftExtensions]], pure public API; this covers sessions
+    * that already exist — `sessionState` is `private[sql]`).
+    */
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       name: String,

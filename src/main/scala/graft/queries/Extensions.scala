@@ -262,7 +262,53 @@ object Extensions {
       FROM mem LEFT JOIN rs USING (cell) ORDER BY cell"""),
     bench = true)
 
+  /** q96: PRODUCT-QUANTIZATION ANN with asymmetric-distance scan — the
+    * memory-compression rung of the similarity-search ladder (q26
+    * brute force → q47 IVF → q77 trained IVF → PQ): each 64-dim vector
+    * is encoded as M=8 one-byte-ish codes, its nearest sub-centroid
+    * per 8-dim subspace, so the scan side shrinks ~32× (8 codes vs 64
+    * floats) and the query never touches raw vectors — distance is
+    * ADC: the query precomputes its exact distance to every
+    * sub-centroid (an M×K lookup table, here ≤8×80 entries riding the
+    * plan as map literals) and each row's estimate is 8 table lookups.
+    *
+    * Plan shape: encoding is M map-side codegen argmin projections per
+    * row against plan-bound sub-codebooks ([[graft.functions
+    * .NearestCentroidL2]], the q77 seam — no join, no exchange); the
+    * ADC scan is a pure projection + TakeOrderedAndProject. At 100 TB
+    * codes are persisted once and combined with IVF cells (IVF-PQ):
+    * probe prunes cells, ADC ranks inside them.
+    *
+    * Determinism: quantized-integer L2 end to end (floor(x·1e6), the
+    * q77 contract) — sub-centroid assignment ties to the smallest cid,
+    * distances are exact integer sums, so the oracle replays encode +
+    * LUT + scan bit-for-bit.
+    */
+  private val q96PqAdc = Q(
+    "q96_pq_adc",
+    (s, d) => graft.search.Pq.search(Tables.embeddings(s, d),
+      queryId = 0L, centroidMod = 25, m = 8, k = 10),
+    Some("""WITH el AS (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        FROM embeddings),
+      es AS (SELECT vec_id, i // 8 AS m, i % 8 AS j, q FROM el),
+      cent AS (SELECT vec_id AS cid, m, j, q AS c FROM es WHERE vec_id % 25 = 1),
+      d2 AS (SELECT e.vec_id, c.m, c.cid, sum((e.q - c.c) * (e.q - c.c)) AS d2
+             FROM es e JOIN cent c ON e.m = c.m AND e.j = c.j
+             GROUP BY 1, 2, 3),
+      enc AS (SELECT vec_id, m, cid FROM (
+          SELECT vec_id, m, cid,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+          FROM d2) t WHERE rn = 1),
+      qd AS (SELECT m, cid, d2 FROM d2 WHERE vec_id = 0),
+      dist AS (SELECT enc.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_d2
+               FROM enc JOIN qd ON enc.m = qd.m AND enc.cid = qd.cid
+               WHERE enc.vec_id <> 0 GROUP BY 1)
+      SELECT vec_id, adc_d2 FROM dist ORDER BY adc_d2, vec_id LIMIT 10"""),
+    bench = true)
+
   val queries: Seq[Q] =
     Seq(q47AnnIvf, q48MultimodalMeta, q49MultimodalFeatures, q74SqlApi,
-      q77IvfKmeans, q89SemDedup)
+      q77IvfKmeans, q89SemDedup, q96PqAdc)
 }

@@ -308,7 +308,56 @@ object Extensions {
       SELECT vec_id, adc_d2 FROM dist ORDER BY adc_d2, vec_id LIMIT 10"""),
     bench = true)
 
+  /** q97: IVF-PQ — the cell-pruning (q47) and code-compression (q96)
+    * stages COMPOSED, the layout a production vector index ships:
+    * assignment + quantization + M codes in one map-side projection
+    * pass, probed cells broadcast in, ADC top-k over the survivors'
+    * codes only. The oracle is the two entries' CTE machinery joined:
+    * q47's cosine assignment/probe replay feeding q96's encode/LUT
+    * replay.
+    */
+  private val q97IvfPq = Q(
+    "q97_ivf_pq",
+    (s, d) => graft.search.Pq.searchIvf(Tables.embeddings(s, d),
+      queryId = 0L, centroidMod = 25, nprobe = 4, m = 8, k = 10),
+    Some("""WITH eld AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM eld GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM eld WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT eld.vec_id AS vid, cent.cid, sum(eld.x * cent.x) AS dp
+               FROM eld JOIN cent ON eld.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+               FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+          FROM sims) t WHERE rn = 1),
+      qprobe AS (SELECT cid AS cell FROM (
+          SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
+          FROM sims WHERE vid = 0) t WHERE rn <= 4),
+      cand AS (SELECT vid FROM assign JOIN qprobe USING (cell) WHERE vid <> 0),
+      elq AS (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        FROM embeddings),
+      es AS (SELECT vec_id, i // 8 AS m, i % 8 AS j, q FROM elq),
+      centq AS (SELECT vec_id AS cid, m, j, q AS c FROM es WHERE vec_id % 25 = 1),
+      d2 AS (SELECT e.vec_id, c.m, c.cid, sum((e.q - c.c) * (e.q - c.c)) AS d2
+             FROM es e JOIN centq c ON e.m = c.m AND e.j = c.j
+             GROUP BY 1, 2, 3),
+      enc AS (SELECT vec_id, m, cid FROM (
+          SELECT vec_id, m, cid,
+            row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+          FROM d2) t WHERE rn = 1),
+      qd AS (SELECT m, cid, d2 FROM d2 WHERE vec_id = 0),
+      dist AS (SELECT enc.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_d2
+               FROM enc JOIN cand ON enc.vec_id = cand.vid
+               JOIN qd ON enc.m = qd.m AND enc.cid = qd.cid
+               GROUP BY 1)
+      SELECT vec_id, adc_d2 FROM dist ORDER BY adc_d2, vec_id LIMIT 10"""),
+    bench = true)
+
   val queries: Seq[Q] =
     Seq(q47AnnIvf, q48MultimodalMeta, q49MultimodalFeatures, q74SqlApi,
-      q77IvfKmeans, q89SemDedup, q96PqAdc)
+      q77IvfKmeans, q89SemDedup, q96PqAdc, q97IvfPq)
 }

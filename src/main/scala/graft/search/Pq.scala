@@ -81,4 +81,51 @@ object Pq {
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(k)
   }
+
+  /** IVF-PQ: [[Ivf]]'s coarse cell pruning composed with the ADC
+    * ranking — the composition a production vector index actually
+    * ships. Cell assignment, integer quantization, and the M subspace
+    * codes are all computed in ONE map-side projection pass over the
+    * corpus (no join, no exchange on the N-row side — codebooks ride
+    * the plan); the nprobe probed cells arrive as a broadcast, so only
+    * their CODES continue to the ADC top-k. At cluster scale the
+    * encoded table is persisted bucketed by cell and the probe join
+    * becomes partition pruning. Probing reuses [[Ivf.search]]'s exact
+    * semantics (cosine-nearest sampled centroids, rounded 6dp, ties to
+    * the smallest cid).
+    */
+  def searchIvf(e: DataFrame, queryId: Long, centroidMod: Int,
+      nprobe: Int, m: Int, k: Int): DataFrame = {
+    import graft.functions.Portable.{dot, norm2, toDouble}
+    val vecs = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cents = vecs.filter(col("vec_id") % centroidMod === 1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qvd = vecs.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(qvd))
+      .select(col("cid"),
+        round(dot(col("qv"), col("cv")) /
+          sqrt(norm2(col("qv")) * norm2(col("cv"))), 6).as("cs"))
+      .orderBy(col("cs").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+
+    val q = IvfKmeans.quantize(e)
+    val mdl = model(q, centroidMod, m)
+    val cb = Ivf.codebook(e, centroidMod)
+    val qv = q.filter(col("vec_id") === queryId).head().getSeq[Long](1).toArray
+    // one pass: cell + quantized vector + M codes, all map-side
+    val encoded = e
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        graft.functions.IvfOps.nearestCol(col("v"), cb).as("cell"),
+        transform(col("v"), x => floor(x * lit(1e6)).cast("long")).as("q"))
+      .filter(col("cell").isNotNull)
+      .select((col("vec_id") +: col("cell") +: encodeCols(mdl)): _*)
+    encoded
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adcCol(mdl, qv).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(k)
+  }
 }

@@ -203,6 +203,15 @@ object Extensions {
     *
     * Output pins exact membership per cell: member count, removed
     * count, and the removed-id checksum.
+    *
+    * Flood robustness (same two-layer story as [[graft.ops.Dedup]]):
+    * BYTE-IDENTICAL embeddings all land in one cell regardless of K,
+    * and within-cell pairing is quadratic in the cell — so the
+    * pipeline ordering runs exact vector dedup (a groupBy on the
+    * vector hash, q21's move) BEFORE SemDeDup; identical copies
+    * collapse to one representative and the residual cell sizes are
+    * bounded by the codebook choice. DedupRobustnessSpec pins that
+    * composition on a 500-copy flood.
     */
   private val q89SemDedup = Q(
     "q89_semdedup",

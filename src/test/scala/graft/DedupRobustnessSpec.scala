@@ -79,4 +79,31 @@ class DedupRobustnessSpec extends AnyFunSuite {
     val capped = Dedup.candidates(bands, Some(50)).orderBy("a_id", "b_id").collect()
     assert(uncapped.sameElements(capped))
   }
+
+  test("SemDeDup flood: exact vector dedup first collapses identical copies") {
+    import spark.implicits._
+    // 500 byte-identical embeddings + 20 distinct ones: ALL copies land
+    // in one cell regardless of codebook size, so the q89-documented
+    // ordering (exact dedup on the vector hash BEFORE cluster-then-
+    // prune) is what bounds the within-cell pair space
+    val rnd = new scala.util.Random(31)
+    val flood = (0L until 500L).map(id => (id, Seq.fill(16)(1.0f)))
+    val distinctRows = (500L until 520L).map(id =>
+      (id, Seq.fill(16)(rnd.nextFloat())))
+    val e = (flood ++ distinctRows).toDF("vec_id", "embedding")
+    val deduped = e
+      .withColumn("vh", md5(col("embedding").cast("string")))
+      .withColumn("rep", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vh"))))
+      .filter(col("vec_id") === col("rep"))
+      .drop("vh", "rep")
+    assert(deduped.count() === 21) // 1 representative + 20 distinct
+    // the residual within-cell pair space is bounded by the survivor
+    // count, not the flood size: at most C(21,2) pairs remain possible
+    val cells = graft.search.Ivf.assignments(deduped, centroidMod = 5)
+      .groupBy("cell").agg(count(lit(1)).as("n")).collect()
+    val worst = cells.map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
+    assert(worst <= 21L * 20L / 2,
+      s"post-dedup pair space must be survivor-bounded, got $worst")
+  }
 }

@@ -142,5 +142,57 @@ object Cdc {
       FROM fin CROSS JOIN tot
       GROUP BY 1, 4 ORDER BY 1"""))
 
-  val queries: Seq[Q] = Seq(q44CdcMerge, q76StreamIngest)
+  /** q98: STREAMING backward as-of join through the driver gate — the
+    * third execution model of the as-of family (q79 composed window,
+    * q92 native operator, this one incremental): clicks and purchases
+    * arrive as ONE tagged file stream, drained `AvailableNow`, and
+    * [[graft.stream.StreamAsOf]] enriches each purchase with the
+    * latest preceding-or-equal click of the same user from O(1) keyed
+    * state. The oracle is q79's DuckDB `ASOF LEFT JOIN` — all three
+    * implementations are pinned to the same independent replay.
+    */
+  private val q98StreamAsof = Q(
+    "q98_stream_asof",
+    (s, d) => {
+      import s.implicits._
+      // fresh root per run: a reused streaming CHECKPOINT would treat
+      // the re-run's input as already processed (q76's pattern)
+      val root = Files.createTempDirectory("graft-sasof-").toString
+      val tagged = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("seq"),
+          (col("event_type") === "click").as("is_right"),
+          when(col("event_type") === "click", col("value"))
+            .otherwise(lit(0.0)).as("payload"))
+      tagged.write.parquet(s"$root/in")
+      val sdf = s.readStream.schema(tagged.schema).parquet(s"$root/in")
+        .as[graft.stream.StreamAsOf.Tagged]
+      val query = graft.stream.StreamAsOf.backward(sdf)
+        .writeStream.format("memory").queryName("q98_sasof")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table("q98_sasof")
+        .select(col("seq").as("purchase_id"), col("key").as("user_id"),
+          col("asof_seq").as("click_id"),
+          col("asof_payload").as("click_value"),
+          (unix_micros(col("ts")) - col("asof_ts_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+             FROM events WHERE event_type = 'purchase'),
+      c0 AS (SELECT user_id, ts, event_id, value AS click_value,
+               row_number() OVER (PARTITION BY user_id, ts
+                 ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id, ts, event_id, click_value FROM c0 WHERE rn = 1)
+      SELECT p.purchase_id, p.user_id, c.event_id AS click_id, c.click_value,
+        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
+  val queries: Seq[Q] = Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof)
 }

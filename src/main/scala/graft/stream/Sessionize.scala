@@ -28,7 +28,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is two window passes over the same user_id partitioning (one
   * exchange total).
   */
-object Sessionize {
+object Sessionize extends Serializable {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionAgg(
@@ -61,6 +61,20 @@ object Sessionize {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Full microsecond precision (shared concern with
+    * [[StreamAsOf]]): `Timestamp.getTime` alone truncates to
+    * milliseconds, which would make streaming gap comparisons coarser
+    * than the batch form's `unix_micros`.
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
   /** Incremental sessionization with custom keyed state. Emits each
     * session exactly once: mid-stream when a later event of the same
     * user arrives past the gap, or via event-time timeout once the
@@ -76,7 +90,7 @@ object Sessionize {
 
     def close(userId: Long, s: SessState): SessionAgg =
       SessionAgg(userId, s.emitted + 1,
-        new Timestamp(s.startUs / 1000L), new Timestamp(s.lastUs / 1000L),
+        tsFromMicros(s.startUs), tsFromMicros(s.lastUs),
         s.n, s.vsum)
 
     def fn(userId: Long, it: Iterator[Event], state: GroupState[SessState])
@@ -86,11 +100,11 @@ object Sessionize {
         state.remove()
         Iterator.single(out)
       } else {
-        val evs = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.value))
+        val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.value))
         val out = scala.collection.mutable.ArrayBuffer[SessionAgg]()
         var cur = state.getOption
         for (e <- evs) {
-          val us = e.ts.getTime * 1000L
+          val us = micros(e.ts)
           cur match {
             case Some(s) if us - s.lastUs > gapUs =>
               out += close(userId, s)

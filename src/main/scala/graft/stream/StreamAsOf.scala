@@ -29,7 +29,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * key's last activity + `idleEvictDelay` — idle keys leave the store,
   * so state is bounded by ACTIVE keys, not ever-seen keys.
   */
-object StreamAsOf {
+object StreamAsOf extends Serializable {
 
   case class Tagged(
       key: Long, ts: Timestamp, seq: Long, is_right: Boolean, payload: Double)

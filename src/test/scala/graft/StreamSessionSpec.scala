@@ -69,4 +69,42 @@ class StreamSessionSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(batch.size === 4)
   }
+
+  test("microsecond timestamps: streaming gap math matches batch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // events 1 µs apart around the gap boundary: getTime-based (ms)
+    // arithmetic would see a zero gap everywhere and fuse the sessions
+    def usTs(sec: Int, us: Int): Timestamp = {
+      val t = Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+      t.setNanos(us * 1000); t
+    }
+    val gapUs = 1000000L // 1 second
+    val fixture = Seq(
+      Event(7L, usTs(0, 100), 1.0),
+      Event(7L, usTs(1, 100), 2.0),  // gap exactly 1s: same session
+      Event(7L, usTs(2, 101), 4.0),  // gap 1s + 1µs: NEW session
+      Event(7L, usTs(2, 102), 8.0))
+    val input = MemoryStream[Event]
+    val query = Sessionize.streaming(input.toDS(), gapUs).writeStream
+      .format("memory").queryName("sessspec_us")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(fixture: _*)
+      query.processAllAvailable()
+      input.addData(Event(99L, Timestamp.valueOf("2026-01-01 13:00:00"), 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("sessspec_us").filter($"user_id" === 7L)
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val batch = Sessionize.batch(fixture.toDF(), gapUs)
+      .filter($"user_id" === 7L).collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(batch.size === 2, "1µs past the gap must open a new session")
+    assert(streamed === batch)
+  }
 }

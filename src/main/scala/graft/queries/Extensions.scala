@@ -194,12 +194,16 @@ object Extensions {
     *
     * Plan shape: cell assignment is the q47 seam — ONE codegen'd
     * argmax projection per row against the plan-bound codebook (no
-    * join, no exchange); the within-cell pair generation is a single
-    * self-join keyed on `cell`, whose per-key cardinality is bounded
-    * by construction (cluster size), so the shuffle cannot develop
-    * unbounded skew; pruning keeps the smallest vec_id of each
-    * ≥τ-similar pair (deterministic id-order greedy — the SQL-
-    * replayable variant of SemDeDup's keep-one-per-group).
+    * join, no exchange); within-cell pairing is the
+    * [[graft.ops.Dedup.bucketPairs]] shape WITH the vector payload:
+    * one groupBy(cell) collects each cluster (bounded by construction
+    * — the SemDeDup premise), member counts fall out of the same
+    * aggregation, and two pipelined generators emit the pairs — ONE
+    * corpus scan and ONE cell-keyed exchange, where the earlier
+    * two-sided self-join re-scanned and re-assigned the corpus three
+    * times. Pruning keeps the smallest vec_id of each ≥τ-similar pair
+    * (deterministic id-order greedy — the SQL-replayable variant of
+    * SemDeDup's keep-one-per-group).
     *
     * Output pins exact membership per cell: member count, removed
     * count, and the removed-id checksum.
@@ -222,14 +226,17 @@ object Extensions {
         .select(col("vec_id"), col("v"),
           graft.functions.IvfOps.nearestCol(col("v"), cb).as("cell"))
         .filter(col("cell").isNotNull)
-      val a = av.select(col("cell"), col("vec_id").as("a_id"), col("v").as("va"))
-      val b = av.select(col("cell"), col("vec_id").as("b_id"), col("v").as("vb"))
-      val removed = a.join(b, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(round(dot(col("va"), col("vb")) /
-          sqrt(norm2(col("va")) * norm2(col("vb"))), 6) >= 0.35)
-        .select(col("cell"), col("b_id")).distinct()
-      val members = av.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      val cells = av.groupBy("cell")
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("ms"))
+      val members = cells
+        .select(col("cell"), size(col("ms")).cast("long").as("n_members"))
+      val removed = cells
+        .select(col("cell"), explode(col("ms")).as("a"), col("ms"))
+        .select(col("cell"), col("a"), explode(col("ms")).as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .filter(round(dot(col("a.v"), col("b.v")) /
+          sqrt(norm2(col("a.v")) * norm2(col("b.v"))), 6) >= 0.35)
+        .select(col("cell"), col("b.vec_id").as("b_id")).distinct()
       val prunes = removed.groupBy("cell")
         .agg(count(lit(1)).as("n_removed"), sum(col("b_id")).as("removed_id_sum"))
       members.join(prunes, Seq("cell"), "left")

@@ -217,6 +217,204 @@ object Analytics {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q100: COUNT-MIN SKETCH frequency estimation — the mergeable
+    * point-query companion to q81 (cardinality) and q90 (heavy
+    * hitters): token frequencies approximated by a d=4 × w=16 counter
+    * grid where cell (i, h_i(w) mod 16) accumulates every occurrence
+    * hashing there and a token's estimate is the MINIMUM over its d
+    * cells — an upper bound with overcount ≤ N/w per row, never an
+    * undercount. The sketch build is the scale story: the corpus
+    * collapses to ≤ d·w = 64 counter rows in the map-side partial
+    * aggregate (counts on a bounded key space are algebraic), so NO
+    * vocabulary-sized state or exchange exists anywhere — vs the exact
+    * per-token count, which shuffles every distinct token. The probe
+    * set here is the full 31-token vocabulary (at 100 TB: a bounded
+    * watchlist riding a broadcast; the exact column exists only to
+    * report the true overcount). w=16 < |vocab|=31 is deliberately
+    * undersized so collisions actually exercise the min-estimator —
+    * with w ≥ 2/ε the same plan gives εN-accurate counts. All
+    * arithmetic is integer (md5-derived h32, counts, min), so the
+    * oracle replays the grid bit-for-bit.
+    */
+  private val q100CmsSketch = Q(
+    "q100_cms_sketch",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      def bucket(seed: Int, w: org.apache.spark.sql.Column) =
+        pmod(h32(concat(lit(s"$seed:"), w)), lit(16L))
+      val cells = array((0 until 4).map(i => bucket(i, col("w"))): _*)
+      val cms = toks
+        .select(posexplode(cells).as(Seq("seed", "b")))
+        .groupBy("seed", "b").agg(count(lit(1)).as("c"))
+      val probes = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      probes
+        .select(col("w"), col("exact_cnt"),
+          posexplode(cells).as(Seq("seed", "b")))
+        .join(broadcast(cms), Seq("seed", "b"))
+        .groupBy("w", "exact_cnt")
+        .agg(min(col("c")).as("est_cnt"))
+        .select(col("w"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overcount"))
+        .orderBy("w")
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      tt AS (SELECT w FROM t WHERE len(w) > 0),
+      seeds(i) AS (VALUES (0), (1), (2), (3)),
+      cms AS (SELECT i, CAST('0x' || substr(md5(i || ':' || w), 1, 8) AS BIGINT) % 16 AS b,
+                count(*) AS c
+              FROM tt CROSS JOIN seeds GROUP BY 1, 2),
+      ex AS (SELECT w, count(*) AS exact_cnt FROM tt GROUP BY 1),
+      pb AS (SELECT e.w, e.exact_cnt, min(c.c) AS est_cnt
+             FROM ex e CROSS JOIN seeds s
+             JOIN cms c ON c.i = s.i
+               AND c.b = CAST('0x' || substr(md5(s.i || ':' || e.w), 1, 8) AS BIGINT) % 16
+             GROUP BY 1, 2)
+      SELECT w, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+      FROM pb ORDER BY w"""),
+    bench = true)
+
+  /** q101: FUNNEL analysis — ordered view → click → purchase
+    * conversion with strict event-time sequencing (each stage's
+    * timestamp must follow the user's PREVIOUS stage, not merely
+    * exist), the canonical product-analytics query over an event
+    * stream. Three stage aggregations, each keyed on user_id: stage
+    * k's candidate events join the stage-(k-1) result on user_id
+    * before taking min(ts) — all three shuffles share the user_id
+    * key, so at 100 TB the stages co-partition (one real exchange,
+    * reused; the stage results themselves are |users|-sized, far
+    * smaller than the event table, and broadcast back). Gaps sum as
+    * integer microseconds.
+    */
+  private val q101Funnel = Q(
+    "q101_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id")
+        .filter(col("t") > col("t1"))
+        .groupBy("user_id").agg(min(col("t")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id")
+        .filter(col("t") > col("t2"))
+        .groupBy("user_id").agg(min(col("t")).as("t3"))
+      val gaps = p.join(v, "user_id")
+        .agg(count(lit(1)).as("n_purchase_users"),
+          sum(col("t3") - col("t1")).as("sum_view_to_purchase_us"))
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+        .crossJoin(gaps)
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      v AS (SELECT user_id, min(t) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.t) AS t2 FROM e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.t > v.t1 GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.t > c.t2 GROUP BY 1)
+      SELECT (SELECT count(*) FROM v) AS n_view_users,
+        (SELECT count(*) FROM c) AS n_click_users,
+        (SELECT count(*) FROM p) AS n_purchase_users,
+        (SELECT CAST(sum(p.t3 - v.t1) AS BIGINT)
+         FROM p JOIN v ON p.user_id = v.user_id) AS sum_view_to_purchase_us"""))
+
+  /** q102: RETENTION COHORTS — users grouped by first-activity week,
+    * tracked by distinct active weeks since; each (cohort, offset)
+    * cell reports how many of the cohort's users were active and the
+    * retention ratio vs the cohort's size (offset 0 contains every
+    * member by construction). Plan: the cohort assignment is a
+    * min-window over user_id (one shuffle), activity distinct-ifies on
+    * (cohort, offset, user) — both keyed on uniform ids; the ratio
+    * divides longs inside one final hundreds-of-rows aggregate.
+    * Weeks are integer microsecond division, so cohort boundaries are
+    * engine-exact.
+    */
+  private val q102Retention = Q(
+    "q102_retention",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 604800000000").as("wk"))
+        .withColumn("cohort_wk", min(col("wk")).over(byUser))
+        .select(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("week_offset"), col("user_id"))
+        .distinct()
+      val cells = act.groupBy("cohort_wk", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+      cells
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_users")))
+            .over(Window.partitionBy(col("cohort_wk"))))
+        .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy("cohort_wk", "week_offset")
+    },
+    Some("""WITH a AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      m AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM a),
+      act AS (SELECT DISTINCT cohort_wk, wk - cohort_wk AS week_offset, user_id
+              FROM m),
+      cells AS (SELECT cohort_wk, week_offset, count(*) AS n_users
+                FROM act GROUP BY 1, 2),
+      z AS (SELECT *, max(CASE WHEN week_offset = 0 THEN n_users END)
+              OVER (PARTITION BY cohort_wk) AS cohort_size FROM cells)
+      SELECT cohort_wk, week_offset, n_users,
+        round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+      FROM z ORDER BY cohort_wk, week_offset"""))
+
+  /** q103: PARTITION-PRUNED layout — the date-partitioned-table
+    * contract every 100 TB event store lives by: the table is written
+    * `partitionBy(day_id)` (Hive-style directory partitioning, the
+    * layout a production ingest maintains), and a day-filtered read
+    * must prune to that day's directory at PLANNING time — the scan
+    * never lists, opens, or row-filters the other 29 days. Like q91's
+    * zero-exchange assertion, the query ASSERTS the pruning on its own
+    * executed plan (`PartitionFilters` on the scan node + exactly one
+    * selected partition directory), so the layout contract is
+    * driver-gate-checked every run. The oracle replays the day filter
+    * over the raw events table — partitioning must be invisible in
+    * the values.
+    */
+  private val q103PartitionPrune = Q(
+    "q103_partition_prune",
+    (s, d) => {
+      val targetDay = 19737L // 2024-01-15
+      // fixed per-process scratch root + overwrite (q91's pattern)
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-daypart").getAbsolutePath
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("unix_micros(ts) DIV 86400000000").as("day_id"))
+        .write.mode("overwrite").partitionBy("day_id").parquet(root)
+      val pruned = s.read.parquet(root).filter(col("day_id") === targetDay)
+      val agg = pruned.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum6(col("value")).as("sum_value"))
+        .orderBy("event_type")
+      val plan = agg.queryExecution.executedPlan.toString
+      require(
+        raw"PartitionFilters: \[[^\]]*day_id".r.findFirstIn(plan).isDefined,
+        s"day filter must prune at planning time, not per row:\n$plan")
+      val scanned = pruned.select(input_file_name()).distinct().collect()
+        .map(r => r.getString(0).replaceAll("/[^/]*$", "")).distinct
+      require(scanned.length == 1 && scanned.head.endsWith(s"day_id=$targetDay"),
+        s"scan must touch exactly the target day's directory: ${scanned.toSeq}")
+      agg
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE epoch_us(ts) // 86400000000 = 19737
+      GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] =
-    Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin)
+    Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
+      q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune)
 }

@@ -194,5 +194,63 @@ object Cdc {
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 
-  val queries: Seq[Q] = Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof)
+  /** q99: SCD TYPE-2 HISTORY build — the warehouse-side complement of
+    * q44's last-wins state: instead of keeping only each key's final
+    * row, compress its upsert stream into validity intervals
+    * [effective_from, effective_to) that open whenever the tracked
+    * attribute (event_type) CHANGES, with the open interval flagged
+    * current. This is the standard slowly-changing-dimension shape a
+    * downstream as-of join (q79/q92/q98) consumes. Plan: one shuffle
+    * on user_id feeding two same-partitioning windows (change
+    * detection via lag, then versioning + interval close via
+    * row_number/lead — Catalyst plans a single Exchange reused by both
+    * sorts). Timestamps compare as integer microseconds so the oracle
+    * replays every boundary exactly.
+    */
+  private val q99Scd2History = Q(
+    "q99_scd2_history",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byKey = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ups = Tables.events(s, d)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val changes = ups
+        .withColumn("prev", lag(col("event_type"), 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("effective_from_us"), col("event_id"))
+        .withColumn("version", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("effective_from_us"), col("event_id"))).cast("long"))
+        .withColumn("effective_to_us", lead(col("effective_from_us"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("effective_from_us"), col("event_id"))))
+        .select(col("user_id"), col("version"), col("state"),
+          col("effective_from_us"), col("effective_to_us"),
+          col("effective_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH u AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+             FROM events WHERE event_type <> 'error'),
+      l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS prev FROM u),
+      ch AS (SELECT user_id, event_type AS state, ts_us, event_id
+             FROM l WHERE prev IS NULL OR prev <> event_type),
+      v AS (SELECT user_id, state, ts_us AS effective_from_us,
+              CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS BIGINT) AS version,
+              lead(ts_us) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS effective_to_us
+            FROM ch)
+      SELECT user_id, version, state, effective_from_us, effective_to_us,
+        effective_to_us IS NULL AS is_current
+      FROM v ORDER BY user_id, version"""),
+    bench = true)
+
+  val queries: Seq[Q] =
+    Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History)
 }

@@ -537,8 +537,55 @@ object Curation {
       SELECT doc_id, bm25, ce_score FROM re
       ORDER BY ce_score DESC, doc_id LIMIT 10"""))
 
+  /** q106: HASHED-FEATURE linear classifier — the fastText-style
+    * model-based quality filter (the third rung after q28's surface
+    * statistics and q93's bigram LM): each token hashes into one of
+    * 4096 feature buckets, each bucket carries a weight, and a
+    * document's margin is the mean bucket weight over its tokens —
+    * keep iff the summed weight is positive. The weights here are an
+    * honest deterministic stub (md5-derived integers in [-1000, 1000],
+    * standing in for trained millivalue weights — the q49/q94 stub
+    * pattern), which is exactly what makes the whole path
+    * oracle-replayable; a real model drops its quantized weights into
+    * the same bucket→weight map. Plan: the score is ONE map-side
+    * higher-order fold per row (hash → bucket → weight → integer sum),
+    * no explode, no shuffle before the output sort. The score stays an
+    * EXACT integer milli-weight sum end-to-end — a rounded mean
+    * margin would be a quotient that can land on decimal ties where
+    * the engines' rounding directions differ (the q93 lesson: wsum/
+    * (nt·1000) = 0.0648125 exactly is such a tie), and `keep` is
+    * sign-equivalent to the mean anyway. At 100 TB a trained weight
+    * table (4096 ints) rides the plan as a literal map or broadcast,
+    * never a join.
+    */
+  private val q106HashClassifier = Q(
+    "q106_hash_classifier",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val weight = (t: org.apache.spark.sql.Column) =>
+        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
+          lit(2001L)) - lit(1000L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+            .as("weight_milli_sum"))
+        .withColumn("keep", col("weight_milli_sum") > 0L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+              len(string_split(text, ' ')) AS nt
+            FROM documents),
+      sc AS (SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST('0x' || substr(md5('w:' ||
+                     CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000) AS BIGINT)
+                 AS weight_milli_sum
+             FROM ws GROUP BY doc_id)
+      SELECT doc_id, n_tokens, weight_milli_sum, weight_milli_sum > 0 AS keep
+      FROM sc ORDER BY doc_id"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
-      q94Rerank)
+      q94Rerank, q106HashClassifier)
 }

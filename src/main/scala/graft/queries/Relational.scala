@@ -563,10 +563,49 @@ object Relational {
       ORDER BY purchase_id"""),
     bench = true)
 
+  /** q105: ROLLUP / grouping-sets report — the multi-level revenue
+    * summary (per (returnflag, linestatus), per returnflag, grand
+    * total) computed in ONE pass: Catalyst plans rollup as an Expand
+    * (each input row fans out to its 3 grouping sets) feeding the same
+    * partial+final hash aggregate as a flat groupBy, so the three
+    * levels cost one shuffle instead of three queries — the Expand
+    * multiplies rows BEFORE the map-side combine, which collapses them
+    * to |groups|·3 immediately. GROUPING() flags disambiguate the
+    * NULL-as-ALL supergroup rows; sums go through exact decimals and
+    * the sort key coalesces the supergroup NULLs so row order is
+    * engine-independent.
+    */
+  private val q105Rollup = Q(
+    "q105_rollup",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("")),
+          coalesce(col("l_linestatus"), lit("")))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))
+          AS DOUBLE) AS revenue,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status,
+        coalesce(l_returnflag, ''), coalesce(l_linestatus, '')"""))
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
     q11LatestUpdate, q12Autocomplete, q13RegexExtract, q14DateParts,
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
-    q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin, q92AsofNative)
+    q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin,
+    q92AsofNative, q105Rollup)
 }

@@ -431,8 +431,63 @@ object Training {
         min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS p90_bin
       FROM cw GROUP BY 1 ORDER BY 1"""))
 
+  /** q107: TEMPERATURE-RESAMPLED language mix — the mC4/XLM-R rule for
+    * balancing a multilingual corpus: sampling weight q_l ∝ p_l^α
+    * (token share p_l, here α = 1/2 so the power is IEEE-exact sqrt in
+    * both engines), which up-samples tail languages and down-samples
+    * the head. Plan: ONE map-side-combinable per-language token count
+    * (the corpus's only pass), then all arithmetic runs on the
+    * |languages|-row result — the cross-language normalizer is a
+    * whole-frame window over those few rows, NOT over documents.
+    * Float discipline (the q93 lesson): each sqrt rounds into
+    * DECIMAL(10,6) before the exact decimal normalizer sum, so
+    * accumulation order cannot leak; final rates divide once and round
+    * to 6dp; the token allocation floors (truncating casts round-half
+    * differently across engines, floor does not).
+    */
+  private val q107TempMix = Q(
+    "q107_temp_mix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy()
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+      perLang
+        .withColumn("total", sum(col("n_tokens")).over(whole))
+        .withColumn("p", col("n_tokens").cast("double") / col("total").cast("double"))
+        .withColumn("sq", round(sqrt(col("p")), 6).cast("decimal(10,6)"))
+        .withColumn("tot_sq", sum(col("sq")).over(whole))
+        .withColumn("q_rate",
+          round(col("sq").cast("double") / col("tot_sq").cast("double"), 6))
+        .select(col("lang"), col("n_tokens"), round(col("p"), 6).as("p_share"),
+          col("q_rate"),
+          round(col("q_rate") / col("p"), 6).as("boost"),
+          floor(col("q_rate") * col("total").cast("double")).cast("long")
+            .as("alloc_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH lt AS (SELECT lang,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+      t AS (SELECT lang, n_tokens,
+              CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM lt),
+      s AS (SELECT lang, n_tokens, total,
+              CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+              CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                AS DECIMAL(10,6)) AS sq
+            FROM t),
+      z AS (SELECT *, sum(sq) OVER () AS tot_sq FROM s),
+      r AS (SELECT lang, n_tokens, total, p,
+              round(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE), 6) AS q_rate
+            FROM z)
+      SELECT lang, n_tokens, round(p, 6) AS p_share, q_rate,
+        round(q_rate / p, 6) AS boost,
+        CAST(floor(q_rate * CAST(total AS DOUBLE)) AS BIGINT) AS alloc_tokens
+      FROM r ORDER BY lang"""))
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
-    q95BinnedQuantiles)
+    q95BinnedQuantiles, q107TempMix)
 }

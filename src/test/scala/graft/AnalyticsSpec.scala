@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Invariant and differential checks for the analytics/curation
+  * additions (q99–q107) beyond their DuckDB oracles: the oracle pins
+  * exact values at one data set, these pin the ALGEBRAIC properties
+  * that must hold on any input (sketch overestimation, SCD2 interval
+  * chaining, linkage recall, funnel monotonicity).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    Registry.byName(name).fn(spark, dir)
+
+  // ---- q100: count-min sketch ---------------------------------------------
+
+  test("q100: CMS never undercounts and matches the naive grid") {
+    val rows = run("q100_cms_sketch").collect()
+    assert(rows.nonEmpty)
+    // upper-bound property: est >= exact for every probed token
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(r.getLong(3) === est - exact)
+    }
+    // differential: the distributed grid equals a single-threaded CMS
+    // built from the same tokens with the same md5-derived hashes
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().map(_.getString(0))
+    val grid = Array.fill(4, 16)(0L)
+    toks.foreach { w =>
+      for (i <- 0 until 4)
+        grid(i)((graft.functions.Portable.h32s(s"$i:$w") % 16).toInt) += 1
+    }
+    val exactCnt = toks.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val naiveEst = (0 until 4)
+        .map(i => grid(i)((graft.functions.Portable.h32s(s"$i:$w") % 16).toInt))
+        .min
+      assert(r.getLong(2) === naiveEst, s"grid mismatch for $w")
+      assert(r.getLong(1) === exactCnt(w))
+    }
+  }
+
+  // ---- q99: SCD Type-2 ----------------------------------------------------
+
+  test("q99: versions chain into gapless intervals with one open end") {
+    val rows = run("q99_scd2_history").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n with no gaps
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length.toLong),
+        s"user $user has version gaps")
+      // consecutive intervals chain exactly and states actually change
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user: interval gap at v${a._2}")
+          assert(a._3 !== b._3, s"user $user: no-op version v${b._2}")
+        case _ => ()
+      }
+      // exactly the last version is open/current
+      assert(sorted.init.forall(_._5.isDefined) && sorted.last._5.isEmpty,
+        s"user $user: open-interval invariant broken")
+    }
+  }
+
+  test("q99: as-of probe of the history equals the raw event stream") {
+    val hist = run("q99_scd2_history").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val ups = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // at every upsert's own timestamp, the newest open version must
+    // carry that upsert's state (last write wins within (t, event_id))
+    val byUserHist = hist.groupBy(_._1)
+    ups.groupBy(_._1).foreach { case (user, evs) =>
+      val lastState = evs.maxBy(e => (e._3, e._4))
+      val histLast = byUserHist(user).maxBy(_._3)
+      assert(histLast._2 === lastState._2,
+        s"user $user: history tail ${histLast._2} != stream tail ${lastState._2}")
+    }
+  }
+
+  // ---- q104: fuzzy linkage ------------------------------------------------
+
+  test("q104: every planted corruption links to its source at distance 1") {
+    val got = run("q104_fuzzy_linkage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val regIds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 13 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(regIds.nonEmpty)
+    val self = got.filter(p => p._1 == p._2).map(p => p._1 -> p._3).toMap
+    regIds.foreach { id =>
+      assert(self.get(id).contains(1L), s"reg $id missing its dist-1 source")
+    }
+  }
+
+  test("q104: blocked join equals the naive block-filtered cross product") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect()
+      .map { r =>
+        val title = r.getString(2).split(" ").take(6).mkString(" ")
+        (r.getLong(0), r.getString(1), title.split(" ").head, title)
+      }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (rid, rl, rb, rt) <- docs if rid % 13 == 0
+      q = rt.dropRight(1)
+      (cid, cl, cb, ct) <- docs
+      if rl == cl && rb == cb && lev(q, ct) <= 4
+    } yield (rid, cid, lev(q, ct).toLong)).toSet
+    val got = run("q104_fuzzy_linkage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  // ---- q101: funnel -------------------------------------------------------
+
+  test("q101: funnel stages are monotonically non-increasing") {
+    val r = run("q101_funnel").head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v, $c, $p")
+    assert(v > 0)
+  }
+}

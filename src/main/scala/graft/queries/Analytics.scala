@@ -414,7 +414,142 @@ object Analytics {
       FROM events WHERE epoch_us(ts) // 86400000000 = 19737
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q108: Z-ORDER LAYOUT — multi-dimensional data clustering for file
+    * skipping, the layout answer when queries filter on TWO columns
+    * (q103's directory partitioning only prunes its one partition
+    * key): interleaving the bits of (x, y) into a space-filling
+    * z-value makes rows close in BOTH dimensions close in the sort
+    * order, so equal-size "files" cut from the z-sorted order each
+    * cover a small (x, y) tile and a 2-D box predicate touches few of
+    * them. The query computes the z-value (pure bit arithmetic — the
+    * operator), models 64 equal files per layout (ntile over the
+    * z-order vs insertion order), and reports the box-query's file
+    * skipping under each: files scanned, rows scanned, rows matched —
+    * the z-order row should show ~an order fewer scanned rows for the
+    * same matches. At 100 TB the modeled ntile becomes the real
+    * writer's `repartitionByRange(z).sortWithinPartitions(z)` (sampled
+    * boundaries, so per-file stats are not oracle-replayable — the
+    * ntile model is the deterministic twin) and skipping becomes
+    * parquet row-group min/max pruning on the persisted z column.
+    */
+  private val q108ZorderLayout = Q(
+    "q108_zorder_layout",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = pmod(col("user_id"), lit(256L))
+      val y = pmod(floor(col("value")).cast("long"), lit(256L))
+      val z = (0 until 8).map(i =>
+        (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+          (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))))
+        .reduce(_ + _)
+      val base = Tables.events(s, d)
+        .select(col("event_id"), x.as("x"), y.as("y"), z.as("z"))
+        .withColumn("in_box",
+          col("x").between(64, 127) && col("y").between(32, 95))
+        .withColumn("chunk_z",
+          ntile(64).over(Window.orderBy(col("z"), col("event_id"))))
+        .withColumn("chunk_l",
+          ntile(64).over(Window.orderBy(col("event_id"))))
+      def stats(chunkCol: String, label: String) = base
+        .groupBy(col(chunkCol).as("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("in_box"), 1L).otherwise(0L)).as("n_box"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_box") > 0, 1L).otherwise(0L)).as("n_chunks_scanned"),
+          sum(when(col("n_box") > 0, col("n_rows")).otherwise(0L))
+            .as("n_rows_scanned"),
+          sum(col("n_box")).as("n_rows_matched"))
+        .select(lit(label).as("layout"), col("n_chunks"),
+          col("n_chunks_scanned"), col("n_rows_scanned"), col("n_rows_matched"))
+      stats("chunk_z", "zorder").unionAll(stats("chunk_l", "linear"))
+        .orderBy(col("layout").desc)
+    },
+    Some {
+      val zSql = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT event_id, user_id % 256 AS x,
+              CAST(floor(value) AS BIGINT) % 256 AS y FROM events),
+        zz AS (SELECT event_id, x, y, $zSql AS z,
+                 (x BETWEEN 64 AND 127 AND y BETWEEN 32 AND 95) AS in_box
+               FROM b),
+        c AS (SELECT *, ntile(64) OVER (ORDER BY z, event_id) AS chunk_z,
+                ntile(64) OVER (ORDER BY event_id) AS chunk_l FROM zz),
+        sz AS (SELECT chunk_z AS chunk, count(*) AS n_rows,
+                 sum(CASE WHEN in_box THEN 1 ELSE 0 END) AS n_box
+               FROM c GROUP BY 1),
+        sl AS (SELECT chunk_l AS chunk, count(*) AS n_rows,
+                 sum(CASE WHEN in_box THEN 1 ELSE 0 END) AS n_box
+               FROM c GROUP BY 1),
+        az AS (SELECT 'zorder' AS layout, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN n_box > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_chunks_scanned,
+                 CAST(sum(CASE WHEN n_box > 0 THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS n_rows_scanned,
+                 CAST(sum(n_box) AS BIGINT) AS n_rows_matched FROM sz),
+        al AS (SELECT 'linear' AS layout, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN n_box > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_chunks_scanned,
+                 CAST(sum(CASE WHEN n_box > 0 THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS n_rows_scanned,
+                 CAST(sum(n_box) AS BIGINT) AS n_rows_matched FROM sl)
+        SELECT * FROM az UNION ALL SELECT * FROM al ORDER BY layout DESC"""
+    })
+
+  /** q110: REFERENTIAL-INTEGRITY AUDIT — orphan detection across the
+    * star schema's foreign keys plus the one edge synthetic reality
+    * breaks (events.user_id drawn from a wider range than the customer
+    * dimension), the standard pre-training/pre-publish data-quality
+    * gate. Each relationship is a left join onto the parent's key set
+    * with a null-parent count — Catalyst broadcasts the small parent
+    * key sets; the fact-to-fact edge (lineitem→orders) shuffles on its
+    * uniform key at scale, same as the q04 join it audits. One row per
+    * relationship, so the audit composes into a scheduled freshness/
+    * quality dashboard (SURVEY S13's family).
+    */
+  private val q110FkAudit = Q(
+    "q110_fk_audit",
+    (s, d) => {
+      def audit(label: String, child: org.apache.spark.sql.DataFrame,
+          key: String, parent: org.apache.spark.sql.DataFrame,
+          pkey: String) =
+        child.select(col(key))
+          .join(parent.select(col(pkey)).distinct(),
+            col(key) === col(pkey), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col(pkey).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(label).as("relationship"), col("n_child"),
+            col("n_orphans"))
+      audit("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")
+        .unionAll(audit("events->customer", Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey"))
+        .unionAll(audit("lineitem->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .unionAll(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("relationship")
+    },
+    Some("""SELECT 'customer->nation' AS relationship, count(*) AS n_child,
+        CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_orphans
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'events->customer', count(*),
+        CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events e LEFT JOIN customer cu ON e.user_id = cu.c_custkey
+      UNION ALL
+      SELECT 'lineitem->orders', count(*),
+        CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders->customer', count(*),
+        CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
+      ORDER BY relationship"""))
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
-      q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune)
+      q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
+      q108ZorderLayout, q110FkAudit)
 }

@@ -584,8 +584,59 @@ object Curation {
       SELECT doc_id, n_tokens, weight_milli_sum, weight_milli_sum > 0 AS keep
       FROM sc ORDER BY doc_id"""))
 
+  /** q109: CROSS-DOCUMENT DUPLICATED-SPAN fraction — per document, how
+    * much of it is 4-gram text shared with ANY other document (the
+    * Lee-et-al-style "duplicated substring" signal, between q85's
+    * whole-passage granularity and q22/q23's whole-document verdicts):
+    * documents scoring high are assembled from corpus-common text even
+    * when no single near-dup partner exists. Plan: shingle document
+    * frequency is a partial-agg groupBy on the uniform h32 key
+    * (map-side combine collapses repeats before the exchange), the
+    * df ≥ 2 survivors — only ACTUALLY-duplicated shingles, the small
+    * tail by construction in a deduplicated corpus — join back on the
+    * same uniform key, and the per-doc rollup keys on doc_id. The
+    * flag compares integers (2·n_dup ≥ n) rather than emitting a
+    * rounded ratio quotient (the q93/q106 tie lesson).
+    */
+  private val q109DupSpans = Q(
+    "q109_dup_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.Hash32.shingleHashes(col("text")))
+            .as("hs"))
+      val exploded = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      val shared = exploded.groupBy("h")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("h"))
+      val dup = exploded.join(shared, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      docs.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_shingles"))
+        .withColumn("mostly_dup",
+          col("n_dup_shingles") * 2 >= col("n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      ns AS (SELECT doc_id, count(*) AS n_shingles FROM th GROUP BY 1),
+      df AS (SELECT h FROM th GROUP BY h HAVING count(*) >= 2),
+      dup AS (SELECT t.doc_id, count(*) AS n_dup
+              FROM th t JOIN df ON t.h = df.h GROUP BY 1)
+      SELECT n.doc_id, n.n_shingles,
+        coalesce(d.n_dup, 0) AS n_dup_shingles,
+        coalesce(d.n_dup, 0) * 2 >= n.n_shingles AS mostly_dup
+      FROM ns n LEFT JOIN dup d ON n.doc_id = d.doc_id
+      ORDER BY n.doc_id"""),
+    bench = true)
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
-      q94Rerank, q106HashClassifier)
+      q94Rerank, q106HashClassifier, q109DupSpans)
 }

@@ -251,6 +251,186 @@ object Cdc {
       FROM v ORDER BY user_id, version"""),
     bench = true)
 
+  /** q111: INCREMENTAL VIEW MAINTENANCE — q76 maintains its matview by
+    * full recompute after each batch; this entry maintains the same
+    * grouped aggregate (per-last_type key count + value sum) purely
+    * from per-batch DELTAS via [[graft.stream.Ivm]]: +Δ from the
+    * batch's surviving upserts, −Δ from the previous snapshot's rows
+    * whose keys leave it. The view is materialized (versioned parquet)
+    * after every batch and the NEXT step reads the materialized copy,
+    * so no step ever re-derives history — the oracle then proves five
+    * chained delta applications land bit-identical to the closed-form
+    * final state (exact-decimal cancellation; the q93 float
+    * discipline applied to subtraction). At 100 TB this is SURVEY
+    * T5's scale path: per-batch cost is the delta + affected keys,
+    * not a table rescan.
+    */
+  private val q111MatviewIvm = Q(
+    "q111_matview_ivm",
+    (s, d) => {
+      import graft.stream.Ivm
+      val root = Files.createTempDirectory("graft-ivm-").toString
+      val store = new TableStore(s, s"$root/store", "user_id")
+      val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
+      def upserts(b: Int) = ev.filter(col("batch") === b)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"),
+          struct(col("ts"), col("event_id")).as("seq"))
+      def tombstones(b: Int) = ev.filter(col("batch") === b)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"))
+
+      var view: Option[org.apache.spark.sql.DataFrame] = None
+      for (b <- 0 until 5) {
+        val prev = store.snapshot("state")
+        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
+        val next = Ivm.applyDelta(
+          view, prev, Ivm.lastWins(upserts(b), "user_id"),
+          tombstones(b).unionByName(upserts(b).select("user_id")),
+          "user_id", "last_type", "last_value")
+        next.write.mode("overwrite").parquet(s"$root/view/v${b + 1}")
+        view = Some(s.read.parquet(s"$root/view/v${b + 1}"))
+      }
+      view.get
+        .select(col("last_type"), col("n_keys"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy("last_type")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+            event_id % 5 AS batch, (event_type = 'error') AS is_del FROM events),
+      lu AS (SELECT user_id, event_type AS last_type, value AS last_value, batch,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+             FROM ev WHERE NOT is_del),
+      lu1 AS (SELECT * FROM lu WHERE rn = 1),
+      ld AS (SELECT user_id, max(batch) AS del_batch FROM ev WHERE is_del GROUP BY 1),
+      fin AS (SELECT u.user_id, u.last_type, u.last_value
+              FROM lu1 u LEFT JOIN ld d ON u.user_id = d.user_id
+              WHERE d.del_batch IS NULL OR u.batch >= d.del_batch)
+      SELECT last_type, count(*) AS n_keys,
+        CAST(sum(CAST(last_value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
+  /** q112: snapshot TIME TRAVEL — the versioned-snapshot store reads
+    * state "as of" an earlier merge (after batch 2) next to the final
+    * state, and counts the keys whose row changed between the two —
+    * the audit/debug/reproducibility query a lakehouse table format
+    * answers from retained versions. Reading v3 is a plain scan of a
+    * retained directory (no log replay); the change count is one full
+    * outer join keyed on user_id. The oracle recomputes both closed
+    * forms (batches ≤ 2 and all 5) and their diff from the raw events.
+    */
+  private val q112TimeTravel = Q(
+    "q112_time_travel",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-tt-").toString
+      val store = new TableStore(s, root, "user_id")
+      val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
+      def upserts(b: Int) = ev.filter(col("batch") === b)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"),
+          struct(col("ts"), col("event_id")).as("seq"))
+      def tombstones(b: Int) = ev.filter(col("batch") === b)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"))
+      for (b <- 0 until 5)
+        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
+
+      val asof = store.snapshotAt("state", 3).get
+      val fin = store.snapshot("state").get
+      def summarize(df: org.apache.spark.sql.DataFrame, prefix: String) =
+        df.agg(count(lit(1)).as(s"${prefix}_keys"),
+          graft.functions.Portable.dsum6(col("last_value")).as(s"${prefix}_sum"))
+      val changed = fin
+        .select(col("user_id"), struct(col("last_type"), col("last_value")).as("a"))
+        .join(asof.select(col("user_id"),
+          struct(col("last_type"), col("last_value")).as("b")), Seq("user_id"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .agg(count(lit(1)).as("n_keys_changed"))
+      summarize(asof, "v3").crossJoin(summarize(fin, "final")).crossJoin(changed)
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+            event_id % 5 AS batch, (event_type = 'error') AS is_del FROM events),
+      lu3 AS (SELECT user_id, event_type AS last_type, value AS last_value, batch,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+             FROM ev WHERE NOT is_del AND batch <= 2),
+      s3 AS (SELECT u.user_id, u.last_type, u.last_value
+             FROM (SELECT * FROM lu3 WHERE rn = 1) u
+             LEFT JOIN (SELECT user_id, max(batch) AS db FROM ev
+                        WHERE is_del AND batch <= 2 GROUP BY 1) d
+               ON u.user_id = d.user_id
+             WHERE d.db IS NULL OR u.batch >= d.db),
+      lu AS (SELECT user_id, event_type AS last_type, value AS last_value, batch,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+             FROM ev WHERE NOT is_del),
+      sf AS (SELECT u.user_id, u.last_type, u.last_value
+             FROM (SELECT * FROM lu WHERE rn = 1) u
+             LEFT JOIN (SELECT user_id, max(batch) AS db FROM ev
+                        WHERE is_del GROUP BY 1) d
+               ON u.user_id = d.user_id
+             WHERE d.db IS NULL OR u.batch >= d.db),
+      a3 AS (SELECT count(*) AS v3_keys,
+               CAST(sum(CAST(last_value AS DECIMAL(28,6))) AS DOUBLE) AS v3_sum
+             FROM s3),
+      af AS (SELECT count(*) AS final_keys,
+               CAST(sum(CAST(last_value AS DECIMAL(28,6))) AS DOUBLE) AS final_sum
+             FROM sf),
+      ch AS (SELECT count(*) AS n_keys_changed
+             FROM sf f FULL OUTER JOIN s3 a ON f.user_id = a.user_id
+             WHERE f.user_id IS NULL OR a.user_id IS NULL
+               OR f.last_type <> a.last_type OR f.last_value <> a.last_value)
+      SELECT * FROM a3 CROSS JOIN af CROSS JOIN ch"""))
+
+  /** q114: STREAMING event-time tumbling windows through the driver
+    * gate — the oracle-checked twin of StreamWindowSpec (T7): events
+    * ride a file stream, a 10-minute watermark bounds state, and
+    * 6-hour windows × event_type counts emit in APPEND mode exactly
+    * when the watermark passes their end. The drained AvailableNow
+    * result is therefore NOT "group by window over everything":
+    * trailing windows the final watermark (max event time − 10 min)
+    * never passed stay open and must be absent — the oracle replays
+    * precisely that cutoff (all boundaries in integer microseconds;
+    * the watermark's internal ms precision sits hours from any 6-hour
+    * boundary here). Single-batch input ⇒ nothing is ever late, so
+    * dropped-late-row semantics stay pinned by the spec, emission
+    * semantics by this entry. State at 100 TB: one row per open
+    * (window, type) — bounded by the watermark horizon, the reason
+    * append-mode windowed aggregation streams indefinitely.
+    */
+  private val q114StreamWindow = Q(
+    "q114_stream_window",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-swin-").toString
+      val src = Tables.events(s, d).select(col("ts"), col("event_type"))
+      src.write.parquet(s"$root/in")
+      val agg = s.readStream.schema(src.schema).parquet(s"$root/in")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n"))
+      s.catalog.dropTempView("q114_win")
+      val query = agg.writeStream.format("memory").queryName("q114_win")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table("q114_win").orderBy("w_start_us", "event_type")
+    },
+    Some("""WITH m AS (SELECT epoch_us(max(ts)) AS mx_us FROM events),
+      w AS (SELECT epoch_us(ts) // 21600000000 * 21600000000 AS w_start_us,
+              event_type FROM events),
+      c AS (SELECT w_start_us, event_type, count(*) AS n FROM w GROUP BY 1, 2)
+      SELECT c.w_start_us, c.event_type, c.n FROM c CROSS JOIN m
+      WHERE c.w_start_us + 21600000000 <= m.mx_us - 600000000
+      ORDER BY 1, 2"""))
+
   val queries: Seq[Q] =
-    Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History)
+    Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
+      q111MatviewIvm, q112TimeTravel, q114StreamWindow)
 }

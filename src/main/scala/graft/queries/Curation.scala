@@ -635,8 +635,60 @@ object Curation {
       ORDER BY n.doc_id"""),
     bench = true)
 
+  /** q113: COLLOCATION MINING — the corpus's top-20 token bigrams by
+    * Dice association (2·n_ab / (n_a + n_b), scaled to exact integer
+    * millionths), the classic phrase-detection statistic (word2vec's
+    * phrase pass, n-gram vocabulary induction): high-Dice bigrams are
+    * pairs that predict each other, not merely pairs of frequent
+    * tokens — which is why the measure needs the unigram counts and a
+    * corpus-level view, unlike q68's within-document repetition. Plan:
+    * bigram and unigram counts are two partial-agg groupBys on bounded
+    * key spaces (vocabulary² worst case, vocabulary here); the tiny
+    * unigram table joins in twice as a broadcast; top-20 is
+    * TakeOrderedAndProject. The score is floor-divided integer
+    * millionths — no float ever exists, so ranking and values are
+    * engine-exact (the q106 discipline).
+    */
+  private val q113Collocations = Q(
+    "q113_collocations",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val bigrams = Tables.documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(explode(expr(
+          """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+             (t, i) -> concat(t, ' ', element_at(split(text, ' '), i + 2)))"""))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n_ab"))
+      val unigrams = Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      bigrams
+        .withColumn("wa", split(col("g"), " ").getItem(0))
+        .withColumn("wb", split(col("g"), " ").getItem(1))
+        .join(broadcast(unigrams.select(col("w").as("wa"), col("n").as("n_a"))), "wa")
+        .join(broadcast(unigrams.select(col("w").as("wb"), col("n").as("n_b"))), "wb")
+        .select(col("g").as("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(2 * n_ab * 1000000) DIV (n_a + n_b)").as("dice_e6"))
+        .orderBy(col("dice_e6").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(w)),
+               i -> concat_ws(' ', w[i], w[i+1]))) AS g
+             FROM ws WHERE len(w) >= 2),
+      bc AS (SELECT g, count(*) AS n_ab FROM bg GROUP BY 1),
+      uc AS (SELECT unnest(w) AS tok FROM ws),
+      u AS (SELECT tok, count(*) AS n FROM uc GROUP BY 1)
+      SELECT b.g AS bigram, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+        (2 * b.n_ab * 1000000) // (ua.n + ub.n) AS dice_e6
+      FROM bc b
+      JOIN u ua ON string_split(b.g, ' ')[1] = ua.tok
+      JOIN u ub ON string_split(b.g, ' ')[2] = ub.tok
+      ORDER BY dice_e6 DESC, bigram LIMIT 20"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
-      q94Rerank, q106HashClassifier, q109DupSpans)
+      q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations)
 }

@@ -64,6 +64,18 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     versions(table).lastOption.map(v =>
       spark.read.parquet(s"${tableDir(table)}/v$v"))
 
+  /** TIME TRAVEL: the snapshot as of merge `version` (1-based — the
+    * state after the version-th applied batch), or None if that
+    * version does not exist. Versioned snapshot directories are
+    * retained by design (each merge writes v(n+1) and never rewrites
+    * history), so reading an old version is a plain scan — the
+    * lakehouse time-travel contract, with vacuuming left to a
+    * retention policy exactly as in production table formats.
+    */
+  def snapshotAt(table: String, version: Int): Option[DataFrame] =
+    versions(table).find(_ == version).map(v =>
+      spark.read.parquet(s"${tableDir(table)}/v$v"))
+
   /** Applied source_filenames across ALL tables (audit view). */
   def appliedFiles(): Set[String] = {
     if (!Files.exists(Paths.get(logDir))) Set.empty

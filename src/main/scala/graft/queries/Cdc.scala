@@ -430,7 +430,116 @@ object Cdc {
       WHERE c.w_start_us + 21600000000 <= m.mx_us - 600000000
       ORDER BY 1, 2"""))
 
+  /** q116: snapshot VACUUM — the retention policy that bounds q112's
+    * time-travel horizon: after the five q44 merges, keep only the
+    * newest two versions. The query ASSERTS the horizon on the store
+    * itself (v3 unreadable, v4/v5 readable — the driver-gated-contract
+    * pattern of q91/q103) and outputs the removal accounting next to
+    * the final state's aggregate, which vacuuming must not disturb.
+    * Counts are constants of the 5-batch construction, so the oracle
+    * replays them as literals beside the closed-form state.
+    */
+  private val q116Vacuum = Q(
+    "q116_vacuum",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-vac-").toString
+      val store = new TableStore(s, root, "user_id")
+      val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
+      for (b <- 0 until 5)
+        store.merge("state",
+          ev.filter(col("batch") === b && col("event_type") =!= "error")
+            .select(col("user_id"), col("event_type").as("last_type"),
+              col("value").as("last_value"),
+              struct(col("ts"), col("event_id")).as("seq")),
+          ev.filter(col("batch") === b && col("event_type") === "error")
+            .select(col("user_id")),
+          s"batch_$b")
+      val removed = store.vacuum("state", keepLast = 2)
+      require(store.snapshotAt("state", 3).isEmpty,
+        "vacuumed version must be unreadable")
+      require(store.snapshotAt("state", 4).isDefined &&
+        store.snapshotAt("state", 5).isDefined,
+        "retained versions must stay readable")
+      store.snapshot("state").get
+        .agg(count(lit(1)).as("n_keys"),
+          graft.functions.Portable.dsum6(col("last_value")).as("sum_value"))
+        .select(lit(removed.toLong).as("n_versions_removed"),
+          lit(2L).as("n_versions_kept"), col("n_keys"), col("sum_value"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+            event_id % 5 AS batch, (event_type = 'error') AS is_del FROM events),
+      lu AS (SELECT user_id, value AS last_value, batch,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+             FROM ev WHERE NOT is_del),
+      lu1 AS (SELECT * FROM lu WHERE rn = 1),
+      ld AS (SELECT user_id, max(batch) AS del_batch FROM ev WHERE is_del GROUP BY 1),
+      fin AS (SELECT u.user_id, u.last_value
+              FROM lu1 u LEFT JOIN ld d ON u.user_id = d.user_id
+              WHERE d.del_batch IS NULL OR u.batch >= d.del_batch)
+      SELECT CAST(3 AS BIGINT) AS n_versions_removed,
+        CAST(2 AS BIGINT) AS n_versions_kept,
+        count(*) AS n_keys,
+        CAST(sum(CAST(last_value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM fin"""))
+
+  /** q117: SCHEMA-EVOLVING MERGE — the ADD-COLUMN drift every
+    * long-lived CDC feed eventually ships (the reference's jsonb
+    * records absorb it silently; a columnar store must evolve the
+    * schema): batches 0–1 carry the original shape, batches 2–4 add a
+    * `channel` column. TableStore.merge widens the snapshot via
+    * allowMissingColumns union — rows whose last write predates the
+    * column read NULL, later writes fill it. The per-(last_type,
+    * channel) rollup pins both populations; the oracle derives
+    * channel only for winners from batch ≥ 2.
+    */
+  private val q117SchemaEvolution = Q(
+    "q117_schema_evolution",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-se-").toString
+      val store = new TableStore(s, root, "user_id")
+      val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
+      def base(b: Int) = ev
+        .filter(col("batch") === b && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"),
+          struct(col("ts"), col("event_id")).as("seq"))
+      for (b <- 0 until 5) {
+        val ups =
+          if (b < 2) base(b)
+          else base(b).withColumn("channel",
+            concat(lit("ch_"), pmod(col("seq.event_id"), lit(3L)).cast("string")))
+        store.merge("state", ups,
+          ev.filter(col("batch") === b && col("event_type") === "error")
+            .select(col("user_id")),
+          s"batch_$b")
+      }
+      store.snapshot("state").get
+        .groupBy("last_type", "channel")
+        .agg(count(lit(1)).as("n_keys"),
+          graft.functions.Portable.dsum6(col("last_value")).as("sum_value"))
+        .orderBy(col("last_type"), coalesce(col("channel"), lit("")))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+            event_id % 5 AS batch, (event_type = 'error') AS is_del FROM events),
+      lu AS (SELECT user_id, event_type AS last_type, value AS last_value,
+               batch, event_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+             FROM ev WHERE NOT is_del),
+      lu1 AS (SELECT * FROM lu WHERE rn = 1),
+      ld AS (SELECT user_id, max(batch) AS del_batch FROM ev WHERE is_del GROUP BY 1),
+      fin AS (SELECT u.last_type, u.last_value,
+                CASE WHEN u.batch >= 2
+                  THEN 'ch_' || CAST(u.event_id % 3 AS VARCHAR) END AS channel
+              FROM lu1 u LEFT JOIN ld d ON u.user_id = d.user_id
+              WHERE d.del_batch IS NULL OR u.batch >= d.del_batch)
+      SELECT last_type, channel, count(*) AS n_keys,
+        CAST(sum(CAST(last_value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM fin GROUP BY 1, 2 ORDER BY last_type, coalesce(channel, '')"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
-      q111MatviewIvm, q112TimeTravel, q114StreamWindow)
+      q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
+      q117SchemaEvolution)
 }

@@ -687,8 +687,104 @@ object Curation {
       JOIN u ub ON string_split(b.g, ' ')[2] = ub.tok
       ORDER BY dice_e6 DESC, bigram LIMIT 20"""))
 
+  /** q118: MMR-DIVERSIFIED top-k — maximal marginal relevance over the
+    * BM25 candidates (the near-dup-aware third stage of the retrieval
+    * ladder after q83's scoring and q94's rerank): greedily pick 5 of
+    * the top-20, each step maximizing 0.7·relevance − 0.3·max-
+    * similarity-to-already-selected, so two near-identical
+    * high-scoring documents cannot both occupy the page. Everything is
+    * integer-exact: relevance is the 6-dp BM25 score in millionths,
+    * similarity the q113 Dice measure over distinct token sets
+    * (token-level overlap is the right lexical-diversity granularity
+    * for a results page — 4-gram shingles are near-dup forensics, and
+    * on this corpus no two top-20 candidates share one, which would
+    * leave the diversity term dead), and
+    * the MMR objective is kept ×10 (7·rel − 3·sim) so no division
+    * ever happens (a floor-divide's rounding direction differs across
+    * engines for negative operands). The candidate page is bounded
+    * (≤20) by the top-k stage, so the inherently sequential greedy
+    * runs on the collected page — the q90 bounded-candidate pattern;
+    * the oracle replays all five selection steps as unrolled SQL
+    * layers over the same pairwise-similarity table.
+    */
+  private val q118MmrDiversify = Q(
+    "q118_mmr_diversify",
+    (s, d) => {
+      import s.implicits._
+      val cands = bm25Scored(s, d)
+        .select(col("doc_id"),
+          (col("score").cast("decimal(10,6)") * 1000000).cast("long")
+            .as("rel_e6"))
+        .orderBy(col("rel_e6").desc, col("doc_id")).limit(20)
+      val hs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(transform(tokens(col("text")), t => h32(t))).as("hs"))
+      val page = cands.join(hs, "doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[scala.collection.Seq[Long]]("hs").toSet))
+        .sortBy(p => (-p._2, p._1))
+      def dice(a: Set[Long], b: Set[Long]): Long =
+        2L * a.intersect(b).size * 1000000L / (a.size + b.size)
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+      for (rank <- 1 to 5) {
+        val best = page
+          .filter(p => !selected.exists(_._1 == p._1))
+          .map { case (id, rel, sh) =>
+            val ms = if (selected.isEmpty) 0L
+              else selected.map(q => dice(sh, q._2)).max
+            (id, rel, ms, 7L * rel - 3L * ms)
+          }
+          .maxBy(t => (t._4, -t._1))
+        picked += ((rank.toLong, best._1, best._2, best._3, best._4))
+        selected += ((best._1, page.find(_._1 == best._1).get._3))
+      }
+      picked.toSeq.toDF("rank", "doc_id", "rel_e6", "max_sim_e6", "mmr_x10_e6")
+        .orderBy("rank")
+    },
+    Some {
+      val layers = (2 to 5).map { t =>
+        s"""ms$t AS (SELECT s.a_id, max(s.sim_e6) AS ms
+               FROM sim s JOIN sel${t - 1} q ON s.b_id = q.doc_id GROUP BY 1),
+          mt$t AS (SELECT c.doc_id, c.rel_e6, coalesce(m.ms, 0) AS ms
+               FROM cand c LEFT JOIN ms$t m ON c.doc_id = m.a_id
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${t - 1})),
+          p$t AS (SELECT CAST($t AS BIGINT) AS rank, doc_id, rel_e6,
+                 CAST(ms AS BIGINT) AS max_sim_e6,
+                 7 * rel_e6 - 3 * ms AS mmr_x10_e6
+               FROM mt$t ORDER BY 7 * rel_e6 - 3 * ms DESC, doc_id LIMIT 1),
+          sel$t AS (SELECT doc_id FROM sel${t - 1}
+               UNION ALL SELECT doc_id FROM p$t)"""
+      }.mkString(",\n      ")
+      s"""WITH $bm25ScoredCtes,
+      cand AS (SELECT doc_id,
+            CAST(CAST(score AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS rel_e6
+          FROM scored ORDER BY rel_e6 DESC, doc_id LIMIT 20),
+      cws AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS tok
+          FROM documents d JOIN cand c ON d.doc_id = c.doc_id),
+      th AS (SELECT DISTINCT doc_id,
+            CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM cws),
+      sz AS (SELECT doc_id, count(*) AS n FROM th GROUP BY 1),
+      inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS ni
+          FROM th x JOIN th y ON x.h = y.h AND x.doc_id <> y.doc_id
+          GROUP BY 1, 2),
+      sim AS (SELECT i.a_id, i.b_id,
+            (2 * i.ni * 1000000) // (sa.n + sb.n) AS sim_e6
+          FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+          JOIN sz sb ON sb.doc_id = i.b_id),
+      p1 AS (SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel_e6,
+            CAST(0 AS BIGINT) AS max_sim_e6, 7 * rel_e6 AS mmr_x10_e6
+          FROM cand ORDER BY rel_e6 DESC, doc_id LIMIT 1),
+      sel1 AS (SELECT doc_id FROM p1),
+      $layers
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+      UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5 ORDER BY rank"""
+    })
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
-      q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations)
+      q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations,
+      q118MmrDiversify)
 }

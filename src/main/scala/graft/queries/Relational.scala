@@ -601,11 +601,60 @@ object Relational {
       ORDER BY g_flag, g_status,
         coalesce(l_returnflag, ''), coalesce(l_linestatus, '')"""))
 
+  /** q115: SIX-TABLE STAR JOIN (the TPC-H Q5 shape) — local-supplier
+    * revenue per nation inside one region: lineitem ⋈ orders ⋈
+    * customer ⋈ supplier ⋈ nation ⋈ region, with the
+    * customer-and-supplier-share-a-nation predicate and a date range.
+    * The plan this must produce at 100 TB: region→nation prune first
+    * (broadcast), customer and supplier reduce to broadcast key maps,
+    * and the only real shuffles are the two fact joins
+    * (lineitem⋈orders on orderkey — q91's bucketed layout removes
+    * even that one). Catalyst's join reorder + AQE get exactly that
+    * from the declarative form; the date filter pushes into the
+    * orders scan. Revenue goes through exact decimals.
+    */
+  private val q115StarJoin = Q(
+    "q115_star_join",
+    (s, d) => {
+      val nations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= "1996-01-01" &&
+              col("o_orderdate") < "1998-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n.n_name, count(*) AS n_items,
+        CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND c.c_nationkey = s.s_nationkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY revenue DESC, n_name"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
     q11LatestUpdate, q12Autocomplete, q13RegexExtract, q14DateParts,
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
     q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin,
-    q92AsofNative, q105Rollup)
+    q92AsofNative, q105Rollup, q115StarJoin)
 }

@@ -76,6 +76,28 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     versions(table).find(_ == version).map(v =>
       spark.read.parquet(s"${tableDir(table)}/v$v"))
 
+  /** RETENTION: drop all but the newest `keepLast` snapshot versions —
+    * the vacuum that bounds the q112 time-travel horizon (exactly the
+    * production table-format contract: readers of the latest snapshot
+    * are unaffected; as-of reads older than the horizon fail). Returns
+    * the number of versions removed. The update_log is an audit table
+    * and is never vacuumed.
+    */
+  def vacuum(table: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val drop = versions(table).dropRight(keepLast)
+    drop.foreach { v =>
+      val dir = Paths.get(s"${tableDir(table)}/v$v")
+      val stream = Files.walk(dir)
+      try {
+        val it = stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      } finally stream.close()
+    }
+    drop.size
+  }
+
   /** Applied source_filenames across ALL tables (audit view). */
   def appliedFiles(): Set[String] = {
     if (!Files.exists(Paths.get(logDir))) Set.empty
@@ -212,13 +234,20 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
         mergedTombstones.add(tombstones.count())
         dedupedUpserts
       case Some(old) =>
+        // allowMissingColumns = ADD-COLUMN schema evolution (the Delta/
+        // Iceberg mergeSchema contract): a batch introducing a new
+        // column widens the snapshot, surviving old rows read NULL for
+        // it, and a batch missing a known column leaves NULLs — the
+        // reference's jsonb columns absorb exactly this drift silently
+        // (pubmed.py upserts whole records). Same-schema batches are
+        // unaffected.
         old
           .join(tombstones
               .observe(obsTomb, count(lit(1)).as("n"))
               .select(col(tombstones.columns.head).as(keyCol)),
             Seq(keyCol), "left_anti")
           .join(upserts.select(keyCol), Seq(keyCol), "left_anti")
-          .unionByName(dedupedUpserts)
+          .unionByName(dedupedUpserts, allowMissingColumns = true)
     }
 
     val bootstrap = next eq dedupedUpserts

@@ -548,8 +548,60 @@ object Analytics {
       FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
       ORDER BY relationship"""))
 
+  /** q119: SEQUENCE-PATTERN MATCHING (CEP-lite, the MATCH_RECOGNIZE
+    * family): each user's event history becomes an ordered
+    * single-char-code string and behavioral patterns are counted as
+    * regex matches over it — `vc+p` (view, ≥1 clicks, purchase) and
+    * `vp` (view-to-purchase direct) here. Unlike q101's fixed
+    * three-stage funnel, the pattern language composes arbitrarily
+    * (alternation, repetition, optionality) at zero plan cost. Plan:
+    * ONE shuffle on user_id into a sort-free aggregate
+    * (`array_sort(collect_list(struct))` orders each user locally —
+    * no window, partial aggregation stays enabled), then the regex
+    * runs map-side per user. Both engines' regex dialects agree on
+    * leftmost, non-overlapping matching for this backtracking-free
+    * pattern class (kept inside the RE2 ∩ java.util.regex subset, the
+    * q82 discipline). At 100 TB per-user strings are bounded by
+    * sessionizing first (q75) — the per-key payload is the documented
+    * cost, exactly as in any MATCH_RECOGNIZE engine.
+    */
+  private val q119SequenceMatch = Q(
+    "q119_sequence_match",
+    (s, d) => {
+      val seq = array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("code")))),
+          x => x.getField("code")), "")
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("code"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), seq.as("seq"))
+        .select(col("user_id"), col("n_events"),
+          size(regexp_extract_all(col("seq"), lit("vc+p"), lit(0)))
+            .cast("long").as("n_funnel_paths"),
+          size(regexp_extract_all(col("seq"), lit("vp"), lit(0)))
+            .cast("long").as("n_direct_paths"))
+        .withColumn("converted",
+          col("n_funnel_paths") + col("n_direct_paths") > 0)
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+              substr(event_type, 1, 1) AS code FROM events),
+      sq AS (SELECT user_id, count(*) AS n_events,
+               string_agg(code, '' ORDER BY ts_us, event_id) AS seq
+             FROM c GROUP BY 1)
+      SELECT user_id, n_events,
+        CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_funnel_paths,
+        CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_direct_paths,
+        len(regexp_extract_all(seq, 'vc+p')) + len(regexp_extract_all(seq, 'vp'))
+          > 0 AS converted
+      FROM sq ORDER BY user_id"""),
+    bench = true)
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
       q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
-      q108ZorderLayout, q110FkAudit)
+      q108ZorderLayout, q110FkAudit, q119SequenceMatch)
 }

@@ -538,8 +538,72 @@ object Cdc {
         CAST(sum(CAST(last_value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       FROM fin GROUP BY 1, 2 ORDER BY last_type, coalesce(channel, '')"""))
 
+  /** q120: STREAMING FUNNEL — q101's strict-sequence conversion as an
+    * incremental stage machine ([[graft.stream.StreamFunnel]]): each
+    * user holds O(1) state (current stage + its open time), every
+    * stage advance emits exactly one transition row in append mode,
+    * and because the machine is monotone the drained transition set
+    * equals the batch t1/t2/t3 closed form — which the DuckDB oracle
+    * computes independently (argmin with (ts, event_id) tiebreak per
+    * stage). Fifth execution model in the streaming family (CDC
+    * ingest, sessionize, as-of, windows, funnel), all driver-gated.
+    */
+  private val q120StreamFunnel = Q(
+    "q120_stream_funnel",
+    (s, d) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-sfun-").toString
+      val staged = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("seq"),
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .otherwise(3).as("stage"))
+      staged.write.parquet(s"$root/in")
+      val sdf = s.readStream.schema(staged.schema).parquet(s"$root/in")
+        .as[graft.stream.StreamFunnel.Ev]
+      s.catalog.dropTempView("q120_fun")
+      val query = graft.stream.StreamFunnel.run(sdf)
+        .writeStream.format("memory").queryName("q120_fun")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table("q120_fun")
+        .select(col("key").as("user_id"), col("stage"), col("ts_us"),
+          col("seq"))
+        .orderBy("user_id", "stage")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+             FROM events),
+      v AS (SELECT user_id, t, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY t, event_id) AS rn
+            FROM e WHERE event_type = 'view'),
+      s1 AS (SELECT user_id, t AS t1, event_id AS q1 FROM v WHERE rn = 1),
+      c AS (SELECT e.user_id, e.t, e.event_id,
+              row_number() OVER (PARTITION BY e.user_id
+                ORDER BY e.t, e.event_id) AS rn
+            FROM e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.t > s1.t1),
+      s2 AS (SELECT user_id, t AS t2, event_id AS q2 FROM c WHERE rn = 1),
+      p AS (SELECT e.user_id, e.t, e.event_id,
+              row_number() OVER (PARTITION BY e.user_id
+                ORDER BY e.t, e.event_id) AS rn
+            FROM e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.t > s2.t2),
+      s3 AS (SELECT user_id, t AS t3, event_id AS q3 FROM p WHERE rn = 1)
+      SELECT user_id, CAST(1 AS INTEGER) AS stage, t1 AS ts_us, q1 AS seq FROM s1
+      UNION ALL
+      SELECT user_id, CAST(2 AS INTEGER), t2, q2 FROM s2
+      UNION ALL
+      SELECT user_id, CAST(3 AS INTEGER), t3, q3 FROM s3
+      ORDER BY user_id, stage"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
-      q117SchemaEvolution)
+      q117SchemaEvolution, q120StreamFunnel)
 }

@@ -589,34 +589,36 @@ object Curation {
     * Lee-et-al-style "duplicated substring" signal, between q85's
     * whole-passage granularity and q22/q23's whole-document verdicts):
     * documents scoring high are assembled from corpus-common text even
-    * when no single near-dup partner exists. Plan: shingle document
-    * frequency is a partial-agg groupBy on the uniform h32 key
-    * (map-side combine collapses repeats before the exchange), the
+    * when no single near-dup partner exists. Plan: TWO shuffles total,
+    * both on uniform keys — shingle document frequency partial-aggs on
+    * h32 (map-side combine collapses repeats before the exchange); the
     * df ≥ 2 survivors — only ACTUALLY-duplicated shingles, the small
-    * tail by construction in a deduplicated corpus — join back on the
-    * same uniform key, and the per-doc rollup keys on doc_id. The
-    * flag compares integers (2·n_dup ≥ n) rather than emitting a
-    * rounded ratio quotient (the q93/q106 tie lesson).
+    * tail by construction in a deduplicated corpus (38.5k of ~2M at
+    * sf0.1) — broadcast BACK onto the exploded stream as a left-join
+    * flag, so one doc_id rollup computes n_shingles and n_dup together
+    * (the join+regroup form re-scanned the corpus three times: 1.65 s
+    * → 1.05 s at sf0.1, the residue being the df-build scan itself; a survivor set too big to broadcast routes
+    * through the q86 Bloom seam instead). The flag compares integers
+    * (2·n_dup ≥ n) rather than emitting a rounded ratio quotient (the
+    * q93/q106 tie lesson).
     */
   private val q109DupSpans = Q(
     "q109_dup_spans",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      def exploded = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"),
-          array_distinct(graft.functions.Hash32.shingleHashes(col("text")))
-            .as("hs"))
-      val exploded = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+          explode(array_distinct(graft.functions.Hash32.shingleHashes(col("text"))))
+            .as("h"))
       val shared = exploded.groupBy("h")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)
-        .select(col("h"))
-      val dup = exploded.join(shared, "h")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-      docs.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
-        .join(dup, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup_shingles"))
+        .select(col("h"), lit(1).as("is_shared"))
+      exploded.join(broadcast(shared), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("is_shared").isNotNull, 1L).otherwise(0L))
+            .as("n_dup_shingles"))
         .withColumn("mostly_dup",
           col("n_dup_shingles") * 2 >= col("n_shingles"))
         .orderBy("doc_id")

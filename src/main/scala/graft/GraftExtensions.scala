@@ -18,14 +18,17 @@ import org.apache.spark.sql.SparkSessionExtensions
   * The extension surface is deliberately small: almost every operator
   * is expressed through the declarative DataFrame API (so Catalyst
   * keeps optimizing it), per-row hot loops are native expressions
-  * (the brief's preference order (a)/(b)), and the ONE whole-operator
-  * physical node — the backward as-of join, whose exchange shape no
-  * composition can reproduce (see [[graft.plans.AsOfJoin]]) — is the
-  * single planner strategy (preference (c)).
+  * (the brief's preference order (a)/(b)), and the TWO whole-operator
+  * physical nodes — the backward as-of join, whose exchange shape no
+  * composition can reproduce (see [[graft.plans.AsOfJoin]]), and the
+  * broadcast range join, whose search replaces BroadcastNestedLoop's
+  * enumeration (see [[graft.plans.RangeJoin]]) — are the planner
+  * strategies (preference (c)).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

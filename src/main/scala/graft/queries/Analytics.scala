@@ -48,7 +48,15 @@ object Analytics {
             .as("n_purchases"))
         .orderBy("window_id")
     },
-    Some("""WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS s_us
+    Some(rangeJoinOracle),
+    bench = true)
+
+  /** Shared by q80 (composed bin-blocked form) and q123 (native
+    * operator) — the two implementations are pinned to the same
+    * independent DuckDB inequality-join replay, the q79/q92 pairing.
+    */
+  private def rangeJoinOracle: String =
+    """WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS s_us
              FROM events WHERE event_type = 'error' AND value >= 200)
       SELECT w.window_id, count(*) AS n_events,
         count(DISTINCT e.user_id) AS n_users,
@@ -56,8 +64,7 @@ object Analytics {
           AS BIGINT) AS n_purchases
       FROM w JOIN events e
         ON epoch_us(e.ts) >= w.s_us AND epoch_us(e.ts) < w.s_us + 1800000000
-      GROUP BY 1 ORDER BY 1"""),
-    bench = true)
+      GROUP BY 1 ORDER BY 1"""
 
   /** q81: KMV DISTINCT-COUNT SKETCH — per-source distinct-shingle
     * cardinality estimated by the k-minimum-values aggregator
@@ -600,8 +607,52 @@ object Analytics {
       FROM sq ORDER BY user_id"""),
     bench = true)
 
+  /** q123: the NATIVE range-join operator
+    * ([[graft.plans.RangeJoin]] — logical node + strategy +
+    * [[graft.plans.BroadcastRangeJoinExec]]) on q80's exact workload
+    * and oracle: the second operator family taken to the
+    * custom-operator ladder's rung (c) beside the as-of join
+    * (q79 composed / q92 native pairing). The exec broadcasts the
+    * interval side and answers each point by binary search + a
+    * prefix-max-end cut — O(|P|·log |I| + output) instead of
+    * BroadcastNestedLoop's O(|P|·|I|) — with NO shuffle and NO bin
+    * duplication of either side (the point side stays in its scan
+    * stage; the composed q80 form explodes intervals into bins and
+    * exchanges both sides). The query also ASSERTS the plan shape:
+    * its own executed plan must contain the custom exec node and no
+    * Exchange below the aggregation.
+    */
+  private val q123RangeNative = Q(
+    "q123_range_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      val windows = ev
+        .filter(col("event_type") === "error" && col("value") >= 200.0)
+        .select(col("event_id").as("window_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + 1800000000L).as("end_us"))
+      val joined = graft.plans.NativeRange.pointsInIntervals(
+        ev.select(col("ts_us"), col("user_id"), col("event_type")),
+        "ts_us", windows, "start_us", "end_us")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastRangeJoin"),
+        s"native range join must plan the custom exec:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"neither join side may shuffle:\n$plan")
+      joined
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .orderBy("window_id")
+    },
+    Some(rangeJoinOracle),
+    bench = true)
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
       q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
-      q108ZorderLayout, q110FkAudit, q119SequenceMatch)
+      q108ZorderLayout, q110FkAudit, q119SequenceMatch, q123RangeNative)
 }

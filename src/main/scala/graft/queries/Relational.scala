@@ -650,11 +650,81 @@ object Relational {
       GROUP BY 1 ORDER BY revenue DESC, n_name"""),
     bench = true)
 
+  /** q121: JSON column processing — the reference keeps whole records
+    * in jsonb and queries into them (SURVEY §1.2); here the events
+    * table's `props` JSON is parsed ONCE per row into a typed struct
+    * (`from_json` with an explicit schema — codegen'd, no UDF; the
+    * stringly `get_json_object` path would re-parse per extraction)
+    * and the extracted field drives bucketing and aggregation. At
+    * 100 TB the parse is scan-stage work that pipelines into the
+    * partial aggregate; the real lesson is the SILVER-layer rule:
+    * parse jsonb once into typed columns at ingest, exactly what this
+    * projection does.
+    */
+  private val q121JsonExtract = Q(
+    "q121_json_extract",
+    (s, d) => {
+      val k = from_json(col("props"), lit("k BIGINT")).getField("k")
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), k.as("k"))
+        .groupBy(expr("k DIV 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          dsum6(col("value")).as("sum_value"))
+        .orderBy("k_bucket")
+    },
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+          AS k_bucket,
+        count(*) AS n, count(DISTINCT event_type) AS n_types,
+        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** q122: PIVOT / UNPIVOT round trip — per-user event counts widen to
+    * one column per event type (`groupBy.pivot` with the value list
+    * EXPLICIT, so the plan is a single pass with no distinct-values
+    * pre-query and the output schema is deterministic), then melt back
+    * to long form via `unpivot` and aggregate — proving the reshape
+    * loses nothing. The oracle computes the long-form result straight
+    * from the raw events, so any pivot/unpivot asymmetry (dropped
+    * zero rows, column-order dependence) would break the hash. Pivot
+    * at scale is the same single shuffle as the flat groupBy (the
+    * type dimension is bounded); zero-count cells materialize as 0s
+    * and unpivot back out, which is why the oracle's count filters
+    * them.
+    */
+  private val q122PivotUnpivot = Q(
+    "q122_pivot_unpivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+      wide
+        .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          max(col("n")).as("max_per_user"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+        count(*) AS n_events,
+        CAST(max(c) AS BIGINT) AS max_per_user
+      FROM (SELECT event_type, user_id, count(*) OVER
+              (PARTITION BY event_type, user_id) AS c FROM events)
+      GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
     q11LatestUpdate, q12Autocomplete, q13RegexExtract, q14DateParts,
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
     q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin,
-    q92AsofNative, q105Rollup, q115StarJoin)
+    q92AsofNative, q105Rollup, q115StarJoin, q121JsonExtract,
+    q122PivotUnpivot)
 }

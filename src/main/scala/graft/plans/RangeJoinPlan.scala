@@ -109,14 +109,83 @@ case class BroadcastRangeJoinExec(
     val broadcastRelation = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { pIter =>
-      // build once per partition from the broadcast rows: intervals
-      // sorted by start, with a prefix-max of ends for the leftward cut
-      val rRows = broadcastRelation.value
-      val startOrd = UnsafeProjection.create(Seq(startE: org.apache.spark.sql.catalyst.expressions.Expression), rOut)
-      val endOrd = UnsafeProjection.create(Seq(endE: org.apache.spark.sql.catalyst.expressions.Expression), rOut)
+      // sorted-interval index built ONCE PER EXECUTOR per broadcast
+      // value (BroadcastHashJoin's relation-sharing discipline) — a
+      // per-partition rebuild would redo the copy+sort |tasks| times
+      val idx = BroadcastRangeJoinExec.indexFor(
+        broadcastRelation.value, startE, endE, rOut)
+      val n = idx.starts.length
+
+      val tsProj = UnsafeProjection.create(Seq(tsE: org.apache.spark.sql.catalyst.expressions.Expression), lOut)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+
+      pIter.flatMap { l =>
+        val tsRow = tsProj(l)
+        if (tsRow.isNullAt(0) || n == 0) Iterator.empty
+        else {
+          val ts = tsRow.getLong(0)
+          // binary search: hi = index AFTER the last start <= ts
+          var lo = 0; var hi = n
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (idx.starts(mid) <= ts) lo = mid + 1 else hi = mid
+          }
+          val upper = lo
+          new Iterator[InternalRow] {
+            private var j = upper - 1
+            private var ready: InternalRow = _
+            private def seek(): Unit = {
+              while (ready == null && j >= 0 && idx.prefixMaxEnd(j) > ts) {
+                if (idx.ends(j) > ts) ready = idx.rows(j)
+                j -= 1
+              }
+            }
+            override def hasNext: Boolean = { seek(); ready != null }
+            override def next(): InternalRow = {
+              seek()
+              val r = ready; ready = null
+              outProj(joined(l, r))
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+object BroadcastRangeJoinExec {
+
+  /** Immutable per-executor index over a broadcast interval array:
+    * intervals sorted by start with a prefix-max of ends.
+    */
+  final class SortedIntervals(
+      val starts: Array[Long],
+      val ends: Array[Long],
+      val rows: Array[InternalRow],
+      val prefixMaxEnd: Array[Long])
+
+  // WeakHashMap keyed on the broadcast's value array: entries die with
+  // the broadcast block (GC), so the cache cannot outlive the data it
+  // indexes; synchronized because executor task threads share it.
+  private val cache =
+    new java.util.WeakHashMap[Array[InternalRow], SortedIntervals]
+
+  private[plans] def indexFor(
+      rRows: Array[InternalRow],
+      startE: Attribute,
+      endE: Attribute,
+      rOut: Seq[Attribute]): SortedIntervals = cache.synchronized {
+    val hit = cache.get(rRows)
+    if (hit != null) hit
+    else {
+      val startProj = UnsafeProjection.create(
+        Seq(startE: org.apache.spark.sql.catalyst.expressions.Expression), rOut)
+      val endProj = UnsafeProjection.create(
+        Seq(endE: org.apache.spark.sql.catalyst.expressions.Expression), rOut)
       val triples = rRows.flatMap { r =>
-        val s = startOrd(r)
-        val e = endOrd(r)
+        val s = startProj(r)
+        val e = endProj(r)
         if (s.isNullAt(0) || e.isNullAt(0)) None
         else Some((s.getLong(0), e.getLong(0), r.copy()))
       }.sortBy(t => t._1)
@@ -133,41 +202,9 @@ case class BroadcastRangeJoinExec(
         runMax = math.max(runMax, ends(i)); prefixMaxEnd(i) = runMax
         i += 1
       }
-
-      val tsProj = UnsafeProjection.create(Seq(tsE: org.apache.spark.sql.catalyst.expressions.Expression), lOut)
-      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-
-      pIter.flatMap { l =>
-        val tsRow = tsProj(l)
-        if (tsRow.isNullAt(0) || n == 0) Iterator.empty
-        else {
-          val ts = tsRow.getLong(0)
-          // binary search: hi = index AFTER the last start <= ts
-          var lo = 0; var hi = n
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (starts(mid) <= ts) lo = mid + 1 else hi = mid
-          }
-          val upper = lo
-          new Iterator[InternalRow] {
-            private var j = upper - 1
-            private var ready: InternalRow = _
-            private def seek(): Unit = {
-              while (ready == null && j >= 0 && prefixMaxEnd(j) > ts) {
-                if (ends(j) > ts) ready = rows(j)
-                j -= 1
-              }
-            }
-            override def hasNext: Boolean = { seek(); ready != null }
-            override def next(): InternalRow = {
-              seek()
-              val r = ready; ready = null
-              outProj(joined(l, r))
-            }
-          }
-        }
-      }
+      val built = new SortedIntervals(starts, ends, rows, prefixMaxEnd)
+      cache.put(rRows, built)
+      built
     }
   }
 }

@@ -395,9 +395,10 @@ object Analytics {
     "q103_partition_prune",
     (s, d) => {
       val targetDay = 19737L // 2024-01-15
-      // fixed per-process scratch root + overwrite (q91's pattern)
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-daypart").getAbsolutePath
+      // fresh scratch per run: a fixed machine-wide dir would race with
+      // a concurrent verify/test JVM overwriting it mid-scan
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-daypart-").toString
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"),
           expr("unix_micros(ts) DIV 86400000000").as("day_id"))
@@ -475,8 +476,9 @@ object Analytics {
       val zSql = (0 until 8).map(i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
         .mkString(" + ")
-      s"""WITH b AS (SELECT event_id, user_id % 256 AS x,
-              CAST(floor(value) AS BIGINT) % 256 AS y FROM events),
+      s"""WITH b AS (SELECT event_id, ((user_id % 256) + 256) % 256 AS x,
+              ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS y
+            FROM events),
         zz AS (SELECT event_id, x, y, $zSql AS z,
                  (x BETWEEN 64 AND 127 AND y BETWEEN 32 AND 95) AS in_box
                FROM b),

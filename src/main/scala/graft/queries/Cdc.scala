@@ -512,7 +512,7 @@ object Cdc {
         store.merge("state", ups,
           ev.filter(col("batch") === b && col("event_type") === "error")
             .select(col("user_id")),
-          s"batch_$b")
+          s"batch_$b", allowSchemaEvolution = true)
       }
       store.snapshot("state").get
         .groupBy("last_type", "channel")

@@ -674,7 +674,8 @@ object Relational {
           dsum6(col("value")).as("sum_value"))
         .orderBy("k_bucket")
     },
-    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+    Some("""SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT)
+            - (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)) // 10
           AS k_bucket,
         count(*) AS n, count(DISTINCT event_type) AS n_types,
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,

@@ -205,7 +205,19 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     * if `sourceFilename` was already logged (idempotent re-run).
     */
   def merge(table: String, upserts: DataFrame, tombstones: DataFrame,
-      sourceFilename: String): Boolean = {
+      sourceFilename: String): Boolean =
+    merge(table, upserts, tombstones, sourceFilename,
+      allowSchemaEvolution = false)
+
+  /** As [[merge]]; `allowSchemaEvolution = true` additionally accepts
+    * ADD-COLUMN drift (see the union note below). Evolution is OPT-IN,
+    * exactly like production formats' mergeSchema: the default strict
+    * union keeps failing loudly on a misspelled or missing column, so
+    * one malformed batch cannot silently pollute the table schema
+    * forever.
+    */
+  def merge(table: String, upserts: DataFrame, tombstones: DataFrame,
+      sourceFilename: String, allowSchemaEvolution: Boolean): Boolean = {
     if (isApplied(table, sourceFilename)) return false
     mergedBatches.add(1)
 
@@ -234,20 +246,20 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
         mergedTombstones.add(tombstones.count())
         dedupedUpserts
       case Some(old) =>
-        // allowMissingColumns = ADD-COLUMN schema evolution (the Delta/
-        // Iceberg mergeSchema contract): a batch introducing a new
-        // column widens the snapshot, surviving old rows read NULL for
-        // it, and a batch missing a known column leaves NULLs — the
-        // reference's jsonb columns absorb exactly this drift silently
-        // (pubmed.py upserts whole records). Same-schema batches are
-        // unaffected.
+        // allowMissingColumns (opt-in) = ADD-COLUMN schema evolution
+        // (the Delta/Iceberg mergeSchema contract): a batch introducing
+        // a new column widens the snapshot, surviving old rows read
+        // NULL for it — the reference's jsonb columns absorb exactly
+        // this drift silently (pubmed.py upserts whole records). Under
+        // the strict default, any schema mismatch is an AnalysisException.
         old
           .join(tombstones
               .observe(obsTomb, count(lit(1)).as("n"))
               .select(col(tombstones.columns.head).as(keyCol)),
             Seq(keyCol), "left_anti")
           .join(upserts.select(keyCol), Seq(keyCol), "left_anti")
-          .unionByName(dedupedUpserts, allowMissingColumns = true)
+          .unionByName(dedupedUpserts,
+            allowMissingColumns = allowSchemaEvolution)
     }
 
     val bootstrap = next eq dedupedUpserts

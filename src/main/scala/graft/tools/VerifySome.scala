@@ -7,39 +7,43 @@ import org.apache.spark.sql.SparkSession
   * queries (plus their oracle entries) so scripts/compare.py checks
   * just those. Usage: runMain graft.tools.VerifySome <sfDir> <outDir>
   * q1 q2 ...
+  *
+  * Mirrors Verify's contract: same session config (SPARK_GRAFT_CPUS
+  * honored), same shared JSON escaper (Verify.jsonEscape — the two
+  * tools cannot emit divergent oracle_sql.json), per-query failure
+  * isolation, and a clear error for an unknown query name.
   */
 object VerifySome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val names = args.drop(2).toSeq
+    val unknown = names.filterNot(graft.queries.Registry.byName.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — known names are " +
+        s"${graft.queries.Registry.all.map(_.name).sorted.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      val q = graft.queries.Registry.byName(name)
-      q.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try graft.queries.Registry.byName(name).fn(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify-some] $name failed: ${e.getMessage}")
+      }
     }
-    def esc(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = names
       .flatMap(n => graft.queries.Registry.byName(n).oracle.map(n -> _))
-      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+      .map { case (k, v) =>
+        s"${graft.Verify.jsonEscape(k)}: ${graft.Verify.jsonEscape(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

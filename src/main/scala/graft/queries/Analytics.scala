@@ -653,8 +653,106 @@ object Analytics {
     Some(rangeJoinOracle),
     bench = true)
 
+  /** q124: COLUMN PROFILING — the ANALYZE-TABLE statistics pass (row
+    * count, null count, exact NDV, min/max per column) every
+    * cost-based optimizer and data catalog runs; emitted long-form,
+    * one row per profiled lineitem column. Plan: ONE scan computes
+    * every measure in a single global aggregate (Catalyst plans the
+    * multi-countDistinct via one Expand — |columns|× the scan rows,
+    * collapsed immediately by the map-side partial), and the 1-row
+    * result unpivots to the report. At 100 TB exact NDV is the
+    * documented cost of catalog-grade stats; the mergeable estimate
+    * path is q81's KMV seam.
+    */
+  private val q124Profile = Q(
+    "q124_profile",
+    (s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+      val one = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      cols.map(c => one.select(lit(c).as("column"), col("n_rows"),
+          col(s"nn_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value")))
+        .reduce(_ unionAll _)
+        .orderBy("column")
+    },
+    Some {
+      val rows = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount").map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_nulls,
+            count(DISTINCT $c) AS ndv,
+            CAST(min($c) AS DOUBLE) AS min_value,
+            CAST(max($c) AS DOUBLE) AS max_value
+          FROM lineitem""").mkString("\n      UNION ALL\n      ")
+      s"""$rows
+      ORDER BY "column""""
+    })
+
+  /** q125: CONSTRAINT VALIDATION — the dbt-style declarative test
+    * suite (not_null, unique, accepted_values, relationship) evaluated
+    * in one report: each check is an aggregate or anti-join counting
+    * VIOLATIONS, so the whole contract of a table is one scan-bounded
+    * query per check and the dashboard row is (check, n_violations,
+    * passed). Complements q110 (which audits only FK edges): these are
+    * the column-level invariants a curation pipeline gates a publish
+    * on. Uniqueness aggregates on the key (uniform, partial-agg);
+    * accepted-values and not-null die in the scan stage.
+    */
+  private val q125Constraints = Q(
+    "q125_constraints",
+    (s, d) => {
+      def row(name: String, viol: org.apache.spark.sql.DataFrame) =
+        viol.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"),
+            (col("n_violations") === 0L).as("passed"))
+      val orders = Tables.orders(s, d)
+      val notNull = row("orders.o_custkey not_null",
+        orders.filter(col("o_custkey").isNull))
+      val unique = row("orders.o_orderkey unique",
+        orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1))
+      val accepted = row("orders.o_orderstatus accepted_values",
+        orders.filter(!col("o_orderstatus").isin("O", "F", "P")))
+      val rel = row("orders.o_custkey relationship(customer)",
+        orders.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti"))
+      notNull.unionAll(unique).unionAll(accepted).unionAll(rel)
+        .orderBy("check_name")
+    },
+    Some("""SELECT 'orders.o_custkey not_null' AS check_name,
+        count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations,
+        count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderkey unique',
+        (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+          GROUP BY 1 HAVING count(*) > 1)),
+        (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+          GROUP BY 1 HAVING count(*) > 1)) = 0
+      UNION ALL
+      SELECT 'orders.o_orderstatus accepted_values',
+        count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+        count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_custkey relationship(customer)',
+        (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+      ORDER BY check_name"""))
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
       q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
-      q108ZorderLayout, q110FkAudit, q119SequenceMatch, q123RangeNative)
+      q108ZorderLayout, q110FkAudit, q119SequenceMatch, q123RangeNative,
+      q124Profile, q125Constraints)
 }

@@ -486,8 +486,64 @@ object Training {
         CAST(floor(q_rate * CAST(total AS DOUBLE)) AS BIGINT) AS alloc_tokens
       FROM r ORDER BY lang"""))
 
+  /** q126: INCREMENTAL corpus dedup — the continuous-ingest form of
+    * q23: a NEW batch of documents (doc_id % 5 = 0) is deduplicated
+    * AGAINST THE EXISTING corpus, not within itself — the decision a
+    * nightly pipeline actually makes ("is this incoming doc a near-dup
+    * of anything we already hold?"). Both sides compute MinHash band
+    * signatures map-side (q23's codegen'd shingle-hash seam); the join
+    * keys new bands against existing bands only (no existing×existing
+    * pairs — the standing corpus was already deduplicated, that work
+    * must not be redone), and each new doc reports its existing-
+    * partner count and the keep verdict. At 100 TB the existing side's
+    * band table is PERSISTED and bucketed by (band, sig) — the
+    * incremental batch probes it like an index; only new-side
+    * signatures are computed per run.
+    */
+  private val q126IncrementalDedup = Q(
+    "q126_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      val bands = graft.ops.Dedup.bandSignatures(docs)
+      val newBands = bands.filter(col("doc_id") % 5 === 0)
+      val oldBands = bands.filter(col("doc_id") % 5 =!= 0)
+        .select(col("band"), col("sig"), col("doc_id").as("partner_id"))
+      val partners = newBands.join(oldBands, Seq("band", "sig"))
+        .select(col("doc_id"), col("partner_id")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_existing_partners"))
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"))
+        .join(partners, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_existing_partners"), lit(0L))
+            .as("n_existing_partners"))
+        .withColumn("kept", col("n_existing_partners") === 0L)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      pr AS (SELECT DISTINCT n.doc_id, o.doc_id AS partner
+             FROM bands n JOIN bands o
+               ON n.band = o.band AND n.sig = o.sig
+             WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+      pc AS (SELECT doc_id, count(*) AS n_existing_partners FROM pr GROUP BY 1)
+      SELECT w.doc_id, coalesce(pc.n_existing_partners, 0) AS n_existing_partners,
+        coalesce(pc.n_existing_partners, 0) = 0 AS kept
+      FROM (SELECT DISTINCT doc_id FROM th WHERE doc_id % 5 = 0) w
+      LEFT JOIN pc ON w.doc_id = pc.doc_id
+      ORDER BY w.doc_id"""))
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
-    q95BinnedQuantiles, q107TempMix)
+    q95BinnedQuantiles, q107TempMix, q126IncrementalDedup)
 }

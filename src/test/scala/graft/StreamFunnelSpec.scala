@@ -60,4 +60,51 @@ class StreamFunnelSpec extends AnyFunSuite {
       (2L, 1, us(ts(7)), 22L))
     assert(got === expected)
   }
+
+  test("randomized differential: streaming == batch argmin closed form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    // random staged events over 12 users, event-time-ordered delivery
+    // (the CDC-replay regime), cut into random micro-batches
+    val evs = (1 to 300).map { i =>
+      StreamFunnel.Ev(rnd.nextInt(12).toLong + 1L,
+        ts(rnd.nextInt(50), rnd.nextInt(3)), i.toLong, rnd.nextInt(3) + 1)
+    }.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.seq))
+    def us(t: Timestamp) = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    // INDEPENDENT batch closed form (q120's oracle shape, not a replay
+    // of the machine): stage k's transition is the (ts, seq)-argmin of
+    // stage-k events strictly after stage k-1's time
+    val expected = evs.groupBy(_.key).flatMap { case (k, es) =>
+      def argmin(stage: Int, after: Long): Option[(Long, Long)] =
+        es.filter(e => e.stage == stage && us(e.ts) > after)
+          .map(e => (us(e.ts), e.seq))
+          .sorted.headOption
+      val s1 = argmin(1, Long.MinValue)
+      val s2 = s1.flatMap(t1 => argmin(2, t1._1))
+      val s3 = s2.flatMap(t2 => argmin(3, t2._1))
+      Seq(s1.map(t => (k, 1, t._1, t._2)), s2.map(t => (k, 2, t._1, t._2)),
+        s3.map(t => (k, 3, t._1, t._2))).flatten
+    }.toSet
+
+    val input = MemoryStream[StreamFunnel.Ev]
+    val query = StreamFunnel.run(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("funrand")
+      .outputMode(OutputMode.Append())
+      .start()
+    var rest = evs
+    while (rest.nonEmpty) {
+      val n = math.min(rest.length, rnd.nextInt(40) + 1)
+      input.addData(rest.take(n))
+      query.processAllAvailable()
+      rest = rest.drop(n)
+    }
+    query.stop()
+
+    val got = spark.table("funrand")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
 }

@@ -750,9 +750,75 @@ object Analytics {
           (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
       ORDER BY check_name"""))
 
+  /** q128: SESSION-ENTRY ATTRIBUTION — the composition a product
+    * pipeline runs on top of q75's sessionization: every purchase is
+    * attributed to its session's ENTRY event type (the "channel" that
+    * opened the 30-minute-gap session), and the report rolls up
+    * sessions, purchases, and attributed revenue per entry channel.
+    * Plan: ONE user_id exchange feeds the whole chain (gap flag →
+    * session cumsum → per-session first_value all share the same
+    * partitioning; Catalyst reuses the exchange across the window
+    * group), then two small keyed aggregates meet in a left join.
+    * Orders are total ((ts, event_id) everywhere) so session
+    * boundaries and entry picks are engine-exact.
+    */
+  private val q128SessionAttribution = Q(
+    "q128_session_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val base = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new",
+          (col("prev").isNull || col("ts_us") - col("prev") > 1800000000L)
+            .cast("long"))
+        .withColumn("sess", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("entry_type", first(col("event_type")).over(
+          Window.partitionBy(col("user_id"), col("sess"))
+            .orderBy(col("ts_us"), col("event_id"))))
+      val sessions = base.select("user_id", "sess", "entry_type").distinct()
+        .groupBy("entry_type").agg(count(lit(1)).as("n_sessions"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .groupBy("entry_type")
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum6(col("value")).as("attributed_value"))
+      sessions.join(purchases, Seq("entry_type"), "left")
+        .select(col("entry_type"), col("n_sessions"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("attributed_value"), lit(0.0)).as("attributed_value"))
+        .orderBy("entry_type")
+    },
+    Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+              value,
+              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      se AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM l),
+      e AS (SELECT *, first_value(event_type) OVER (PARTITION BY user_id, sess
+              ORDER BY t, event_id) AS entry_type FROM se),
+      ns AS (SELECT entry_type, count(*) AS n_sessions
+             FROM (SELECT DISTINCT user_id, sess, entry_type FROM e)
+             GROUP BY 1),
+      np AS (SELECT entry_type, count(*) AS n_purchases,
+               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 AS attributed_value
+             FROM e WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT ns.entry_type, ns.n_sessions,
+        CAST(coalesce(np.n_purchases, 0) AS BIGINT) AS n_purchases,
+        coalesce(np.attributed_value, 0.0) AS attributed_value
+      FROM ns LEFT JOIN np ON ns.entry_type = np.entry_type
+      ORDER BY 1"""))
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
       q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
       q108ZorderLayout, q110FkAudit, q119SequenceMatch, q123RangeNative,
-      q124Profile, q125Constraints)
+      q124Profile, q125Constraints, q128SessionAttribution)
 }

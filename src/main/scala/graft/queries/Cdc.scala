@@ -602,8 +602,55 @@ object Cdc {
       SELECT user_id, CAST(3 AS INTEGER), t3, q3 FROM s3
       ORDER BY user_id, stage"""))
 
+  /** q129: STREAMING SCD2 change capture — q99's history build as an
+    * incremental operator ([[graft.stream.StreamScd2]]): every version
+    * OPEN emits exactly once in append mode (closing timestamps are
+    * the next open, derivable downstream — the design that keeps
+    * history appendable), keyed state is O(1) per user. The oracle is
+    * q99's change closed form minus the lead-derived columns, computed
+    * independently from raw events — so the batch windows (q99) and
+    * the streaming machine are pinned to the same replay, completing
+    * the warehouse family's batch/streaming pairing.
+    */
+  private val q129StreamScd2 = Q(
+    "q129_stream_scd2",
+    (s, d) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-sscd-").toString
+      val src = Tables.events(s, d)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("seq"), col("event_type").as("state"))
+      src.write.parquet(s"$root/in")
+      val sdf = s.readStream.schema(src.schema).parquet(s"$root/in")
+        .as[graft.stream.StreamScd2.Ev]
+      s.catalog.dropTempView("q129_scd")
+      val query = graft.stream.StreamScd2.run(sdf)
+        .writeStream.format("memory").queryName("q129_scd")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table("q129_scd")
+        .select(col("key").as("user_id"), col("version"), col("state"),
+          col("ts_us").as("effective_from_us"), col("seq"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH u AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+             FROM events WHERE event_type <> 'error'),
+      l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS prev FROM u),
+      ch AS (SELECT user_id, event_type AS state, ts_us, event_id
+             FROM l WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id,
+        CAST(row_number() OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS BIGINT) AS version,
+        state, ts_us AS effective_from_us, event_id AS seq
+      FROM ch ORDER BY user_id, version"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
-      q117SchemaEvolution, q120StreamFunnel)
+      q117SchemaEvolution, q120StreamFunnel, q129StreamScd2)
 }

@@ -755,12 +755,18 @@ object Analytics {
     * attributed to its session's ENTRY event type (the "channel" that
     * opened the 30-minute-gap session), and the report rolls up
     * sessions, purchases, and attributed revenue per entry channel.
-    * Plan: ONE user_id exchange feeds the whole chain (gap flag →
-    * session cumsum → per-session first_value all share the same
-    * partitioning; Catalyst reuses the exchange across the window
-    * group), then two small keyed aggregates meet in a left join.
-    * Orders are total ((ts, event_id) everywhere) so session
-    * boundaries and entry picks are engine-exact.
+    * Plan: ONE user_id exchange feeds everything — gap flag, session
+    * cumsum, and per-session first_value share the partitioning, and
+    * the per-(user, session) rollup is satisfied by it too (hash on
+    * user_id clusters (user_id, sess) for free), so the windowed
+    * stream collapses to session rows with no further wide exchange;
+    * only the |channels|-key final rollup exchanges again. (The
+    * two-consumer formulation — separate session-count and purchase
+    * aggregates joined at the end — planned the whole window chain
+    * TWICE; folding both measures into the per-session rollup is what
+    * makes the single evaluation possible.) Orders are total
+    * ((ts, event_id) everywhere) so session boundaries and entry picks
+    * are engine-exact.
     */
   private val q128SessionAttribution = Q(
     "q128_session_attribution",
@@ -780,16 +786,17 @@ object Analytics {
         .withColumn("entry_type", first(col("event_type")).over(
           Window.partitionBy(col("user_id"), col("sess"))
             .orderBy(col("ts_us"), col("event_id"))))
-      val sessions = base.select("user_id", "sess", "entry_type").distinct()
-        .groupBy("entry_type").agg(count(lit(1)).as("n_sessions"))
-      val purchases = base.filter(col("event_type") === "purchase")
-        .groupBy("entry_type")
-        .agg(count(lit(1)).as("n_purchases"),
-          dsum6(col("value")).as("attributed_value"))
-      sessions.join(purchases, Seq("entry_type"), "left")
-        .select(col("entry_type"), col("n_sessions"),
-          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
-          coalesce(col("attributed_value"), lit(0.0)).as("attributed_value"))
+      val perSession = base.groupBy("user_id", "sess")
+        .agg(max(col("entry_type")).as("entry_type"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(28,6)"))).as("pv"))
+      perSession.groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("np")).as("n_purchases"),
+          coalesce(sum(col("pv")).cast("double"), lit(0.0))
+            .as("attributed_value"))
         .orderBy("entry_type")
     },
     Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,

@@ -167,16 +167,30 @@ object BroadcastRangeJoinExec {
 
   // WeakHashMap keyed on the broadcast's value array: entries die with
   // the broadcast block (GC), so the cache cannot outlive the data it
-  // indexes; synchronized because executor task threads share it.
-  private val cache =
-    new java.util.WeakHashMap[Array[InternalRow], SortedIntervals]
+  // indexes; synchronized because executor task threads share it. The
+  // inner map keys on the (start, end) expression ids — ReuseExchange
+  // can hand the SAME array to two execs binding DIFFERENT interval
+  // columns, and an index built for the wrong pair would silently
+  // return wrong rows.
+  private val cache = new java.util.WeakHashMap[
+    Array[InternalRow], scala.collection.mutable.Map[(Long, Long), SortedIntervals]]
 
   private[plans] def indexFor(
       rRows: Array[InternalRow],
       startE: Attribute,
       endE: Attribute,
       rOut: Seq[Attribute]): SortedIntervals = cache.synchronized {
-    val hit = cache.get(rRows)
+    val byCols = {
+      val existing = cache.get(rRows)
+      if (existing != null) existing
+      else {
+        val fresh = scala.collection.mutable.Map.empty[(Long, Long), SortedIntervals]
+        cache.put(rRows, fresh)
+        fresh
+      }
+    }
+    val colKey = (startE.exprId.id, endE.exprId.id)
+    val hit = byCols.get(colKey).orNull
     if (hit != null) hit
     else {
       val startProj = UnsafeProjection.create(
@@ -203,7 +217,7 @@ object BroadcastRangeJoinExec {
         i += 1
       }
       val built = new SortedIntervals(starts, ends, rows, prefixMaxEnd)
-      cache.put(rRows, built)
+      byCols(colKey) = built
       built
     }
   }

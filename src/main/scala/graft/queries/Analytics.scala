@@ -192,11 +192,11 @@ object Analytics {
   private val q91BucketedJoin = Q(
     "q91_bucketed_join",
     (s, d) => {
-      // fixed per-process scratch root + overwrite, so repeated runs
-      // (tri-scale verify, bench warm-up) replace the table files
-      // instead of accumulating a fresh temp copy per invocation
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-bkt").getAbsolutePath
+      // fresh scratch per run (a fixed machine-wide dir races with
+      // concurrent verify/test JVMs — the q103 lesson), cleaned up
+      // below once the small result is materialized
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bkt-").toString
       s.sql("DROP TABLE IF EXISTS graft_li_b")
       s.sql("DROP TABLE IF EXISTS graft_ord_b")
       Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
@@ -215,9 +215,13 @@ object Analytics {
       val joinPlan = joined.queryExecution.executedPlan.toString
       require(!joinPlan.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle either side:\n$joinPlan")
-      joined.groupBy("o_orderpriority")
+      val out = joined.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")
+      val result = Scratch.sealAndClean(out, root)
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      result
     },
     Some("""SELECT o.o_orderpriority, count(*) AS n_items,
         CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
@@ -415,7 +419,9 @@ object Analytics {
         .map(r => r.getString(0).replaceAll("/[^/]*$", "")).distinct
       require(scanned.length == 1 && scanned.head.endsWith(s"day_id=$targetDay"),
         s"scan must touch exactly the target day's directory: ${scanned.toSeq}")
-      agg
+      // the scratch holds a full events copy — materialize the 5-row
+      // result and remove it rather than leaking one copy per run
+      Scratch.sealAndClean(agg, root)
     },
     Some("""SELECT event_type, count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value

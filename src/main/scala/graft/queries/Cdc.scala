@@ -175,6 +175,7 @@ object Cdc {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      Scratch.rmTree(root)  // results live in the memory sink
       s.table("q98_sasof")
         .select(col("seq").as("purchase_id"), col("key").as("user_id"),
           col("asof_seq").as("click_id"),
@@ -420,6 +421,7 @@ object Cdc {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      Scratch.rmTree(root)  // results live in the memory sink
       s.table("q114_win").orderBy("w_start_us", "event_type")
     },
     Some("""WITH m AS (SELECT epoch_us(max(ts)) AS mx_us FROM events),
@@ -571,6 +573,7 @@ object Cdc {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      Scratch.rmTree(root)  // results live in the memory sink
       s.table("q120_fun")
         .select(col("key").as("user_id"), col("stage"), col("ts_us"),
           col("seq"))
@@ -632,6 +635,7 @@ object Cdc {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      Scratch.rmTree(root)  // results live in the memory sink
       s.table("q129_scd")
         .select(col("key").as("user_id"), col("version"), col("state"),
           col("ts_us").as("effective_from_us"), col("seq"))

@@ -18,6 +18,37 @@ final case class Q(
     oracle: Option[String],
     bench: Boolean = false)
 
+/** Scratch-directory hygiene for queries that write their own tables:
+  * per-run temp dirs must not accumulate (some hold full fact-table
+  * copies) and fixed dirs race across concurrent JVMs.
+  */
+object Scratch {
+
+  def rmTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      try {
+        val it = stream
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally stream.close()
+    }
+  }
+
+  /** Collect a SMALL result, delete the scratch dirs backing its plan,
+    * and return the rows as an in-memory frame — the returned plan
+    * must not reference deleted files, so materialization comes first.
+    */
+  def sealAndClean(df: DataFrame, roots: String*): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    df.collect().foreach(rows.add)
+    roots.foreach(rmTree)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+}
+
 object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Pipeline.queries ++ Domain.queries ++

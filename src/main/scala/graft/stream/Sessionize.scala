@@ -67,7 +67,7 @@ object Sessionize extends Serializable {
     * than the batch form's `unix_micros`.
     */
   private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    EventTime.micros(t)
 
   private def tsFromMicros(us: Long): Timestamp = {
     val t = new Timestamp(us / 1000000L * 1000L)

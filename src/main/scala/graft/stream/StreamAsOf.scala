@@ -47,7 +47,7 @@ object StreamAsOf extends Serializable {
     * microsecond event data.
     */
   private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    EventTime.micros(t)
 
   def backward(
       events: Dataset[Tagged],

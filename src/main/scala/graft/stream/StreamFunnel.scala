@@ -30,7 +30,7 @@ object StreamFunnel extends Serializable {
   case class FunnelState(stage: Int, stageTsUs: Long, lastSeenUs: Long)
 
   private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    EventTime.micros(t)
 
   /** `nStages`-stage funnel over a stream of staged events (stage ∈
     * 1..nStages; emit one Transition per stage advance).

@@ -24,43 +24,35 @@ object StreamScd2 extends Serializable {
   case class VersionOpen(
       key: Long, version: Long, state: String, ts_us: Long, seq: Long)
   /** Keyed state (public for the state Encoder). */
-  case class Scd2State(current: String, version: Long, lastSeenUs: Long)
+  case class Scd2State(current: String, version: Long)
 
   private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    EventTime.micros(t)
 
   def run(
       events: Dataset[Ev],
-      watermarkDelay: String = "30 minutes",
-      idleEvictMs: Long = 7200000L): Dataset[VersionOpen] = {
+      watermarkDelay: String = "30 minutes"): Dataset[VersionOpen] = {
     import events.sparkSession.implicits._
-    val evictMs = idleEvictMs
 
     def fn(key: Long, it: Iterator[Ev], state: GroupState[Scd2State])
         : Iterator[VersionOpen] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
-        val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.seq))
-        val out = scala.collection.mutable.ArrayBuffer[VersionOpen]()
-        var cur = state.getOption.getOrElse(Scd2State(null, 0L, 0L))
-        for (e <- evs) {
-          val us = micros(e.ts)
-          if (cur.current == null || cur.current != e.state) {
-            cur = Scd2State(e.state, cur.version + 1L,
-              math.max(cur.lastSeenUs, us))
-            out += VersionOpen(key, cur.version, e.state, us, e.seq)
-          } else cur = cur.copy(lastSeenUs = math.max(cur.lastSeenUs, us))
+      val evs = it.toIndexedSeq.sortBy(e => (micros(e.ts), e.seq))
+      val out = scala.collection.mutable.ArrayBuffer[VersionOpen]()
+      var cur = state.getOption.getOrElse(Scd2State(null, 0L))
+      for (e <- evs) {
+        if (cur.current == null || cur.current != e.state) {
+          cur = Scd2State(e.state, cur.version + 1L)
+          out += VersionOpen(key, cur.version, e.state, micros(e.ts), e.seq)
         }
-        state.update(cur)
-        state.setTimeoutTimestamp(cur.lastSeenUs / 1000L + evictMs)
-        out.iterator
       }
+      state.update(cur)
+      out.iterator
     }
 
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout())(fn)
+        GroupStateTimeout.NoTimeout())(fn)
   }
 }

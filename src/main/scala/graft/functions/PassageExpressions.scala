@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -79,19 +80,49 @@ object Passage {
   def chunksCol(c: Column): Column =
     GraftShim.column(ChunkArray(GraftShim.expression(c)))
 
-  /** Column API: struct<n_chunks,n_kept,kept_text> rebuild against a
-    * driver-built hot set.
+  /** Codegen entry point: rebuild against a torrent-broadcast hot set
+    * (one executor-local fetch, not one copy per serialized task).
     */
-  def rebuildCol(c: Column, hotChunks: Array[String]): Column =
-    GraftShim.column(
-      PassageRebuild(GraftShim.expression(c), new PassageHotSet(hotChunks)))
+  def rebuildB(text: UTF8String, hot: Broadcast[PassageHotSet]): GenericInternalRow =
+    rebuild(text, hot.value)
+
+  /** Column API: struct<n_chunks,n_kept,kept_text> rebuild against a
+    * broadcast hot set (see [[broadcastHotSet]]).
+    */
+  def rebuildCol(c: Column, hot: Broadcast[PassageHotSet]): Column =
+    GraftShim.column(PassageRebuild(GraftShim.expression(c), hot))
+
+  /** Build the boilerplate set as a torrent-broadcast handle with an
+    * EXPLICIT size cap. Unlike the q69 feature ordering, the rebuild's
+    * OUTPUT depends on every member of this set — a silent truncation
+    * would silently keep boilerplate — so overflow FAILS LOUDLY: raise
+    * the df threshold (the hot set is at most corpus_chunks/T, and
+    * boilerplate by definition repeats, so a higher T keeps it tiny) or
+    * move to the q86 shape (bloom prefilter + exact anti-join) past
+    * broadcast scale. The fetch is a distributed TakeOrdered, never an
+    * unbounded collect.
+    *
+    * @param chunkRows frame with one string column `chunk`, already
+    *                  thresholded (df ≥ T)
+    */
+  def broadcastHotSet(chunkRows: DataFrame, cap: Int = PassageHotSet.MaxChunks)
+      : Broadcast[PassageHotSet] = {
+    import org.apache.spark.sql.functions.col
+    val rows = chunkRows.orderBy(col("chunk")).limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"hot-chunk set exceeds the $cap-entry broadcast cap: raise the " +
+        "df threshold or use the bloom-prefiltered anti-join (q86 shape)")
+    chunkRows.sparkSession.sparkContext
+      .broadcast(new PassageHotSet(rows.map(_.getString(0))))
+  }
 }
 
-/** Driver-built boilerplate set, shipped to executors inside the
-  * serialized plan (the [[IvfCodebook]] seam — a hot set past tens of
-  * MB would ride a `SparkContext.broadcast` handle instead, same
-  * expression shape). The probe set is materialized lazily per
-  * deserialized instance.
+/** Driver-built boilerplate set, shipped as a `SparkContext.broadcast`
+  * handle (one torrent fetch per executor; tasks serialize only the
+  * handle id). Size is bounded by construction:
+  * [[Passage.broadcastHotSet]] refuses sets past
+  * [[PassageHotSet.MaxChunks]]. The probe set is materialized lazily
+  * per deserialized instance.
   */
 final class PassageHotSet(val hotChunks: Array[String]) extends Serializable {
   @transient lazy val set: java.util.HashSet[String] = {
@@ -99,6 +130,13 @@ final class PassageHotSet(val hotChunks: Array[String]) extends Serializable {
     hotChunks.foreach(s.add)
     s
   }
+}
+
+object PassageHotSet {
+  /** Hard cap on broadcast hot-set cardinality: 2^20 chunks of ~4
+    * tokens ≈ tens of MB — the edge of comfortable broadcast scale.
+    */
+  val MaxChunks: Int = 1 << 20
 }
 
 /** `passage_chunks(text)`: aligned fixed-width token passages. */
@@ -117,10 +155,10 @@ case class ChunkArray(child: Expression) extends UnaryExpression with ExpectsInp
     copy(child = newChild)
 }
 
-/** `passage_rebuild(text)` against a plan-bound hot set:
+/** `passage_rebuild(text)` against a broadcast hot set:
   * struct<n_chunks:long, n_kept:long, kept_text:string>.
   */
-case class PassageRebuild(child: Expression, hot: PassageHotSet)
+case class PassageRebuild(child: Expression, hot: Broadcast[PassageHotSet])
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -130,13 +168,13 @@ case class PassageRebuild(child: Expression, hot: PassageHotSet)
   override def prettyName: String = "passage_rebuild"
 
   override protected def nullSafeEval(input: Any): Any =
-    Passage.rebuild(input.asInstanceOf[UTF8String], hot)
+    Passage.rebuildB(input.asInstanceOf[UTF8String], hot)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val hotRef = ctx.addReferenceObj("passageHotSet", hot,
-      classOf[PassageHotSet].getName)
+    val hotRef = ctx.addReferenceObj("passageHotSetBc", hot,
+      classOf[Broadcast[PassageHotSet]].getName)
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Passage.rebuild($c, $hotRef)")
+      c => s"graft.functions.Passage.rebuildB($c, $hotRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PassageRebuild =

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -50,15 +51,52 @@ object Prefix {
     new GenericArrayData(out)
   }
 
-  /** Column API: rarest-first prefix of an h32 feature array. */
-  def prefixCol(c: Column, dfm: FeatureDfMap): Column =
+  /** Codegen entry point: prefix against a torrent-broadcast ordering
+    * (one executor-local fetch, not one copy per serialized task).
+    */
+  def prefixB(toks: ArrayData, dfm: Broadcast[FeatureDfMap]): GenericArrayData =
+    prefix(toks, dfm.value)
+
+  /** Column API: rarest-first prefix of an h32 feature array against a
+    * broadcast feature ordering (see [[broadcastDfMap]]).
+    */
+  def prefixCol(c: Column, dfm: Broadcast[FeatureDfMap]): Column =
     GraftShim.column(PrefixFeatures(GraftShim.expression(c), dfm))
+
+  /** Build the global (feature → df) ordering as a torrent-broadcast
+    * handle with an EXPLICIT size cap: the top-`cap` features by df are
+    * kept (fetched with a distributed TakeOrdered, never an unbounded
+    * collect); everything past the cap reads df = 1. Truncation is
+    * SOUND — the prefix filter only needs both documents to sort their
+    * features by the same total order, and (df, w) with any subset of
+    * dfs listed is still one — it only widens candidate buckets for the
+    * features it demotes, and those are by construction the LEAST
+    * frequent of the listed ones. Returns the handle plus a truncation
+    * audit flag (at 100 TB this is the signal to raise the df
+    * threshold, exactly like [[graft.ops.Dedup.oversized]] for bucket
+    * caps).
+    *
+    * @param dfRows frame with columns (w: long, df: long), already
+    *               thresholded (df ≥ T)
+    */
+  def broadcastDfMap(dfRows: DataFrame, cap: Int = FeatureDfMap.MaxEntries)
+      : (Broadcast[FeatureDfMap], Boolean) = {
+    import org.apache.spark.sql.functions.col
+    val rows = dfRows.orderBy(col("df").desc, col("w")).limit(cap + 1).collect()
+    val truncated = rows.length > cap
+    val kept = if (truncated) rows.take(cap) else rows
+    val dfm = new FeatureDfMap(
+      kept.map(_.getLong(0)), kept.map(_.getLong(1)))
+    (dfRows.sparkSession.sparkContext.broadcast(dfm), truncated)
+  }
 }
 
 /** Driver-built (feature → document frequency) table for the global
-  * feature ordering, shipped inside the serialized plan (the
-  * [[IvfCodebook]]/[[PassageHotSet]] seam). Lookup set materialized
-  * lazily per deserialized instance; absent features read df = 1.
+  * feature ordering, shipped as a `SparkContext.broadcast` handle (one
+  * torrent fetch per executor; the expression serializes only the
+  * handle id, never the table). Size is bounded by construction:
+  * [[Prefix.broadcastDfMap]] keeps at most [[FeatureDfMap.MaxEntries]]
+  * entries, highest-df first. Absent features read df = 1.
   */
 final class FeatureDfMap(val feats: Array[Long], val dfs: Array[Long])
     extends Serializable {
@@ -76,23 +114,30 @@ final class FeatureDfMap(val feats: Array[Long], val dfs: Array[Long])
   }
 }
 
-/** `prefix_features(toks)` against a plan-bound global feature order:
+object FeatureDfMap {
+  /** Hard entry cap for the broadcast ordering: 2^20 (feature, df)
+    * pairs ≈ 16 MB of packed longs — comfortably torrent-shippable.
+    */
+  val MaxEntries: Int = 1 << 20
+}
+
+/** `prefix_features(toks)` against a broadcast global feature order:
   * the first `n - ceil(0.88 n) + 1` features in (df, feature)
   * ascending order.
   */
-case class PrefixFeatures(child: Expression, dfm: FeatureDfMap)
+case class PrefixFeatures(child: Expression, dfm: Broadcast[FeatureDfMap])
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "prefix_features"
 
   override protected def nullSafeEval(input: Any): Any =
-    Prefix.prefix(input.asInstanceOf[ArrayData], dfm)
+    Prefix.prefixB(input.asInstanceOf[ArrayData], dfm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("featureDfMap", dfm,
-      classOf[FeatureDfMap].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.Prefix.prefix($c, $ref)")
+    val ref = ctx.addReferenceObj("featureDfMapBc", dfm,
+      classOf[Broadcast[FeatureDfMap]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Prefix.prefixB($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PrefixFeatures =

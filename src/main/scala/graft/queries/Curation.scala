@@ -230,9 +230,11 @@ object Curation {
     * is a parameter, the plan is the same). Plan shape: the corpus
     * pays ONE aggregation — the exact per-chunk document frequency,
     * map-side-partial on the uniform chunk key — whose hot survivors
-    * are tiny by construction (boilerplate is what repeats); they come
-    * back to the driver as a plan-bound probe set (the IVF-codebook
-    * seam; a huge hot set would ride a broadcast handle instead) and
+    * are tiny by construction (boilerplate is what repeats); they ride
+    * a `SparkContext.broadcast` handle with a hard cardinality cap
+    * (overflow fails loudly — see
+    * [[graft.functions.Passage.broadcastHotSet]]; past broadcast scale
+    * the q86 bloom+anti-join shape takes over) and
     * the rebuild is ONE codegen'd pass per row
     * ([[graft.functions.PassageRebuild]]) — order preserved for free,
     * no reassembly shuffle at all. The HOF formulation
@@ -245,13 +247,13 @@ object Curation {
     "q85_passage_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val hotChunks = docs
+      val hotChunks = graft.functions.Passage.broadcastHotSet(docs
         .select(col("doc_id"),
           explode(graft.functions.Passage.chunksCol(col("text"))).as("chunk"))
         .groupBy("chunk")
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 5)
-        .select("chunk").collect().map(_.getString(0)).sorted
+        .select("chunk"))
       val r = graft.functions.Passage.rebuildCol(col("text"), hotChunks)
       docs.select(col("doc_id"), r.as("r"))
         .select(col("doc_id"),
@@ -301,14 +303,20 @@ object Curation {
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"),
           array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("hs"))
-      // persisted: the build side feeds three consumers (count for
-      // bloom sizing, the bloom build, the confirm-join broadcast) —
-      // uncached it re-ran the scan+shingle+distinct pipeline per use
+      // persisted across the two EAGER consumers (count for bloom
+      // sizing, the bloom build) — uncached it re-ran the
+      // scan+shingle+distinct pipeline per use; unpersisted below
+      // before the lazy confirm-join broadcast
       val benchSh = docs.filter(col("doc_id") % 97 === 0)
         .select(explode(col("hs")).as("h")).distinct()
         .persist()
       val nBench = benchSh.count()
       val bf = benchSh.stat.bloomFilter("h", math.max(nBench, 1L), 0.01)
+      // drop the cache once both eager consumers (count, bloom build)
+      // have run — the confirm-join broadcast recomputes the 1/97
+      // slice once at execution rather than pinning it in a session
+      // that 129 other queries share
+      benchSh.unpersist(blocking = false)
       docs.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .filter(graft.functions.Bloom.mightContainCol(col("h"), bf))

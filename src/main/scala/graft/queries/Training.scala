@@ -127,10 +127,13 @@ object Training {
     * document frequency is a partial-agg groupBy (map-side combine
     * collapses hot features BEFORE the exchange — deliberately NOT a
     * count window over w, which would pin a hot feature's rows to one
-    * task with no skew escape); the df ≥ 2 slice of the ordering —
-    * bounded by occurrences/T, small precisely when skew is the
-    * problem — binds into a plan-level [[graft.functions.FeatureDfMap]]
-    * and the rarest-first prefix is ONE codegen'd sort per row. No
+    * task with no skew escape); the df ≥ 2 slice of the ordering rides
+    * a `SparkContext.broadcast` [[graft.functions.FeatureDfMap]] capped
+    * at [[graft.functions.FeatureDfMap.MaxEntries]] top-df entries
+    * (TakeOrdered fetch, truncation audited, and SOUND — any shared
+    * total order keeps the prefix filter exact, see
+    * [[graft.functions.Prefix.broadcastDfMap]]) and the rarest-first
+    * prefix is ONE codegen'd sort per row. No
     * feature⋈df join, no rank window: the earlier join+window
     * formulation shuffled every exploded feature twice (2.07 s at
     * sf0.1; this form 1.2 s, within noise of q22's uniform-order
@@ -148,9 +151,7 @@ object Training {
       val dfRows = docs.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)
-        .collect()
-      val dfm = new graft.functions.FeatureDfMap(
-        dfRows.map(_.getLong(0)), dfRows.map(_.getLong(1)))
+      val (dfm, _) = graft.functions.Prefix.broadcastDfMap(dfRows)
       val pref = docs.select(col("doc_id"), col("lang"),
         explode(graft.functions.Prefix.prefixCol(col("toks"), dfm)).as("w"))
       val cand = graft.ops.Dedup

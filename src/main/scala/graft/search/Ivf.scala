@@ -32,17 +32,33 @@ object Ivf {
   private def cos6(v: Column, c: Column): Column =
     round(dot(v, c) / sqrt(norm2(v) * norm2(c)), 6)
 
+  /** Hard codebook-cardinality cap: C ≈ √N only holds if the caller
+    * scales `centroidMod` with N, so the bound is enforced BY
+    * CONSTRUCTION here (the q77 IvfKmeans K-cap pattern): the fetch is
+    * a distributed TakeOrdered of at most MaxCentroids+1 rows — never
+    * an unbounded collect — and overflow fails loudly with the knob to
+    * turn. 2^16 centroids × ~768 doubles ≈ 400 MB worst case; real
+    * embedding dims at that C keep it tens of MB.
+    */
+  val MaxCentroids: Int = 1 << 16
+
   /** Coarse codebook: the sampled centroids, collected once on the
     * driver (C ≈ √N rows — the standard IVF train step; a 100 TB
     * corpus still has a codebook of a few tens of MB). Kept ascending
     * by cid so the expression's strict-`>` argmax breaks ties on the
     * smallest id, matching the old window's `order by cs desc, cid`.
+    * Cardinality is capped by construction (see [[MaxCentroids]]).
     */
-  def codebook(e: DataFrame, centroidMod: Int): IvfCodebook = {
+  def codebook(e: DataFrame, centroidMod: Int,
+      cap: Int = MaxCentroids): IvfCodebook = {
     val rows = e.filter(col("vec_id") % centroidMod === 1)
       .select(col("vec_id"), toDouble(col("embedding")).as("cv"))
       .orderBy(col("vec_id"))
+      .limit(cap + 1)
       .collect()
+    require(rows.length <= cap,
+      s"IVF codebook exceeds the $cap-centroid cap: raise centroidMod " +
+        "so the sample stays ~sqrt(N)")
     val cids = rows.map(_.getLong(0))
     val raw = rows.map(r => if (r.isNullAt(1)) null else r.getSeq[Any](1))
     val valid = raw.map(s => s != null && s.forall(_ != null))

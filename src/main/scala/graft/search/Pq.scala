@@ -33,9 +33,19 @@ object Pq {
       v.slice(i * sub, (i + 1) * sub)
   }
 
-  def model(quantized: DataFrame, centroidMod: Int, m: Int): Model = {
+  /** Sub-codebook cardinality cap — same by-construction bound as
+    * [[Ivf.MaxCentroids]]: the fetch is a TakeOrdered of cap+1 rows
+    * and overflow fails loudly with the knob to turn.
+    */
+  val MaxCentroids: Int = Ivf.MaxCentroids
+
+  def model(quantized: DataFrame, centroidMod: Int, m: Int,
+      cap: Int = MaxCentroids): Model = {
     val seeds = quantized.filter(col("vec_id") % centroidMod === 1)
-      .orderBy(col("vec_id")).collect()
+      .orderBy(col("vec_id")).limit(cap + 1).collect()
+    require(seeds.length <= cap,
+      s"PQ codebook exceeds the $cap-centroid cap: raise centroidMod " +
+        "so the sample stays ~sqrt(N)")
     val cids = seeds.map(_.getLong(0))
     val full = seeds.map(_.getSeq[Long](1).toArray)
     val dims = full.headOption.map(_.length).getOrElse(0)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.stream.TableStore
@@ -24,31 +25,30 @@ import graft.stream.TableStore
   */
 object Cdc {
 
-  private val q44CdcMerge = Q(
-    "q44_cdc_merge",
-    (s, d) => {
-      val root = Files.createTempDirectory("graft-cdc-").toString
-      val store = new TableStore(s, root, "user_id")
-      val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
+  /** The shared 5-batch CDC derivation (batch = event_id % 5): upsert
+    * and tombstone frames per batch, used by q44 (merge), q130 (A4
+    * stats) and q131 (T6 force refresh) so all three exercise the SAME
+    * workload.
+    */
+  private def cdcBatches(s: SparkSession, d: String)
+      : (Int => DataFrame, Int => DataFrame) = {
+    val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
+    val upserts = (b: Int) => ev.filter(col("batch") === b)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        struct(col("ts"), col("event_id")).as("seq"))
+    val tombstones = (b: Int) => ev.filter(col("batch") === b)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"))
+    (upserts, tombstones)
+  }
 
-      def upserts(b: Int) = ev.filter(col("batch") === b)
-        .filter(col("event_type") =!= "error")
-        .select(col("user_id"), col("event_type").as("last_type"),
-          col("value").as("last_value"),
-          struct(col("ts"), col("event_id")).as("seq"))
-      def tombstones(b: Int) = ev.filter(col("batch") === b)
-        .filter(col("event_type") === "error")
-        .select(col("user_id"))
-
-      for (b <- 0 until 5)
-        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
-      // idempotence probe: already-logged file must be a no-op
-      val reapplied = store.merge("state", upserts(2), tombstones(2), "batch_2")
-      require(!reapplied, "update_log failed to gate an already-applied file")
-
-      store.snapshot("state").get.orderBy("user_id")
-    },
-    Some("""WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+  /** Closed-form final CDC state (the q44 oracle, reused by q131: the
+    * force-refresh path must land on the SAME state).
+    */
+  private val cdcFinalStateSql =
+    """WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
             event_id % 5 AS batch, (event_type = 'error') AS is_del FROM events),
       lu AS (SELECT user_id, event_type AS last_type, value AS last_value, batch,
                row_number() OVER (PARTITION BY user_id
@@ -59,7 +59,103 @@ object Cdc {
       SELECT u.user_id, u.last_type, u.last_value
       FROM lu1 u LEFT JOIN ld d ON u.user_id = d.user_id
       WHERE d.del_batch IS NULL OR u.batch >= d.del_batch
-      ORDER BY u.user_id"""))
+      ORDER BY u.user_id"""
+
+  private val q44CdcMerge = Q(
+    "q44_cdc_merge",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-cdc-").toString
+      val store = new TableStore(s, root, "user_id")
+      val (upserts, tombstones) = cdcBatches(s, d)
+
+      for (b <- 0 until 5)
+        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
+      // idempotence probe: already-logged file must be a no-op
+      val reapplied = store.merge("state", upserts(2), tombstones(2), "batch_2")
+      require(!reapplied, "update_log failed to gate an already-applied file")
+
+      store.snapshot("state").get.orderBy("user_id")
+    },
+    Some(cdcFinalStateSql))
+
+  /** A4 oracle entry (round-5 verdict: the last two §2 rows were
+    * spec-only). The batch-stats counters — the reference's
+    * collections.Counter tallies printed after every update run
+    * (pubmed.py:458,480,550) — surfaced as a one-row queryable frame
+    * after driving the exact q44 workload: batches applied, raw
+    * upserts seen, tombstones seen. The idempotent re-apply of an
+    * already-logged file is part of the probe: it must NOT move any
+    * counter (the gate returns before the first add), so the oracle's
+    * whole-table counts only match if exactly-once held. Counter
+    * transport is accumulator + observe() — no extra count() jobs on
+    * the merge path (A4's scale point: stats ride the write).
+    */
+  private val q130MergeStats = Q(
+    "q130_merge_stats",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-a4-").toString
+      val store = new TableStore(s, root, "user_id")
+      val (upserts, tombstones) = cdcBatches(s, d)
+      for (b <- 0 until 5)
+        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
+      // counters must not move on an already-logged file
+      val before = (store.mergedBatches.value, store.mergedUpserts.value,
+        store.mergedTombstones.value)
+      store.merge("state", upserts(3), tombstones(3), "batch_3")
+      val after = (store.mergedBatches.value, store.mergedUpserts.value,
+        store.mergedTombstones.value)
+      require(before == after,
+        s"idempotent re-apply moved the A4 counters: $before -> $after")
+      val out = s.range(1).select(
+        lit(store.mergedBatches.value).as("batches_applied"),
+        lit(store.mergedUpserts.value).as("upserts_seen"),
+        lit(store.mergedTombstones.value).as("tombstones_seen"))
+      Scratch.sealAndClean(out, root)
+    },
+    Some("""SELECT CAST(count(DISTINCT event_id % 5) AS BIGINT) AS batches_applied,
+      CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS upserts_seen,
+      CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS tombstones_seen
+      FROM events"""))
+
+  /** T6 oracle entry: the full-refresh escape hatch
+    * (pubmed.py:436-444 force_update — wipe the derived table, leave
+    * the audit log, reprocess everything). Applies the q44 workload
+    * incrementally, snapshots the final state to scratch parquet,
+    * WIPES the table via forceRefresh, reprocesses all five batches
+    * under fresh source_filenames (the audit log keeps history, so a
+    * STALE filename must still be gated — probed), and proves the
+    * rebuilt state is row-identical to the incremental one with two
+    * distributed exceptAll probes (no driver-side diff — the equality
+    * check is itself a Spark job, so it holds at any scale). Oracle:
+    * the same closed form as q44 — refresh must land exactly there.
+    */
+  private val q131ForceRefresh = Q(
+    "q131_force_refresh",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-t6-").toString
+      val store = new TableStore(s, s"$root/store", "user_id")
+      val (upserts, tombstones) = cdcBatches(s, d)
+      for (b <- 0 until 5)
+        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
+      // materialize the incremental final state OUTSIDE the table dir
+      // (forceRefresh deletes the snapshot files under a lazy reader)
+      store.snapshot("state").get.write.parquet(s"$root/inc")
+      store.forceRefresh("state")
+      require(store.snapshot("state").isEmpty,
+        "forceRefresh left a snapshot behind")
+      // reprocess with fresh filenames; the audit log survives the wipe
+      for (b <- 0 until 5)
+        store.merge("state", upserts(b), tombstones(b), s"refresh_$b")
+      val gated = store.merge("state", upserts(1), tombstones(1), "batch_1")
+      require(!gated, "audit log lost pre-refresh history: stale file re-applied")
+      val rebuilt = store.snapshot("state").get
+      val incremental = s.read.parquet(s"$root/inc")
+      require(rebuilt.exceptAll(incremental).isEmpty &&
+          incremental.exceptAll(rebuilt).isEmpty,
+        "force-refresh state diverged from the incremental state")
+      Scratch.sealAndClean(rebuilt.orderBy("user_id"), root)
+    },
+    Some(cdcFinalStateSql))
 
   /** q76: the STREAMING ingest path end-to-end (SURVEY T1/T5/O4 —
     * round-2 verdict's last spec-only items, now oracle-checked).
@@ -168,6 +264,8 @@ object Cdc {
       tagged.write.parquet(s"$root/in")
       val sdf = s.readStream.schema(tagged.schema).parquet(s"$root/in")
         .as[graft.stream.StreamAsOf.Tagged]
+      s.catalog.dropTempView("q98_sasof")  // stale same-name view from
+        // an earlier run in this session would shadow the new sink
       val query = graft.stream.StreamAsOf.backward(sdf)
         .writeStream.format("memory").queryName("q98_sasof")
         .option("checkpointLocation", s"$root/ckpt")
@@ -656,5 +754,6 @@ object Cdc {
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
-      q117SchemaEvolution, q120StreamFunnel, q129StreamScd2)
+      q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
+      q130MergeStats, q131ForceRefresh)
 }

@@ -543,8 +543,43 @@ object Training {
       LEFT JOIN pc ON w.doc_id = pc.doc_id
       ORDER BY w.doc_id"""))
 
+  /** q132: connected components under an ADVERSARIAL diameter — the
+    * large-star/small-star escalation q67's scaladoc promised, run for
+    * real. The fixture chains consecutive doc ids within 64-id
+    * segments (lead() over a per-segment window), producing eight
+    * diameter-63 path components: min-label propagation would need 63
+    * shuffle rounds; [[graft.ops.Cluster.connectedComponentsStar]]
+    * must finish in O(log n) alternations, and the entry REQUIREs
+    * that bound live (≤ 16) so a round-count regression fails the
+    * driver gate, not just a spec. The oracle is the closed form the
+    * chain construction guarantees: every segment is one component
+    * whose label is its min doc id.
+    */
+  private val q132CcStar = Q(
+    "q132_cc_star",
+    (s, d) => {
+      val seg = Tables.documents(s, d)
+        .select(col("doc_id"), expr("doc_id div 64").as("seg"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg").orderBy("doc_id")
+      val edges = seg
+        .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("a_id"), col("nxt").as("b_id"))
+      val r = graft.ops.Cluster.connectedComponentsStar(edges)
+      require(r.rounds <= 16,
+        s"large-star/small-star took ${r.rounds} alternations on a " +
+          "diameter-63 chain — the O(log n) bound regressed")
+      r.labels.select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 64 AS seg FROM documents),
+      c AS (SELECT seg, count(*) AS n, min(doc_id) AS m FROM d GROUP BY 1)
+      SELECT d.doc_id, c.m AS cluster FROM d JOIN c USING (seg)
+      WHERE c.n >= 2 ORDER BY d.doc_id"""))
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
-    q95BinnedQuantiles, q107TempMix, q126IncrementalDedup)
+    q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar)
 }

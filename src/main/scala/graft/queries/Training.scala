@@ -432,6 +432,80 @@ object Training {
         min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS p90_bin
       FROM cw GROUP BY 1 ORDER BY 1"""))
 
+  /** q133: MERGEABLE SKETCH quantiles — the scale rung ABOVE q95's
+    * exact decimal histogram, and the drop-in q78/q95's scaladoc
+    * promised (the t-digest seat, filled by the replayable family
+    * member — see [[graft.functions.LogDigest]] for why a t-digest
+    * proper cannot be oracle-gated: its centroids depend on merge
+    * order). Per-document token counts sketch into a bounded
+    * bin→count map per language via ONE typed-Aggregator aggregation
+    * (partials collapse map-side, merge is bin-wise addition, state
+    * ≤ S·octaves entries ≈ a few KB — q78 sorts every row per
+    * language, q95 still shuffles an unbounded linear histogram on
+    * heavy tails; the log sketch caps bins by construction).
+    * Quantile extraction then runs entirely on exploded SKETCH rows
+    * (hundreds per language): the q95 cumulative-window pick, with
+    * each bin reconstructed to its integer-exact lower bound —
+    * relative error ≤ 1/S, pinned by LogDigestSpec against exact
+    * quantiles. No float crosses the engine boundary: octave via bit
+    * position (Spark) = length(bin(x))-1 (DuckDB), everything after
+    * is integer arithmetic.
+    */
+  private val q133LogdigestQuantiles = Q(
+    "q133_logdigest_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = 16
+      val sk = Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("x"))
+        .filter(col("x") >= 1)
+        .groupBy("lang")
+        .agg(graft.functions.LogDigest.sketch(S)(col("x")).as("sk"))
+      val rows = sk
+        .select(col("lang"),
+          explode(arrays_zip(col("sk.bins"), col("sk.counts"))).as("bc"))
+        .select(col("lang"), col("bc.bins").as("bin"), col("bc.counts").as("c"))
+        // integer-exact reconstruction: base = 2^(bin div S) (pow is
+        // exact on these magnitudes), lb = base + ceildiv(sub*base, S)
+        .withColumn("base",
+          pow(lit(2.0), floor(col("bin") / S).cast("long")).cast("long"))
+      val byLang = Window.partitionBy("lang")
+      val cum = rows
+        .withColumn("lb", col("base") +
+          floor(((col("bin") % S) * col("base") + (S - 1)) / S).cast("long"))
+        .withColumn("cum", sum(col("c")).over(byLang.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byLang))
+      def pick(p: Double) =
+        min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("lb")))
+      cum.groupBy("lang")
+        .agg(max(col("n")).as("n_docs"), pick(0.5).as("p50_lb"),
+          pick(0.9).as("p90_lb"), pick(0.99).as("p99_lb"))
+        .orderBy("lang")
+    },
+    Some("""WITH x AS (SELECT lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+      p AS (SELECT lang, x, CAST(length(bin(x)) - 1 AS BIGINT) AS e
+            FROM x WHERE x >= 1),
+      b AS (SELECT lang, e * 16 +
+            ((x - CAST(power(2, e) AS BIGINT)) * 16)
+              // CAST(power(2, e) AS BIGINT) AS bin FROM p),
+      h AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      l AS (SELECT lang, bin, c,
+            CAST(power(2, bin // 16) AS BIGINT)
+              + ((bin % 16) * CAST(power(2, bin // 16) AS BIGINT) + 15) // 16
+              AS lb FROM h),
+      cw AS (SELECT lang, lb, c,
+          sum(c) OVER (PARTITION BY lang ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(c) OVER (PARTITION BY lang) AS n FROM l)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END) AS p50_lb,
+        min(CASE WHEN cum >= ceil(0.9 * n) THEN lb END) AS p90_lb,
+        min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END) AS p99_lb
+      FROM cw GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
   /** q107: TEMPERATURE-RESAMPLED language mix — the mC4/XLM-R rule for
     * balancing a multilingual corpus: sampling weight q_l ∝ p_l^α
     * (token share p_l, here α = 1/2 so the power is IEEE-exact sqrt in
@@ -581,5 +655,6 @@ object Training {
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
-    q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar)
+    q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar,
+    q133LogdigestQuantiles)
 }

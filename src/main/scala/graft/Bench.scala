@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   *  - every query gets its own UNMEASURED warm-up run first (JIT,
   *    codegen, classloading, file-footer caching are local-mode
   *    artifacts, not data costs);
+  *  - each query is then measured [[Runs]] times; "queries" reports
+  *    the per-query MEDIAN (the round-over-round comparison number)
+  *    and "spread" the max−min across the measured runs, so a real
+  *    regression separates from single-run scheduler noise (round-5
+  *    verdict item 7: q01/q07/q14 drifted 16–23% with no plan change);
   *  - the measured action materializes EVERY output column via
   *    sum(xxhash64(struct(*))) — a bare count() would let Catalyst
   *    prune the very expressions being benchmarked;
@@ -40,27 +45,44 @@ object Bench {
       ()
     }
 
+    val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+
+    // (name, median, spread, ok)
     val results = headline.map { q =>
       val ok =
         try { execute(q); true }          // warm-up (unmeasured)
         catch { case _: Throwable => false }
-      if (!ok) (q.name, -1.0, false)
+      if (!ok) (q.name, -1.0, -1.0, false)
       else {
-        val t0 = System.nanoTime()
-        val measured =
-          try { execute(q); true }
-          catch { case _: Throwable => false }
-        if (measured) (q.name, (System.nanoTime() - t0) / 1e9, true)
-        else (q.name, -1.0, false)
+        val times = Vector.newBuilder[Double]
+        var alive = true
+        var i = 0
+        while (alive && i < Runs) {
+          val t0 = System.nanoTime()
+          try { execute(q); times += (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => alive = false }
+          i += 1
+        }
+        val ts = times.result()
+        if (!alive || ts.isEmpty) (q.name, -1.0, -1.0, false)
+        else {
+          val sorted = ts.sorted
+          val median =
+            if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+            else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+          (q.name, median, sorted.last - sorted.head, true)
+        }
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val spread = results.map { case (k, _, s, _) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$Runs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(!_._3)) sys.exit(1)
+    if (results.exists(!_._4)) sys.exit(1)
   }
 }

@@ -172,6 +172,14 @@ object BroadcastRangeJoinExec {
   // can hand the SAME array to two execs binding DIFFERENT interval
   // columns, and an index built for the wrong pair would silently
   // return wrong rows.
+  //
+  // The monitor guards LOOKUP and PUBLISH only — the copy+sort build
+  // runs outside it (compute-then-putIfAbsent): holding the lock
+  // through a full index build would serialize the first task of
+  // every partition, and any concurrent UNRELATED range join, behind
+  // one build. Two threads racing the same (array, cols) key can both
+  // build; the first publish wins and the duplicate is garbage — a
+  // bounded, rare cost, vs a convoy on every query.
   private val cache = new java.util.WeakHashMap[
     Array[InternalRow], scala.collection.mutable.Map[(Long, Long), SortedIntervals]]
 
@@ -179,20 +187,13 @@ object BroadcastRangeJoinExec {
       rRows: Array[InternalRow],
       startE: Attribute,
       endE: Attribute,
-      rOut: Seq[Attribute]): SortedIntervals = cache.synchronized {
-    val byCols = {
-      val existing = cache.get(rRows)
-      if (existing != null) existing
-      else {
-        val fresh = scala.collection.mutable.Map.empty[(Long, Long), SortedIntervals]
-        cache.put(rRows, fresh)
-        fresh
-      }
-    }
+      rOut: Seq[Attribute]): SortedIntervals = {
     val colKey = (startE.exprId.id, endE.exprId.id)
-    val hit = byCols.get(colKey).orNull
-    if (hit != null) hit
-    else {
+    val hit = cache.synchronized {
+      val byCols = cache.get(rRows)
+      if (byCols == null) None else byCols.get(colKey)
+    }
+    hit.getOrElse {
       val startProj = UnsafeProjection.create(
         Seq(startE: org.apache.spark.sql.catalyst.expressions.Expression), rOut)
       val endProj = UnsafeProjection.create(
@@ -217,8 +218,19 @@ object BroadcastRangeJoinExec {
         i += 1
       }
       val built = new SortedIntervals(starts, ends, rows, prefixMaxEnd)
-      byCols(colKey) = built
-      built
+      cache.synchronized {
+        val byCols = {
+          val existing = cache.get(rRows)
+          if (existing != null) existing
+          else {
+            val fresh =
+              scala.collection.mutable.Map.empty[(Long, Long), SortedIntervals]
+            cache.put(rRows, fresh)
+            fresh
+          }
+        }
+        byCols.getOrElseUpdate(colKey, built)
+      }
     }
   }
 }

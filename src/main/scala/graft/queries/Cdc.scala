@@ -751,9 +751,86 @@ object Cdc {
         state, ts_us AS effective_from_us, event_id AS seq
       FROM ch ORDER BY user_id, version"""))
 
+  /** q134: the SEEDED SCD2 path through the driver gate — the
+    * restart-with-state-loss story q129's never-evict mode cannot
+    * tell. Phase 1 streams the first half of the event-time range
+    * (split at the integer midpoint of [min, max] µs — deterministic)
+    * into a memory sink; phase 2 then starts with a FRESH CHECKPOINT —
+    * total keyed-state loss, the worst case of any eviction policy —
+    * and every event carries a (last version, value) seed
+    * stream-static-joined from phase 1's persisted history
+    * ([[graft.stream.StreamScd2.seedFrom]]). The union of both
+    * phases' emissions must equal the single global-order replay:
+    * version numbering continues across the loss and values unchanged
+    * across the boundary do NOT re-emit, or rows duplicate/renumber
+    * and the hash breaks. Oracle: q129's closed form verbatim (the
+    * per-key phase split is a time split, so phase1-then-phase2 IS
+    * global order per key). Mid-run TTL eviction against a static
+    * in-run snapshot is deliberately out of scope here (a stale seed
+    * would re-emit; production refreshes the static side per
+    * micro-batch) — StreamScd2Spec covers live eviction.
+    */
+  private val q134StreamScd2Seeded = Q(
+    "q134_stream_scd2_seeded",
+    (s, d) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-sscd2s-").toString
+      val src = Tables.events(s, d)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("seq"), col("event_type").as("state"))
+      val bounds = src
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      src.filter(unix_micros(col("ts")) <= mid).write.parquet(s"$root/in1")
+      src.filter(unix_micros(col("ts")) > mid).write.parquet(s"$root/in2")
+
+      def runPhase(inDir: String, ckpt: String, sink: String,
+          history: org.apache.spark.sql.DataFrame): Unit = {
+        val sdf = s.readStream.schema(src.schema).parquet(inDir)
+          .as[graft.stream.StreamScd2.Ev]
+        s.catalog.dropTempView(sink)
+        val q = graft.stream.StreamScd2
+          .runSeeded(graft.stream.StreamScd2.seedFrom(sdf, history),
+            idleEvictMs = Long.MaxValue / 4)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+
+      val emptyHistory = s.emptyDataset[graft.stream.StreamScd2.VersionOpen].toDF()
+      runPhase(s"$root/in1", s"$root/ckpt1", "q134_p1", emptyHistory)
+      // persist phase-1 history OUTSIDE the memory sink: the phase-2
+      // static join side must survive independently of sink lifecycle
+      s.table("q134_p1").write.parquet(s"$root/hist1")
+      runPhase(s"$root/in2", s"$root/ckpt2", "q134_p2",
+        s.read.parquet(s"$root/hist1"))
+
+      val out = s.table("q134_p1").unionByName(s.table("q134_p2"))
+        .select(col("key").as("user_id"), col("version"), col("state"),
+          col("ts_us").as("effective_from_us"), col("seq"))
+        .orderBy("user_id", "version")
+      Scratch.sealAndClean(out, root)
+    },
+    Some("""WITH u AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+             FROM events WHERE event_type <> 'error'),
+      l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS prev FROM u),
+      ch AS (SELECT user_id, event_type AS state, ts_us, event_id
+             FROM l WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id,
+        CAST(row_number() OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS BIGINT) AS version,
+        state, ts_us AS effective_from_us, event_id AS seq
+      FROM ch ORDER BY user_id, version"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
-      q130MergeStats, q131ForceRefresh)
+      q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded)
 }

@@ -46,6 +46,9 @@ object Bench {
     }
 
     val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    require(Runs >= 1,
+      s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $Runs — a zero-run " +
+        "bench would report every query as failed")
 
     // (name, median, spread, ok)
     val results = headline.map { q =>

@@ -50,6 +50,11 @@ final class AnnotatorHttp(
     pollDeadlineMs: Long = 600000L) extends Annotator.Batch {
   require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
 
+  // normalize once: raw concatenation against a slashless base would
+  // silently target /rrqueue-documents-style paths
+  private val base: String =
+    if (baseUrl.endsWith("/")) baseUrl else baseUrl + "/"
+
   @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
   @transient private lazy val mapper: ObjectMapper = new ObjectMapper()
 
@@ -57,10 +62,18 @@ final class AnnotatorHttp(
       : Iterator[Annotator.Annotation] =
     batch.grouped(batchSize).flatMap(annotateChunk)
 
+  private def checked(resp: HttpResponse[String], what: String): JsonNode = {
+    if (resp.statusCode() / 100 != 2)
+      throw new IllegalStateException(
+        s"$what returned HTTP ${resp.statusCode()}: " +
+          resp.body().take(200))
+    mapper.readTree(resp.body())
+  }
+
   private def get(path: String): JsonNode = {
-    val req = HttpRequest.newBuilder(URI.create(baseUrl + path))
+    val req = HttpRequest.newBuilder(URI.create(base + path))
       .header("api-key", apiKey).GET().build()
-    mapper.readTree(http.send(req, HttpResponse.BodyHandlers.ofString()).body())
+    checked(http.send(req, HttpResponse.BodyHandlers.ofString()), s"GET $path")
   }
 
   private def annotateChunk(chunk: Seq[(Long, String)])
@@ -76,24 +89,32 @@ final class AnnotatorHttp(
     tasks.foreach(robots.add)
     root.put("filter_rcts", filterRcts)
 
-    val post = HttpRequest.newBuilder(URI.create(baseUrl + "queue-documents"))
+    val post = HttpRequest.newBuilder(URI.create(base + "queue-documents"))
       .header("api-key", apiKey)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
       .build()
-    val queued = mapper.readTree(
-      http.send(post, HttpResponse.BodyHandlers.ofString()).body())
+    val queued = checked(
+      http.send(post, HttpResponse.BodyHandlers.ofString()), "queue-documents")
     if (!queued.hasNonNull("report_id"))
       throw new IllegalStateException(
         s"Invalid response for RobotReviewer API request: $queued")
     val reportId = queued.get("report_id").asText()
 
     val deadline = System.nanoTime() + pollDeadlineMs * 1000000L
-    while (get(s"report-status/$reportId").path("state").asText() != "SUCCESS") {
+    var state = get(s"report-status/$reportId").path("state").asText()
+    while (state != "SUCCESS") {
+      // celery-style terminal failures must fail NOW, not spin the
+      // full deadline and then blame the clock
+      if (state == "FAILURE" || state == "REVOKED")
+        throw new IllegalStateException(
+          s"report $reportId ended in terminal state $state")
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(
-          s"report $reportId not ready within ${pollDeadlineMs} ms")
+          s"report $reportId not ready within ${pollDeadlineMs} ms " +
+            s"(last state: $state)")
       Thread.sleep(pollIntervalMs)
+      state = get(s"report-status/$reportId").path("state").asText()
     }
 
     val report = get(s"report/$reportId")

@@ -33,9 +33,21 @@ import org.apache.spark.sql.functions.udaf
   */
 object LogDigest {
 
-  /** Integer-exact bin id for x ≥ 1 with S sub-bins per octave. */
+  /** Largest accepted input: keeps `(x − base) · s` inside a Long for
+    * every legal S (2^50 · 2^12 = 2^62). Count-like measures (tokens,
+    * bytes, rows) live far below this; a wider domain would swap the
+    * sub-bin product for `Math.multiplyHigh` 128-bit arithmetic — the
+    * guard fails loudly instead of wrapping into phantom bins.
+    */
+  val MaxInput: Long = 1L << 50
+
+  /** Integer-exact bin id for 1 ≤ x ≤ [[MaxInput]] with S sub-bins per
+    * octave.
+    */
   def binOf(x: Long, s: Int): Long = {
     require(x >= 1, s"log bins need x >= 1, got $x")
+    require(x <= MaxInput,
+      s"x=$x above the 2^50 overflow guard (see LogDigest.MaxInput)")
     val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
     val base = 1L << e
     e.toLong * s + (x - base) * s / base

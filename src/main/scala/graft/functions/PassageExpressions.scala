@@ -112,6 +112,9 @@ object Passage {
     require(rows.length <= cap,
       s"hot-chunk set exceeds the $cap-entry broadcast cap: raise the " +
         "df threshold or use the bloom-prefiltered anti-join (q86 shape)")
+    // lifecycle: the caller owns the handle — in a long-lived session,
+    // destroy() it once the consuming action has run (ContextCleaner
+    // reclaims on GC otherwise)
     chunkRows.sparkSession.sparkContext
       .broadcast(new PassageHotSet(rows.map(_.getString(0))))
   }

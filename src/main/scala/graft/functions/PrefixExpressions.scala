@@ -84,9 +84,19 @@ object Prefix {
     import org.apache.spark.sql.functions.col
     val rows = dfRows.orderBy(col("df").desc, col("w")).limit(cap + 1).collect()
     val truncated = rows.length > cap
+    if (truncated)
+      // the audit is NEVER silent (the Dedup.oversized rule): callers
+      // that drop the flag still get the operational signal
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "feature-df ordering truncated at {} entries — prefix filter " +
+          "stays exact but candidate buckets widen; raise the df threshold",
+        cap)
     val kept = if (truncated) rows.take(cap) else rows
     val dfm = new FeatureDfMap(
       kept.map(_.getLong(0)), kept.map(_.getLong(1)))
+    // lifecycle: the caller owns the handle — in a long-lived session,
+    // destroy() it once the consuming action has run (ContextCleaner
+    // reclaims on GC otherwise)
     (dfRows.sparkSession.sparkContext.broadcast(dfm), truncated)
   }
 }

@@ -166,6 +166,13 @@ object Cluster {
       converged = gained == 0L && lost == 0L
       round += 1
     }
+    // the label extraction below is only valid at the star fixpoint —
+    // on a non-converged residual edge set min(nbr) is a LOCAL
+    // minimum, so exhausting maxIter must fail loudly, never return
+    // plausible-but-split components
+    require(converged,
+      s"large-star/small-star did not reach its fixpoint within $maxIter " +
+        "alternations — raise maxIter (rounds grow with log(n))")
 
     // fixpoint stars: every non-center node points at its component
     // min; centers (and single-node components) coalesce to themselves

@@ -112,7 +112,12 @@ object Cdc {
         lit(store.mergedTombstones.value).as("tombstones_seen"))
       Scratch.sealAndClean(out, root)
     },
-    Some("""SELECT CAST(count(DISTINCT event_id % 5) AS BIGINT) AS batches_applied,
+    // batches_applied is the WORKLOAD constant (5 merges apply whether
+    // or not a residue class happens to be empty — an empty batch is
+    // still applied and logged), so the oracle states 5 directly
+    // rather than count(DISTINCT event_id % 5), which would diverge on
+    // a fixture missing a residue
+    Some("""SELECT CAST(5 AS BIGINT) AS batches_applied,
       CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS upserts_seen,
       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS tombstones_seen
       FROM events"""))

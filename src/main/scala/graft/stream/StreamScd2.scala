@@ -35,7 +35,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    broadcast of O(keys) state — which is what makes TTL eviction
   *    safe at 100 TB key cardinality: state holds only keys active
   *    within the TTL, everything else lives in the sink it already
-  *    wrote.
+  *    wrote. One contract difference comes WITH event-time timeouts
+  *    and cannot be removed: Spark drops input rows older than the
+  *    watermark before the stateful operator (the standard watermark
+  *    discipline — eviction is watermark-driven, so rows from before
+  *    the eviction horizon must not reach evicted state). The
+  *    unseeded NoTimeout mode processes such stragglers; the seeded
+  *    mode equals the global replay only for data within the
+  *    watermark delay, which is the usual streaming guarantee.
   *
   * Under ordered replay the emitted set equals q99's change rows
   * exactly — q129 pins that through the driver gate against an

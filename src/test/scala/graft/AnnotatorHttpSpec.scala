@@ -27,6 +27,7 @@ class AnnotatorHttpSpec extends AnyFunSuite {
     val posts = new AtomicInteger(0)
     val statusCalls = new AtomicInteger(0)
     @volatile var failNextQueue = false
+    @volatile var failStatus = false
     @volatile var sawBadApiKey = false
     private val reports =
       new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
@@ -69,7 +70,10 @@ class AnnotatorHttpSpec extends AnyFunSuite {
       statusCalls.incrementAndGet()
       val id = x.getRequestURI.getPath.split("/").last
       val n = statusPerReport.get(id).incrementAndGet()
-      reply(x, if (n <= 2) """{"state":"PENDING"}""" else """{"state":"SUCCESS"}""")
+      reply(x,
+        if (failStatus) """{"state":"FAILURE"}"""
+        else if (n <= 2) """{"state":"PENDING"}"""
+        else """{"state":"SUCCESS"}""")
     })
     server.createContext("/report/", (x: HttpExchange) => {
       checkKey(x)
@@ -128,6 +132,33 @@ class AnnotatorHttpSpec extends AnyFunSuite {
         client.annotate(fixture(3).iterator).toSeq
       }
       assert(e.getMessage.contains("Invalid response"))
+    } finally mock.stop()
+  }
+
+  test("terminal FAILURE state fails immediately, not at the poll deadline") {
+    val mock = new Mock
+    try {
+      mock.failStatus = true
+      // a deadline far above the test budget: passing proves the
+      // terminal state short-circuited, not the clock
+      val client = new AnnotatorHttp(mock.base, "k-test",
+        pollIntervalMs = 5L, pollDeadlineMs = 600000L)
+      val t0 = System.nanoTime()
+      val e = intercept[IllegalStateException] {
+        client.annotate(fixture(2).iterator).toSeq
+      }
+      assert(e.getMessage.contains("terminal state FAILURE"))
+      assert((System.nanoTime() - t0) / 1e9 < 30.0)
+    } finally mock.stop()
+  }
+
+  test("slashless base URL is normalized, not concatenated into a 404") {
+    val mock = new Mock
+    try {
+      val client = new AnnotatorHttp(mock.base.dropRight(1), "k-test",
+        pollIntervalMs = 5L)
+      val got = client.annotate(fixture(3).iterator).toSeq
+      assert(got === Annotator.Stub.annotate(fixture(3).iterator).toSeq)
     } finally mock.stop()
   }
 

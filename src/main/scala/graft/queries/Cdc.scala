@@ -833,9 +833,136 @@ object Cdc {
         state, ts_us AS effective_from_us, event_id AS seq
       FROM ch ORDER BY user_id, version"""))
 
+  /** q135: STREAMING exact dedup through the driver gate — the last
+    * spec-only row of the execution-model families table
+    * (StreamDedupSpec). A full re-ingestion of the corpus (new ids,
+    * later timestamps, byte-identical text) lands as a SECOND
+    * micro-batch behind the original (`maxFilesPerTrigger=1`), and
+    * watermarked `dropDuplicatesWithinWatermark` on the content
+    * fingerprint must suppress every cross-batch duplicate while the
+    * state store holds one entry per fingerprint only until the
+    * watermark passes it (bounded state — the 100 TB/day property;
+    * an unbounded dropDuplicates keeps every fingerprint forever).
+    * Output is the fingerprint column alone: the SURVIVOR row among
+    * byte-identical copies is partition-order-dependent, the
+    * fingerprint set is not — same determinism discipline as q90's
+    * confirm pass. Oracle: DISTINCT md5(text) over the corpus.
+    */
+  private val q135StreamDedup = Q(
+    "q135_stream_dedup",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-sdd-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = 1700000000000000L
+      val b1 = docs.select(col("doc_id"), col("text"),
+        timestamp_micros(lit(base) + col("doc_id") * 1000000L).as("ts"))
+      val b2 = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        timestamp_micros(lit(base + 1800L * 1000000L) +
+          col("doc_id") * 1000000L).as("ts"))
+      Seq(b1 -> "1_original", b2 -> "2_reingest").foreach { case (df, name) =>
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file in $stage"))
+        val dst = new java.io.File(landing, s"$name.parquet")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(if (name.startsWith("1")) 60000L else 120000L)
+      }
+      s.catalog.dropTempView("q135_dedup")
+      val query = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .withColumn("fingerprint", md5(encode(col("text"), "UTF-8")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fingerprint")
+        .select("fingerprint")
+        .writeStream.format("memory").queryName("q135_dedup")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      Scratch.rmTree(root)  // results live in the memory sink
+      s.table("q135_dedup").orderBy("fingerprint")
+    },
+    Some("""SELECT DISTINCT md5(text) AS fingerprint FROM documents
+      ORDER BY 1"""))
+
+  /** q136: STREAMING heavy hitters through the driver gate — q90's
+    * two-pass shape with the Misra–Gries pass INCREMENTAL: a
+    * Complete-mode streaming aggregation carries the O(m) MG buffer
+    * in the state store across micro-batches (two token-file batches
+    * here), so the vocabulary never shuffles and state never grows
+    * with it; the MG completeness bound (m=255 ⊇ every token above
+    * N/256 > 0.5%) survives incremental merging because the summary
+    * is the same associative aggregate. The candidate set is then
+    * confirmed EXACTLY in batch (q90's IN-filter + ≤255-key count),
+    * which is what makes the output deterministic and oracle-equal
+    * even though the streamed MG buffer itself is order-dependent.
+    * Oracle: q90's exact closed form verbatim.
+    */
+  private val q136StreamHeavyHitters = Q(
+    "q136_stream_heavy_hitters",
+    (s, d) => {
+      import graft.functions.Portable.tokens
+      val root = Files.createTempDirectory("graft-shh-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      Seq(0, 1).foreach { half =>
+        val stage = s"$root/stage_$half"
+        toks.filter(pmod(col("doc_id"), lit(2)) === half).select("w")
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file in $stage"))
+        Files.move(part.toPath,
+          new java.io.File(landing, s"${half}_toks.parquet").toPath)
+      }
+      s.catalog.dropTempView("q136_hh")
+      val mg = graft.functions.HeavyHitters.agg(255)
+      val query = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("w STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .agg(count(lit(1)).as("n"), mg(col("w")).as("hh"))
+        .writeStream.format("memory").queryName("q136_hh")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val fin = s.table("q136_hh").head()
+      Scratch.rmTree(root)
+      val total = fin.getLong(0)
+      val cands = fin.getStruct(1)
+        .getAs[scala.collection.Seq[String]]("words").toSeq
+      val thr = math.ceil(0.005 * total).toLong
+      toks.filter(col("w").isin(cands: _*))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thr)
+        .select(col("w"), col("cnt"), lit(total).as("n_total"))
+        .orderBy(col("cnt").desc, col("w"))
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      tt AS (SELECT w FROM t WHERE len(w) > 0),
+      n AS (SELECT count(*) AS total FROM tt)
+      SELECT w, count(*) AS cnt, max(total) AS n_total
+      FROM tt CROSS JOIN n
+      GROUP BY w
+      HAVING count(*) >= ceil(0.005 * max(total))
+      ORDER BY cnt DESC, w"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
-      q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded)
+      q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
+      q135StreamDedup, q136StreamHeavyHitters)
 }

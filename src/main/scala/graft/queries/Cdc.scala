@@ -959,10 +959,88 @@ object Cdc {
       HAVING count(*) >= ceil(0.005 * max(total))
       ORDER BY cnt DESC, w"""))
 
+  /** q137: STREAM-STREAM interval join through the driver gate
+    * (StreamJoinSpec's family, oracle-backed): purchases joined to
+    * the same user's clicks within the preceding 6 hours, BOTH sides
+    * file streams split at the event-time midpoint into two
+    * micro-batches each. The dual watermark + time-range condition is
+    * what bounds both sides' join state: a click's state is evicted
+    * once the purchase side's watermark passes `cts + 6h`, and the
+    * eviction-safety argument is the delay choice — with a 6 h
+    * watermark delay, a click evicted after batch 1 (cts < mid − 12 h)
+    * cannot match any batch-2 purchase (pts > mid needs
+    * cts ≥ pts − 6 h > mid − 6 h) — so the streamed INNER join's row
+    * set equals the batch closed form exactly, which is the oracle.
+    */
+  private val q137StreamIntervalJoin = Q(
+    "q137_stream_interval_join",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-ssj-").toString
+      val ev = Tables.events(s, d)
+      val bounds = ev
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+
+      def land(df: org.apache.spark.sql.DataFrame, tsCol: String,
+          dir: String): Unit = {
+        val landing = new java.io.File(root, dir)
+        landing.mkdirs()
+        Seq("1_early" -> (unix_micros(col(tsCol)) <= mid),
+            "2_late" -> (unix_micros(col(tsCol)) > mid)).foreach {
+          case (name, pred) =>
+            val stage = s"$root/stage_${dir}_$name"
+            df.filter(pred).coalesce(1).write.parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no parquet part file in $stage"))
+            val dst = new java.io.File(landing, s"$name.parquet")
+            Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(if (name.startsWith("1")) 60000L else 120000L)
+        }
+      }
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"))
+      land(clicks, "cts", "clicks")
+      land(purchases, "pts", "purchases")
+
+      val cs = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/clicks")
+        .withWatermark("cts", "6 hours")
+      val ps = s.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/purchases")
+        .withWatermark("pts", "6 hours")
+      s.catalog.dropTempView("q137_ssj")
+      val query = ps.join(cs,
+          col("p_user") === col("c_user") &&
+            col("cts") >= col("pts") - expr("INTERVAL 6 HOURS") &&
+            col("cts") <= col("pts"))
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+        .writeStream.format("memory").queryName("q137_ssj")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      Scratch.rmTree(root)  // results live in the memory sink
+      s.table("q137_ssj").orderBy("purchase_id", "click_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        p.user_id
+      FROM events p JOIN events c ON p.user_id = c.user_id
+        AND p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+      ORDER BY 1, 2"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
-      q135StreamDedup, q136StreamHeavyHitters)
+      q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin)
 }

@@ -451,37 +451,50 @@ object Training {
     * position (Spark) = length(bin(x))-1 (DuckDB), everything after
     * is integer arithmetic.
     */
+  /** Quantile extraction from per-language LogDigest sketch structs
+    * (`lang`, `sk: struct<bins, counts>`): the q95 cumulative-window
+    * pick over exploded SKETCH rows, each bin reconstructed to its
+    * integer-exact lower bound. Shared by q133 (batch aggregation)
+    * and q138 (the same sketch maintained by a streaming aggregation)
+    * — identical extraction is what lets both pin to one oracle.
+    */
+  private[queries] def digestQuantiles(
+      sk: org.apache.spark.sql.DataFrame, S: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = sk
+      .select(col("lang"),
+        explode(arrays_zip(col("sk.bins"), col("sk.counts"))).as("bc"))
+      .select(col("lang"), col("bc.bins").as("bin"), col("bc.counts").as("c"))
+      // integer-exact reconstruction: base = 2^(bin div S) (pow is
+      // exact on these magnitudes), lb = base + ceildiv(sub*base, S)
+      .withColumn("base",
+        pow(lit(2.0), floor(col("bin") / S).cast("long")).cast("long"))
+    val byLang = Window.partitionBy("lang")
+    val cum = rows
+      .withColumn("lb", col("base") +
+        floor(((col("bin") % S) * col("base") + (S - 1)) / S).cast("long"))
+      .withColumn("cum", sum(col("c")).over(byLang.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byLang))
+    def pick(p: Double) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("lb")))
+    cum.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"), pick(0.5).as("p50_lb"),
+        pick(0.9).as("p90_lb"), pick(0.99).as("p99_lb"))
+      .orderBy("lang")
+  }
+
   private val q133LogdigestQuantiles = Q(
     "q133_logdigest_quantiles",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val S = 16
       val sk = Tables.documents(s, d)
         .select(col("lang"), size(tokens(col("text"))).cast("long").as("x"))
         .filter(col("x") >= 1)
         .groupBy("lang")
         .agg(graft.functions.LogDigest.sketch(S)(col("x")).as("sk"))
-      val rows = sk
-        .select(col("lang"),
-          explode(arrays_zip(col("sk.bins"), col("sk.counts"))).as("bc"))
-        .select(col("lang"), col("bc.bins").as("bin"), col("bc.counts").as("c"))
-        // integer-exact reconstruction: base = 2^(bin div S) (pow is
-        // exact on these magnitudes), lb = base + ceildiv(sub*base, S)
-        .withColumn("base",
-          pow(lit(2.0), floor(col("bin") / S).cast("long")).cast("long"))
-      val byLang = Window.partitionBy("lang")
-      val cum = rows
-        .withColumn("lb", col("base") +
-          floor(((col("bin") % S) * col("base") + (S - 1)) / S).cast("long"))
-        .withColumn("cum", sum(col("c")).over(byLang.orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum(col("c")).over(byLang))
-      def pick(p: Double) =
-        min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("lb")))
-      cum.groupBy("lang")
-        .agg(max(col("n")).as("n_docs"), pick(0.5).as("p50_lb"),
-          pick(0.9).as("p90_lb"), pick(0.99).as("p99_lb"))
-        .orderBy("lang")
+      digestQuantiles(sk, S)
     },
     Some("""WITH x AS (SELECT lang,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
@@ -505,6 +518,79 @@ object Training {
         min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END) AS p99_lb
       FROM cw GROUP BY 1 ORDER BY 1"""),
     bench = true)
+
+  /** q138: the SAME log-digest sketch maintained by a STREAMING
+    * aggregation — the property that makes [[graft.functions.LogDigest]]
+    * the oracle-gateable digest pays off here: bin counts are
+    * order-INSENSITIVE (deterministic binning + bin-wise merge), so
+    * unlike q136's Misra–Gries (which needs a batch confirm pass to
+    * become deterministic) the streamed sketch itself is bit-equal to
+    * the batch sketch, micro-batch boundaries invisible. Two
+    * token-count file batches drive a Complete-mode groupBy(lang)
+    * aggregation whose per-group O(bins) buffer rides the state store;
+    * extraction is q133's shared [[digestQuantiles]] and the oracle is
+    * q133's verbatim — one closed form pins batch AND streaming.
+    */
+  private val q138StreamLogdigest = Q(
+    "q138_stream_logdigest",
+    (s, d) => {
+      val S = 16
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sld-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val xs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("x"))
+        .filter(col("x") >= 1)
+      Seq(0, 1).foreach { half =>
+        val stage = s"$root/stage_$half"
+        xs.filter(pmod(col("doc_id"), lit(2)) === half).select("lang", "x")
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file in $stage"))
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(landing, s"${half}_x.parquet").toPath)
+      }
+      s.catalog.dropTempView("q138_sld")
+      val query = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, x BIGINT"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .groupBy("lang")
+        .agg(graft.functions.LogDigest.sketch(S)(col("x")).as("sk"))
+        .writeStream.format("memory").queryName("q138_sld")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val out = digestQuantiles(s.table("q138_sld"), S)
+      Scratch.sealAndClean(out, root)
+    },
+    Some("""WITH x AS (SELECT lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+      p AS (SELECT lang, x, CAST(length(bin(x)) - 1 AS BIGINT) AS e
+            FROM x WHERE x >= 1),
+      b AS (SELECT lang, e * 16 +
+            ((x - CAST(power(2, e) AS BIGINT)) * 16)
+              // CAST(power(2, e) AS BIGINT) AS bin FROM p),
+      h AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      l AS (SELECT lang, bin, c,
+            CAST(power(2, bin // 16) AS BIGINT)
+              + ((bin % 16) * CAST(power(2, bin // 16) AS BIGINT) + 15) // 16
+              AS lb FROM h),
+      cw AS (SELECT lang, lb, c,
+          sum(c) OVER (PARTITION BY lang ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(c) OVER (PARTITION BY lang) AS n FROM l)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END) AS p50_lb,
+        min(CASE WHEN cum >= ceil(0.9 * n) THEN lb END) AS p90_lb,
+        min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END) AS p99_lb
+      FROM cw GROUP BY 1 ORDER BY 1"""))
 
   /** q107: TEMPERATURE-RESAMPLED language mix — the mC4/XLM-R rule for
     * balancing a multilingual corpus: sampling weight q_l ∝ p_l^α
@@ -656,5 +742,5 @@ object Training {
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
     q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar,
-    q133LogdigestQuantiles)
+    q133LogdigestQuantiles, q138StreamLogdigest)
 }

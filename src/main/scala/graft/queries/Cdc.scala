@@ -1037,10 +1037,53 @@ object Cdc {
         AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
       ORDER BY 1, 2"""))
 
+  /** q139: snapshot COMPACTION (the lakehouse OPTIMIZE, completing the
+    * table-format family beside q112 time travel / q116 vacuum / q117
+    * schema evolution): after the q44 merge sequence leaves one file
+    * set per batch, `TableStore.compact` rewrites the latest snapshot
+    * into ONE file as a new version. The entry asserts the layout
+    * change actually happened (file count 1 < pre-compaction count,
+    * version advanced), that time travel to the pre-compaction
+    * version still works, and that values are IDENTICAL via
+    * distributed exceptAll probes — compaction must be invisible in
+    * the data, which is exactly what the oracle (the q44 closed form)
+    * certifies through the driver gate.
+    */
+  private val q139Compaction = Q(
+    "q139_compaction",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-opt-").toString
+      val store = new TableStore(s, root, "user_id")
+      val (upserts, tombstones) = cdcBatches(s, d)
+      for (b <- 0 until 5)
+        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
+      def partFiles(v: Int): Int = new java.io.File(s"$root/state/v$v")
+        .listFiles().count(f => f.getName.startsWith("part-"))
+      val before = store.snapshot("state").get
+      val preVersion = 5
+      val preFiles = partFiles(preVersion)
+      before.write.parquet(s"$root/pre") // materialize for the diff probe
+
+      val v = store.compact("state", numFiles = 1)
+      require(v == preVersion + 1, s"compaction wrote v$v, expected v6")
+      require(partFiles(v) == 1 && preFiles > 1,
+        s"layout unchanged: $preFiles files before, ${partFiles(v)} after")
+      // pre-compaction version still time-travels
+      require(store.snapshotAt("state", preVersion).isDefined,
+        "compaction clobbered the prior version")
+      val after = store.snapshot("state").get
+      val pre = s.read.parquet(s"$root/pre")
+      require(after.exceptAll(pre).isEmpty && pre.exceptAll(after).isEmpty,
+        "compaction changed table values")
+      Scratch.sealAndClean(after.orderBy("user_id"), root)
+    },
+    Some(cdcFinalStateSql))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
-      q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin)
+      q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin,
+      q139Compaction)
 }

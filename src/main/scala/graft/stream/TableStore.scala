@@ -275,4 +275,29 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     appliedCache(table) += sourceFilename
     true
   }
+
+  /** COMPACTION (the lakehouse OPTIMIZE): rewrite the latest snapshot
+    * into `numFiles` files as a NEW version. Values are untouched —
+    * compaction is a layout change, not a data change — so the
+    * update_log is untouched too (no source file was applied), old
+    * versions stay readable for time travel ([[snapshotAt]]) until
+    * [[vacuum]] claims them, and a crash mid-write leaves the previous
+    * version current (the same versioned-dir atomicity merge relies
+    * on). Nightly-merge tables accumulate one small file set per
+    * batch; without this the file count grows with batches and scan
+    * planning/open costs grow with it. At 100 TB the rewrite
+    * bin-packs by target size and runs per partition/bucket;
+    * `repartition(numFiles)` models exactly that placement choice.
+    * Returns the new version number.
+    */
+  def compact(table: String, numFiles: Int): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no snapshot to compact for table $table")
+    val cur = spark.read.parquet(s"${tableDir(table)}/v${vs.last}")
+    val v = vs.last + 1
+    cur.repartition(numFiles).write
+      .mode(SaveMode.Overwrite).parquet(s"${tableDir(table)}/v$v")
+    v
+  }
 }

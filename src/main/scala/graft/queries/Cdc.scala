@@ -1079,11 +1079,92 @@ object Cdc {
     },
     Some(cdcFinalStateSql))
 
+  /** q140: STREAMING sessionization through the driver gate — the
+    * last streaming machine that was spec-only
+    * ([[graft.stream.Sessionize.streaming]], StreamSessionSpec). Two
+    * time-split event batches drive the keyed state machine; sessions
+    * are emitted exactly once — mid-stream when a later event opens
+    * the next session, or by event-time timeout once the watermark
+    * passes session_end + gap. A session machine's tail sessions only
+    * flush when a LATER batch advances the watermark past them, so
+    * the landing set appends two sentinel-user batches (far-future
+    * timestamps): the first advances the watermark, the second's
+    * processing fires the remaining timeouts — the AvailableNow
+    * equivalent of a production stream's continuous clock. The
+    * sentinel user is filtered from the output; the oracle is q75's
+    * closed form restricted to session STRUCTURE (boundaries, counts,
+    * numbering — the machinery under test; q75 itself pins the
+    * decimal-exact value sum on the batch path).
+    */
+  private val q140StreamSessionize = Q(
+    "q140_stream_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val gapUs = 1800000000L
+      val sentinel = 999999999L
+      val root = Files.createTempDirectory("graft-ssz-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+      val bounds = ev
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val farUs = bounds.getLong(1) + 365L * 86400L * 1000000L
+      val batches = Seq(
+        "1_early" -> ev.filter(unix_micros(col("ts")) <= mid),
+        "2_late" -> ev.filter(unix_micros(col("ts")) > mid),
+        "3_clock" -> s.range(1).select(lit(sentinel).as("user_id"),
+          timestamp_micros(lit(farUs)).as("ts"), lit(0.0).as("value")),
+        "4_clock" -> s.range(1).select(lit(sentinel).as("user_id"),
+          timestamp_micros(lit(farUs + gapUs * 2)).as("ts"),
+          lit(0.0).as("value")))
+      batches.zipWithIndex.foreach { case ((name, df), i) =>
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file in $stage"))
+        val dst = new java.io.File(landing, s"$name.parquet")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(60000L * (i + 1))
+      }
+      s.catalog.dropTempView("q140_ssz")
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .as[graft.stream.Sessionize.Event]
+      val query = graft.stream.Sessionize.streaming(sdf, gapUs)
+        .writeStream.format("memory").queryName("q140_ssz")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      Scratch.rmTree(root)  // results live in the memory sink
+      s.table("q140_ssz")
+        .filter(col("user_id") =!= sentinel)
+        .select(col("user_id"), col("sess_id"), col("session_start"),
+          col("session_end"), col("n_events"))
+        .orderBy("user_id", "sess_id")
+    },
+    Some("""WITH l AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        THEN 1 ELSE 0 END AS is_new FROM events),
+      s AS (SELECT user_id, ts,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM l)
+      SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
       q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin,
-      q139Compaction)
+      q139Compaction, q140StreamSessionize)
 }

@@ -190,22 +190,17 @@ object Cdc {
       // one JSON-lines landing file per batch; modTime ascending and
       // names sortable so drain order is deterministic either way
       for (b <- 0 until 5) {
-        val stage = s"$root/stage_$b"
-        ev.filter(col("batch") === b)
-          .select(
-            when(col("event_type") === "error", lit("delete"))
-              .otherwise(lit("upsert")).as("op"),
-            lit(s"batch_$b.json").as("source_filename"),
-            col("user_id"), col("event_type").as("last_type"),
-            col("value").as("last_value"),
-            struct(unix_micros(col("ts")).as("ts_us"), col("event_id")).as("seq"))
-          .coalesce(1).write.json(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-          .getOrElse(sys.error(s"no json part file in $stage"))
-        val dst = new java.io.File(landing, s"batch_$b.json")
-        Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(60000L * (b + 1))
+        Scratch.landFile(
+          ev.filter(col("batch") === b)
+            .select(
+              when(col("event_type") === "error", lit("delete"))
+                .otherwise(lit("upsert")).as("op"),
+              lit(s"batch_$b.json").as("source_filename"),
+              col("user_id"), col("event_type").as("last_type"),
+              col("value").as("last_value"),
+              struct(unix_micros(col("ts")).as("ts_us"), col("event_id")).as("seq")),
+          landing.toString, s"batch_$b.json",
+          modTime = 60000L * (b + 1), format = "json")
       }
 
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -855,21 +850,20 @@ object Cdc {
       val landing = new java.io.File(root, "landing")
       landing.mkdirs()
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // millisecond spacing keeps each batch's event-time span tiny at
+      // ANY scale factor, so batch 1's watermark never expires dedup
+      // state before batch 2 arrives — every duplicate is suppressed
+      // by the STATE STORE (the property under test), none by the
+      // late-row filter
       val base = 1700000000000000L
       val b1 = docs.select(col("doc_id"), col("text"),
-        timestamp_micros(lit(base) + col("doc_id") * 1000000L).as("ts"))
+        timestamp_micros(lit(base) + col("doc_id") * 1000L).as("ts"))
       val b2 = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"),
         timestamp_micros(lit(base + 1800L * 1000000L) +
-          col("doc_id") * 1000000L).as("ts"))
+          col("doc_id") * 1000L).as("ts"))
       Seq(b1 -> "1_original", b2 -> "2_reingest").foreach { case (df, name) =>
-        val stage = s"$root/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part file in $stage"))
-        val dst = new java.io.File(landing, s"$name.parquet")
-        Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(if (name.startsWith("1")) 60000L else 120000L)
+        Scratch.landFile(df, landing.toString, s"$name.parquet",
+          modTime = if (name.startsWith("1")) 60000L else 120000L)
       }
       s.catalog.dropTempView("q135_dedup")
       val query = s.readStream.schema(b1.schema)
@@ -915,14 +909,9 @@ object Cdc {
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
       Seq(0, 1).foreach { half =>
-        val stage = s"$root/stage_$half"
-        toks.filter(pmod(col("doc_id"), lit(2)) === half).select("w")
-          .coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part file in $stage"))
-        Files.move(part.toPath,
-          new java.io.File(landing, s"${half}_toks.parquet").toPath)
+        Scratch.landFile(
+          toks.filter(pmod(col("doc_id"), lit(2)) === half).select("w"),
+          landing.toString, s"${half}_toks.parquet")
       }
       s.catalog.dropTempView("q136_hh")
       val mg = graft.functions.HeavyHitters.agg(255)
@@ -989,15 +978,9 @@ object Cdc {
         Seq("1_early" -> (unix_micros(col(tsCol)) <= mid),
             "2_late" -> (unix_micros(col(tsCol)) > mid)).foreach {
           case (name, pred) =>
-            val stage = s"$root/stage_${dir}_$name"
-            df.filter(pred).coalesce(1).write.parquet(stage)
-            val part = new java.io.File(stage).listFiles()
-              .find(f => f.getName.startsWith("part-") &&
-                f.getName.endsWith(".parquet"))
-              .getOrElse(sys.error(s"no parquet part file in $stage"))
-            val dst = new java.io.File(landing, s"$name.parquet")
-            Files.move(part.toPath, dst.toPath)
-            dst.setLastModified(if (name.startsWith("1")) 60000L else 120000L)
+            Scratch.landFile(df.filter(pred), landing.toString,
+              s"$name.parquet",
+              modTime = if (name.startsWith("1")) 60000L else 120000L)
         }
       }
       val clicks = ev.filter(col("event_type") === "click")
@@ -1059,20 +1042,19 @@ object Cdc {
         store.merge("state", upserts(b), tombstones(b), s"batch_$b")
       def partFiles(v: Int): Int = new java.io.File(s"$root/state/v$v")
         .listFiles().count(f => f.getName.startsWith("part-"))
-      val before = store.snapshot("state").get
       val preVersion = 5
       val preFiles = partFiles(preVersion)
-      before.write.parquet(s"$root/pre") // materialize for the diff probe
 
       val v = store.compact("state", numFiles = 1)
       require(v == preVersion + 1, s"compaction wrote v$v, expected v6")
       require(partFiles(v) == 1 && preFiles > 1,
         s"layout unchanged: $preFiles files before, ${partFiles(v)} after")
-      // pre-compaction version still time-travels
-      require(store.snapshotAt("state", preVersion).isDefined,
-        "compaction clobbered the prior version")
+      // the pre-compaction version still time-travels — and serves as
+      // the diff probe directly (its files being untouched is part of
+      // what compaction certifies; no extra snapshot copy needed)
+      val pre = store.snapshotAt("state", preVersion)
+        .getOrElse(sys.error("compaction clobbered the prior version"))
       val after = store.snapshot("state").get
-      val pre = s.read.parquet(s"$root/pre")
       require(after.exceptAll(pre).isEmpty && pre.exceptAll(after).isEmpty,
         "compaction changed table values")
       Scratch.sealAndClean(after.orderBy("user_id"), root)
@@ -1121,14 +1103,8 @@ object Cdc {
           timestamp_micros(lit(farUs + gapUs * 2)).as("ts"),
           lit(0.0).as("value")))
       batches.zipWithIndex.foreach { case ((name, df), i) =>
-        val stage = s"$root/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part file in $stage"))
-        val dst = new java.io.File(landing, s"$name.parquet")
-        Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(60000L * (i + 1))
+        Scratch.landFile(df, landing.toString, s"$name.parquet",
+          modTime = 60000L * (i + 1))
       }
       s.catalog.dropTempView("q140_ssz")
       val sdf = s.readStream.schema(ev.schema)

@@ -37,6 +37,29 @@ object Scratch {
     }
   }
 
+  /** Land a frame as ONE file in `landingDir` under a sortable name
+    * with an explicit modTime — the file-stream fixture pattern every
+    * streaming entry shares (q76/q135/q136/q137/q138/q140): the
+    * source's oldest-first discovery plus `maxFilesPerTrigger=1`
+    * turns each landed file into its own ordered micro-batch, so both
+    * the name sort and the modTime agree on replay order.
+    */
+  def landFile(df: DataFrame, landingDir: String, fileName: String,
+      modTime: Long = 0L, format: String = "parquet"): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-land-").toString
+    df.coalesce(1).write.mode("overwrite").format(format).save(stage)
+    val suffix = s".$format"
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(suffix))
+      .getOrElse(sys.error(s"no $format part file in $stage"))
+    val dir = new java.io.File(landingDir)
+    dir.mkdirs()
+    val dst = new java.io.File(dir, fileName)
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    if (modTime > 0L) dst.setLastModified(modTime)
+    rmTree(stage)
+  }
+
   /** Collect a SMALL result, delete the scratch dirs backing its plan,
     * and return the rows as an in-memory frame — the returned plan
     * must not reference deleted files, so materialization comes first.

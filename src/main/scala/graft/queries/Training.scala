@@ -432,25 +432,6 @@ object Training {
         min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS p90_bin
       FROM cw GROUP BY 1 ORDER BY 1"""))
 
-  /** q133: MERGEABLE SKETCH quantiles — the scale rung ABOVE q95's
-    * exact decimal histogram, and the drop-in q78/q95's scaladoc
-    * promised (the t-digest seat, filled by the replayable family
-    * member — see [[graft.functions.LogDigest]] for why a t-digest
-    * proper cannot be oracle-gated: its centroids depend on merge
-    * order). Per-document token counts sketch into a bounded
-    * bin→count map per language via ONE typed-Aggregator aggregation
-    * (partials collapse map-side, merge is bin-wise addition, state
-    * ≤ S·octaves entries ≈ a few KB — q78 sorts every row per
-    * language, q95 still shuffles an unbounded linear histogram on
-    * heavy tails; the log sketch caps bins by construction).
-    * Quantile extraction then runs entirely on exploded SKETCH rows
-    * (hundreds per language): the q95 cumulative-window pick, with
-    * each bin reconstructed to its integer-exact lower bound —
-    * relative error ≤ 1/S, pinned by LogDigestSpec against exact
-    * quantiles. No float crosses the engine boundary: octave via bit
-    * position (Spark) = length(bin(x))-1 (DuckDB), everything after
-    * is integer arithmetic.
-    */
   /** Quantile extraction from per-language LogDigest sketch structs
     * (`lang`, `sk: struct<bins, counts>`): the q95 cumulative-window
     * pick over exploded SKETCH rows, each bin reconstructed to its
@@ -485,6 +466,26 @@ object Training {
       .orderBy("lang")
   }
 
+  /** q133: MERGEABLE SKETCH quantiles — the scale rung ABOVE q95's
+    * exact decimal histogram, and the drop-in q78/q95's scaladoc
+    * promised (the t-digest seat, filled by the replayable family
+    * member — see [[graft.functions.LogDigest]] for why a t-digest
+    * proper cannot be oracle-gated: its centroids depend on merge
+    * order). Per-document token counts sketch into a bounded
+    * bin→count map per language via ONE typed-Aggregator aggregation
+    * (partials collapse map-side, merge is bin-wise addition, state
+    * ≤ S·octaves entries ≈ a few KB — q78 sorts every row per
+    * language, q95 still shuffles an unbounded linear histogram on
+    * heavy tails; the log sketch caps bins by construction).
+    * Quantile extraction then runs entirely on exploded SKETCH rows
+    * (hundreds per language) via [[digestQuantiles]]: the q95
+    * cumulative-window pick, with each bin reconstructed to its
+    * integer-exact lower bound — relative error ≤ 1/S, pinned by
+    * LogDigestSpec against exact quantiles. No float crosses the
+    * engine boundary: octave via bit position (Spark) =
+    * length(bin(x))-1 (DuckDB), everything after is integer
+    * arithmetic.
+    */
   private val q133LogdigestQuantiles = Q(
     "q133_logdigest_quantiles",
     (s, d) => {
@@ -544,14 +545,9 @@ object Training {
           size(tokens(col("text"))).cast("long").as("x"))
         .filter(col("x") >= 1)
       Seq(0, 1).foreach { half =>
-        val stage = s"$root/stage_$half"
-        xs.filter(pmod(col("doc_id"), lit(2)) === half).select("lang", "x")
-          .coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part file in $stage"))
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(landing, s"${half}_x.parquet").toPath)
+        Scratch.landFile(
+          xs.filter(pmod(col("doc_id"), lit(2)) === half).select("lang", "x"),
+          landing.toString, s"${half}_x.parquet")
       }
       s.catalog.dropTempView("q138_sld")
       val query = s.readStream

@@ -42,6 +42,15 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   /** Location of a table's maintained aggregate snapshot (T5). */
   def matviewDir(table: String): String = s"$root/_matviews/$table"
 
+  /** COMPLETE snapshot versions only: a v-dir without its _SUCCESS
+    * marker is a crashed write (merge and compact both go through
+    * Spark's committer, which writes the marker last), and resolving
+    * it as current would silently serve truncated data — this filter
+    * is what actually implements the "readers resolve the highest
+    * complete version" promise in the class doc. A later write to the
+    * same version number overwrites the partial dir (SaveMode
+    * .Overwrite), so crashed attempts self-heal.
+    */
   private def versions(table: String): Seq[Int] = {
     val dir = Paths.get(tableDir(table))
     if (!Files.exists(dir)) Seq.empty
@@ -51,8 +60,11 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
         val it = stream.iterator()
         val buf = scala.collection.mutable.ArrayBuffer[Int]()
         while (it.hasNext) {
-          val name = it.next().getFileName.toString
-          if (name.startsWith("v")) buf += name.drop(1).toInt
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("v") &&
+              Files.exists(p.resolve("_SUCCESS")))
+            buf += name.drop(1).toInt
         }
         buf.toSeq.sorted
       } finally stream.close()

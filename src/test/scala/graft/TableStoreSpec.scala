@@ -90,6 +90,24 @@ class TableStoreSpec extends AnyFunSuite {
     assert(state(s) === Map("c" -> "3"))       // rebuilt from scratch
   }
 
+  test("partial snapshot version (no _SUCCESS) is invisible and self-heals") {
+    val root = Files.createTempDirectory("ts-spec-").toString
+    val s = new TableStore(spark, root, "k")
+    s.merge("t", ups(("a", "1", 1)), dels(), "f0")
+    s.merge("t", ups(("b", "2", 1)), dels(), "f1")
+    // simulate a crash mid-write of v3: part file present, no _SUCCESS
+    val partial = new java.io.File(s"$root/t/v3")
+    partial.mkdirs()
+    Files.write(partial.toPath.resolve("part-00000-crashed.parquet"),
+      Array[Byte](0, 1, 2))
+    assert(state(s) === Map("a" -> "1", "b" -> "2")) // v2 still current
+    assert(s.snapshotAt("t", 3).isEmpty)             // and v3 unreadable
+    // the next merge claims version 3, overwriting the crashed attempt
+    s.merge("t", ups(("c", "3", 1)), dels(), "f2")
+    assert(state(s) === Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    assert(s.snapshotAt("t", 3).isDefined)
+  }
+
   test("property: merge sequence ≡ reference apply loop model") {
     val key = Gen.oneOf("k1", "k2", "k3")
     val action = for {

@@ -131,6 +131,43 @@ object Analytics {
       FROM e ORDER BY source"""),
     bench = true)
 
+  /** Exact confirm pass over a Misra–Gries summary row `(n, hh)`,
+    * shared by q90 (batch MG buffer) and q136 (the same summary
+    * maintained in the streaming state store): IN-filter on the ≤255
+    * candidates, exact recount, threshold ceil(0.5% · n). Sharing the
+    * pass (and [[heavyHittersOracleSql]]) is what keeps the two
+    * entries pinning ONE semantics — a tokenization or threshold
+    * change cannot drift them apart.
+    */
+  private[queries] def mgConfirm(
+      toks: org.apache.spark.sql.DataFrame,
+      summary: org.apache.spark.sql.Row): org.apache.spark.sql.DataFrame = {
+    val total = summary.getLong(0)
+    val cands = summary.getStruct(1)
+      .getAs[scala.collection.Seq[String]]("words").toSeq
+    val thr = math.ceil(0.005 * total).toLong
+    toks.filter(col("w").isin(cands: _*))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .select(col("w"), col("cnt"), lit(total).as("n_total"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
+  /** ONE closed form for the exact heavy-hitter set, shared by q90 and
+    * q136 (declared before both entries: object vals initialize in
+    * order).
+    */
+  private[queries] val heavyHittersOracleSql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      tt AS (SELECT w FROM t WHERE len(w) > 0),
+      n AS (SELECT count(*) AS total FROM tt)
+      SELECT w, count(*) AS cnt, max(total) AS n_total
+      FROM tt CROSS JOIN n
+      GROUP BY w
+      HAVING count(*) >= ceil(0.005 * max(total))
+      ORDER BY cnt DESC, w"""
+
   /** q90: HEAVY-HITTER vocabulary mining — exact frequencies of every
     * token above 0.5% of the corpus, found WITHOUT shuffling the
     * vocabulary. Pass 1 is a single global aggregate whose state is a
@@ -156,25 +193,9 @@ object Analytics {
         .filter(length(col("w")) > 0)
       val mg = graft.functions.HeavyHitters.agg(255)
       val first = toks.agg(count(lit(1)).as("n"), mg(col("w")).as("hh")).head()
-      val total = first.getLong(0)
-      val cands = first.getStruct(1)
-        .getAs[scala.collection.Seq[String]]("words").toSeq
-      val thr = math.ceil(0.005 * total).toLong
-      toks.filter(col("w").isin(cands: _*))
-        .groupBy("w")
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= thr)
-        .select(col("w"), col("cnt"), lit(total).as("n_total"))
-        .orderBy(col("cnt").desc, col("w"))
+      mgConfirm(toks, first)
     },
-    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-      tt AS (SELECT w FROM t WHERE len(w) > 0),
-      n AS (SELECT count(*) AS total FROM tt)
-      SELECT w, count(*) AS cnt, max(total) AS n_total
-      FROM tt CROSS JOIN n
-      GROUP BY w
-      HAVING count(*) >= ceil(0.005 * max(total))
-      ORDER BY cnt DESC, w"""),
+    Some(heavyHittersOracleSql),
     bench = true)
 
   /** q91: BUCKETED CO-LOCATED fact⋈fact join — the storage-level

@@ -928,25 +928,9 @@ object Cdc {
       query.awaitTermination()
       val fin = s.table("q136_hh").head()
       Scratch.rmTree(root)
-      val total = fin.getLong(0)
-      val cands = fin.getStruct(1)
-        .getAs[scala.collection.Seq[String]]("words").toSeq
-      val thr = math.ceil(0.005 * total).toLong
-      toks.filter(col("w").isin(cands: _*))
-        .groupBy("w")
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= thr)
-        .select(col("w"), col("cnt"), lit(total).as("n_total"))
-        .orderBy(col("cnt").desc, col("w"))
+      Analytics.mgConfirm(toks, fin)
     },
-    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-      tt AS (SELECT w FROM t WHERE len(w) > 0),
-      n AS (SELECT count(*) AS total FROM tt)
-      SELECT w, count(*) AS cnt, max(total) AS n_total
-      FROM tt CROSS JOIN n
-      GROUP BY w
-      HAVING count(*) >= ceil(0.005 * max(total))
-      ORDER BY cnt DESC, w"""))
+    Some(Analytics.heavyHittersOracleSql))
 
   /** q137: STREAM-STREAM interval join through the driver gate
     * (StreamJoinSpec's family, oracle-backed): purchases joined to
@@ -961,36 +945,43 @@ object Cdc {
     * cts ≥ pts − 6 h > mid − 6 h) — so the streamed INNER join's row
     * set equals the batch closed form exactly, which is the oracle.
     */
+  /** Event-time (lo, hi) bounds in microseconds — one tiny agg action. */
+  private def tsBoundsUs(df: org.apache.spark.sql.DataFrame,
+      tsCol: String): (Long, Long) = {
+    val r = df.agg(min(unix_micros(col(tsCol))).as("lo"),
+      max(unix_micros(col(tsCol))).as("hi")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Land `df` split at event-time `mid` into the two ordered
+    * micro-batch files (`1_early` ≤ mid < `2_late`) that q137 and
+    * q140 both replay — ONE place owns the split predicate and the
+    * name/modTime replay-order convention.
+    */
+  private def landTimeSplit(df: org.apache.spark.sql.DataFrame,
+      tsCol: String, mid: Long, landingDir: String): Unit =
+    Seq("1_early" -> (unix_micros(col(tsCol)) <= mid),
+        "2_late" -> (unix_micros(col(tsCol)) > mid)).foreach {
+      case (name, pred) =>
+        Scratch.landFile(df.filter(pred), landingDir, s"$name.parquet",
+          modTime = if (name.startsWith("1")) 60000L else 120000L)
+    }
+
   private val q137StreamIntervalJoin = Q(
     "q137_stream_interval_join",
     (s, d) => {
       val root = Files.createTempDirectory("graft-ssj-").toString
       val ev = Tables.events(s, d)
-      val bounds = ev
-        .agg(min(unix_micros(col("ts"))).as("lo"),
-          max(unix_micros(col("ts"))).as("hi")).head()
-      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
-
-      def land(df: org.apache.spark.sql.DataFrame, tsCol: String,
-          dir: String): Unit = {
-        val landing = new java.io.File(root, dir)
-        landing.mkdirs()
-        Seq("1_early" -> (unix_micros(col(tsCol)) <= mid),
-            "2_late" -> (unix_micros(col(tsCol)) > mid)).foreach {
-          case (name, pred) =>
-            Scratch.landFile(df.filter(pred), landing.toString,
-              s"$name.parquet",
-              modTime = if (name.startsWith("1")) 60000L else 120000L)
-        }
-      }
+      val (lo, hi) = tsBoundsUs(ev, "ts")
+      val mid = (lo + hi) / 2
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("cts"),
           col("event_id").as("click_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("pts"),
           col("event_id").as("purchase_id"))
-      land(clicks, "cts", "clicks")
-      land(purchases, "pts", "purchases")
+      landTimeSplit(clicks, "cts", mid, s"$root/clicks")
+      landTimeSplit(purchases, "pts", mid, s"$root/purchases")
 
       val cs = s.readStream.schema(clicks.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/clicks")
@@ -1089,23 +1080,17 @@ object Cdc {
       landing.mkdirs()
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("value"))
-      val bounds = ev
-        .agg(min(unix_micros(col("ts"))).as("lo"),
-          max(unix_micros(col("ts"))).as("hi")).head()
-      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
-      val farUs = bounds.getLong(1) + 365L * 86400L * 1000000L
-      val batches = Seq(
-        "1_early" -> ev.filter(unix_micros(col("ts")) <= mid),
-        "2_late" -> ev.filter(unix_micros(col("ts")) > mid),
-        "3_clock" -> s.range(1).select(lit(sentinel).as("user_id"),
-          timestamp_micros(lit(farUs)).as("ts"), lit(0.0).as("value")),
-        "4_clock" -> s.range(1).select(lit(sentinel).as("user_id"),
-          timestamp_micros(lit(farUs + gapUs * 2)).as("ts"),
-          lit(0.0).as("value")))
-      batches.zipWithIndex.foreach { case ((name, df), i) =>
-        Scratch.landFile(df, landing.toString, s"$name.parquet",
-          modTime = 60000L * (i + 1))
-      }
+      val (lo, hi) = tsBoundsUs(ev, "ts")
+      val mid = (lo + hi) / 2
+      val farUs = hi + 365L * 86400L * 1000000L
+      landTimeSplit(ev, "ts", mid, landing.toString)
+      Seq("3_clock" -> farUs, "4_clock" -> (farUs + gapUs * 2))
+        .zipWithIndex.foreach { case ((name, ts), i) =>
+          Scratch.landFile(
+            s.range(1).select(lit(sentinel).as("user_id"),
+              timestamp_micros(lit(ts)).as("ts"), lit(0.0).as("value")),
+            landing.toString, s"$name.parquet", modTime = 60000L * (i + 3))
+        }
       s.catalog.dropTempView("q140_ssz")
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

@@ -56,7 +56,11 @@ object Scratch {
     dir.mkdirs()
     val dst = new java.io.File(dir, fileName)
     java.nio.file.Files.move(part.toPath, dst.toPath)
-    if (modTime > 0L) dst.setLastModified(modTime)
+    // setLastModified reports failure by RETURN VALUE; order-sensitive
+    // fixtures (q135/q137/q140) replay wrongly if the mtime silently
+    // keeps wall clock, so fail loudly instead
+    if (modTime > 0L)
+      require(dst.setLastModified(modTime), s"could not set mtime on $dst")
     rmTree(stage)
   }
 

@@ -466,6 +466,35 @@ object Training {
       .orderBy("lang")
   }
 
+  /** ONE closed form pins the log-digest quantiles on both execution
+    * paths — q133 (batch) and q138 (streamed sketch) share this SQL by
+    * reference, so a binning fix can never drift the two entries
+    * apart (the SQL-side twin of the shared [[digestQuantiles]]).
+    * Declared before both entries: object vals initialize in order.
+    */
+  private val logdigestQuantilesOracleSql =
+    """WITH x AS (SELECT lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+      p AS (SELECT lang, x, CAST(length(bin(x)) - 1 AS BIGINT) AS e
+            FROM x WHERE x >= 1),
+      b AS (SELECT lang, e * 16 +
+            ((x - CAST(power(2, e) AS BIGINT)) * 16)
+              // CAST(power(2, e) AS BIGINT) AS bin FROM p),
+      h AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      l AS (SELECT lang, bin, c,
+            CAST(power(2, bin // 16) AS BIGINT)
+              + ((bin % 16) * CAST(power(2, bin // 16) AS BIGINT) + 15) // 16
+              AS lb FROM h),
+      cw AS (SELECT lang, lb, c,
+          sum(c) OVER (PARTITION BY lang ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(c) OVER (PARTITION BY lang) AS n FROM l)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END) AS p50_lb,
+        min(CASE WHEN cum >= ceil(0.9 * n) THEN lb END) AS p90_lb,
+        min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END) AS p99_lb
+      FROM cw GROUP BY 1 ORDER BY 1"""
+
   /** q133: MERGEABLE SKETCH quantiles — the scale rung ABOVE q95's
     * exact decimal histogram, and the drop-in q78/q95's scaladoc
     * promised (the t-digest seat, filled by the replayable family
@@ -497,27 +526,7 @@ object Training {
         .agg(graft.functions.LogDigest.sketch(S)(col("x")).as("sk"))
       digestQuantiles(sk, S)
     },
-    Some("""WITH x AS (SELECT lang,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
-      p AS (SELECT lang, x, CAST(length(bin(x)) - 1 AS BIGINT) AS e
-            FROM x WHERE x >= 1),
-      b AS (SELECT lang, e * 16 +
-            ((x - CAST(power(2, e) AS BIGINT)) * 16)
-              // CAST(power(2, e) AS BIGINT) AS bin FROM p),
-      h AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
-      l AS (SELECT lang, bin, c,
-            CAST(power(2, bin // 16) AS BIGINT)
-              + ((bin % 16) * CAST(power(2, bin // 16) AS BIGINT) + 15) // 16
-              AS lb FROM h),
-      cw AS (SELECT lang, lb, c,
-          sum(c) OVER (PARTITION BY lang ORDER BY bin
-            ROWS UNBOUNDED PRECEDING) AS cum,
-          sum(c) OVER (PARTITION BY lang) AS n FROM l)
-      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
-        min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END) AS p50_lb,
-        min(CASE WHEN cum >= ceil(0.9 * n) THEN lb END) AS p90_lb,
-        min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END) AS p99_lb
-      FROM cw GROUP BY 1 ORDER BY 1"""),
+    Some(logdigestQuantilesOracleSql),
     bench = true)
 
   /** q138: the SAME log-digest sketch maintained by a STREAMING
@@ -566,27 +575,7 @@ object Training {
       val out = digestQuantiles(s.table("q138_sld"), S)
       Scratch.sealAndClean(out, root)
     },
-    Some("""WITH x AS (SELECT lang,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
-      p AS (SELECT lang, x, CAST(length(bin(x)) - 1 AS BIGINT) AS e
-            FROM x WHERE x >= 1),
-      b AS (SELECT lang, e * 16 +
-            ((x - CAST(power(2, e) AS BIGINT)) * 16)
-              // CAST(power(2, e) AS BIGINT) AS bin FROM p),
-      h AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
-      l AS (SELECT lang, bin, c,
-            CAST(power(2, bin // 16) AS BIGINT)
-              + ((bin % 16) * CAST(power(2, bin // 16) AS BIGINT) + 15) // 16
-              AS lb FROM h),
-      cw AS (SELECT lang, lb, c,
-          sum(c) OVER (PARTITION BY lang ORDER BY bin
-            ROWS UNBOUNDED PRECEDING) AS cum,
-          sum(c) OVER (PARTITION BY lang) AS n FROM l)
-      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
-        min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END) AS p50_lb,
-        min(CASE WHEN cum >= ceil(0.9 * n) THEN lb END) AS p90_lb,
-        min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END) AS p99_lb
-      FROM cw GROUP BY 1 ORDER BY 1"""))
+    Some(logdigestQuantilesOracleSql))
 
   /** q107: TEMPERATURE-RESAMPLED language mix — the mC4/XLM-R rule for
     * balancing a multilingual corpus: sampling weight q_l ∝ p_l^α

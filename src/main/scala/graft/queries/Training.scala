@@ -688,6 +688,93 @@ object Training {
       LEFT JOIN pc ON w.doc_id = pc.doc_id
       ORDER BY w.doc_id"""))
 
+  /** q141: STREAMING incremental near-dup dedup — q126's nightly probe
+    * run CONTINUOUSLY, the near-dup family's streaming rung beside
+    * q135's exact-fingerprint one: documents arrive in ordered
+    * micro-batches, each batch probes the STANDING band table of
+    * previously-ACCEPTED docs, survivors append their bands, rejected
+    * docs' bands are dropped (greedy first-wins acceptance — the
+    * incremental regime where the standing corpus is already
+    * deduplicated). `foreachBatch` is the right Spark shape here, NOT
+    * keyed state: the band table grows with the accepted corpus, so
+    * parking it in the state store would rewrite O(corpus) state every
+    * batch — on disk it stays bucketable by (band, sig) and the small
+    * incoming batch broadcasts against it (q126's 100 TB story,
+    * executed incrementally). Within one micro-batch docs probe only
+    * the standing table, not each other — intra-batch near-dups
+    * resolve downstream via q67's components (same granularity trade
+    * as q126's new-side semantics, documented there). Exactly-once
+    * without a log: each batch writes verdicts and accepted bands to a
+    * batch-id-named subdir with Overwrite, so a retried batch rewrites
+    * the same files. Oracle: the 3-batch greedy fold unrolled in SQL
+    * over q126's band CTEs.
+    */
+  private val q141StreamNeardup = Q(
+    "q141_stream_neardup",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snd-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"), col("text"))
+      for (b <- 0 until 3)
+        Scratch.landFile(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          landing.toString, s"${b}_docs.parquet", modTime = 60000L * (b + 1))
+      val bandsRoot = new java.io.File(root, "bands")
+      val outRoot = new java.io.File(root, "verdicts")
+      val step: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (batch, id) =>
+          graft.stream.StreamNeardup.step(s, batch,
+            graft.ops.Dedup.bandSignatures(
+              batch.select(col("doc_id"),
+                graft.functions.Hash32.shingleHashes(col("text")).as("hs"))),
+            id, bandsRoot, outRoot)
+      val query = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .foreachBatch(step)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      Scratch.sealAndClean(
+        s.read.parquet(graft.stream.StreamNeardup.subdirs(outRoot): _*)
+          .orderBy("doc_id"), root)
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      u AS (SELECT DISTINCT doc_id FROM th),
+      pr1 AS (SELECT DISTINCT n.doc_id, o.doc_id AS partner
+              FROM bands n JOIN bands o
+                ON n.band = o.band AND n.sig = o.sig
+              WHERE n.doc_id % 3 = 1 AND o.doc_id % 3 = 0),
+      p1 AS (SELECT doc_id, count(*) AS np FROM pr1 GROUP BY 1),
+      a01 AS (SELECT doc_id FROM u WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id FROM u WHERE doc_id % 3 = 1
+                AND doc_id NOT IN (SELECT doc_id FROM p1)),
+      pr2 AS (SELECT DISTINCT n.doc_id, o.doc_id AS partner
+              FROM bands n JOIN bands o
+                ON n.band = o.band AND n.sig = o.sig
+              WHERE n.doc_id % 3 = 2
+                AND o.doc_id IN (SELECT doc_id FROM a01)),
+      p2 AS (SELECT doc_id, count(*) AS np FROM pr2 GROUP BY 1),
+      np AS (SELECT doc_id, np FROM p1 UNION ALL SELECT doc_id, np FROM p2)
+      SELECT u.doc_id, coalesce(np.np, 0) AS n_existing_partners,
+        coalesce(np.np, 0) = 0 AS kept
+      FROM u LEFT JOIN np ON u.doc_id = np.doc_id
+      ORDER BY u.doc_id"""))
+
   /** q132: connected components under an ADVERSARIAL diameter — the
     * large-star/small-star escalation q67's scaladoc promised, run for
     * real. The fixture chains consecutive doc ids within 64-id
@@ -727,5 +814,5 @@ object Training {
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
     q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar,
-    q133LogdigestQuantiles, q138StreamLogdigest)
+    q133LogdigestQuantiles, q138StreamLogdigest, q141StreamNeardup)
 }

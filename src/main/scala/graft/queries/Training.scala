@@ -775,6 +775,61 @@ object Training {
       FROM u LEFT JOIN np ON u.doc_id = np.doc_id
       ORDER BY u.doc_id"""))
 
+  /** q142: PERCENTILE-RANK normalization via the LogDigest sketch as a
+    * broadcast dimension — the pipeline step after q133 computes the
+    * distribution: score every document's token count into its
+    * per-language corpus rank (`cum_le` of `n_lang`, the quality-
+    * percentile feature mixing/filtering rules consume). The exact
+    * formulation is `percent_rank() OVER (PARTITION BY lang ORDER BY
+    * x)` — a TOTAL SORT of the corpus per language, the q78 shape that
+    * cannot survive 100 TB. This plan has NO window and no sort: the
+    * per-language sketch (≤ a few hundred bins each) aggregates with
+    * map-side partials, broadcast-joins back onto the documents, and
+    * the rank is a per-row `aggregate(zip_with(...))` fold over the
+    * sketch arrays inside the scan stage. Rank is EXACT at bin
+    * granularity (the sketch holds exact bin counts; docs sharing a
+    * bin share a rank — resolution 1/S relative, the documented
+    * trade). Integer-exact on both engines: octave via `length(bin(x))
+    * − 1`, sub-bin by integer division, rank a sum of Long counts.
+    */
+  private val q142PctRank = Q(
+    "q142_pct_rank",
+    (s, d) => {
+      val S = 16
+      val xs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("x"))
+        .filter(col("x") >= 1)
+        .withColumn("e", (length(bin(col("x"))) - 1).cast("long"))
+        .withColumn("base",
+          expr("cast(pow(2.0d, cast(e as double)) as bigint)"))
+        .withColumn("bin_id", expr(s"e * $S + (x - base) * $S div base"))
+      val sk = xs.groupBy(col("lang").as("sk_lang"))
+        .agg(graft.functions.LogDigest.sketch(S)(col("x")).as("sk"))
+      xs.join(broadcast(sk), col("lang") === col("sk_lang"))
+        .select(col("doc_id"), col("lang"), col("x"), col("bin_id"),
+          aggregate(
+            zip_with(col("sk.bins"), col("sk.counts"),
+              (bn, c) => when(bn <= col("bin_id"), c).otherwise(lit(0L))),
+            lit(0L), (acc, v) => acc + v).as("cum_le"),
+          aggregate(col("sk.counts"), lit(0L), (acc, v) => acc + v)
+            .as("n_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH x AS (SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+      p AS (SELECT doc_id, lang, x,
+            CAST(length(bin(x)) - 1 AS BIGINT) AS e FROM x WHERE x >= 1),
+      b AS (SELECT doc_id, lang, x, e * 16 +
+            ((x - CAST(power(2, e) AS BIGINT)) * 16)
+              // CAST(power(2, e) AS BIGINT) AS bin_id FROM p)
+      SELECT doc_id, lang, x, bin_id,
+        CAST(count(*) OVER (PARTITION BY lang ORDER BY bin_id
+          RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cum_le,
+        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      FROM b ORDER BY doc_id"""),
+    bench = true)
+
   /** q132: connected components under an ADVERSARIAL diameter — the
     * large-star/small-star escalation q67's scaladoc promised, run for
     * real. The fixture chains consecutive doc ids within 64-id
@@ -814,5 +869,6 @@ object Training {
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
     q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar,
-    q133LogdigestQuantiles, q138StreamLogdigest, q141StreamNeardup)
+    q133LogdigestQuantiles, q138StreamLogdigest, q141StreamNeardup,
+    q142PctRank)
 }

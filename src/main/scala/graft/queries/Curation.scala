@@ -792,9 +792,83 @@ object Curation {
       UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5 ORDER BY rank"""
     })
 
+  // ---- q143: weighted deterministic sampling (A-ES) -------------------------
+
+  /** q143: WEIGHTED k-per-group sampling — "sample 5 docs per language,
+    * selection probability ∝ document weight" (the quality-weighted /
+    * length-weighted draw a data-mix pipeline runs when uniform
+    * sampling under-represents the documents that matter). The
+    * Efraimidis–Spirakis A-ES scheme keeps the k largest keys
+    * u^(1/w) per group; floating pow is not cross-engine-exact, so the
+    * key is drawn INTEGER-ONLY via the max-of-w-uniforms identity:
+    * P(max(u_1..u_w) ≤ x) = x^w = P(u^(1/w) ≤ x) — the max of w
+    * independent 31-bit [[Portable.h32]] draws is distributionally THE
+    * A-ES key, and bit-for-bit replayable in DuckDB. Weights are
+    * bounded small integers (w ≤ 4 here), so the w draws unroll into
+    * one `greatest(...)` of conditional hashes — a single codegen'd
+    * projection, no array allocation, no explode.
+    *
+    * Plan shape is q87's, not q10's: (key, id) pack 31+31 bits into a
+    * signed long ordered by key DESC then id, and [[BottomK]] keeps
+    * the k smallest per group — O(k) state per group per task,
+    * map-side partials, sorted-array merge. The window formulation
+    * would sort EVERY row into as few reducers as there are languages
+    * (5 partitions for a 100 TB corpus — a non-plan); the aggregate
+    * form never shuffles more than per-task top-k buffers. The tiny
+    * winners frame then broadcast-joins documents to re-attach the
+    * weight column. Sampling is a pure function of doc_id (leakage-
+    * safe, reshuffle/re-ingest-stable, independent of the q70/q84
+    * hash streams by salt).
+    */
+  private val q143WeightedSample = Q(
+    "q143_weighted_sample",
+    (s, d) => {
+      def draw(j: Int) =
+        h32(concat(col("doc_id").cast("string"), lit(s":ws:$j"))) % lit(2147483648L)
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("lang"), col("doc_id"),
+        least(expr("1 + n_chars div 128"), lit(4L)).as("wt"))
+      val key = greatest(draw(0),
+        when(col("wt") > 1, draw(1)).otherwise(lit(-1L)),
+        when(col("wt") > 2, draw(2)).otherwise(lit(-1L)),
+        when(col("wt") > 3, draw(3)).otherwise(lit(-1L)))
+      val packed = (lit(2147483647L) - col("key")) * lit(2147483648L) + col("doc_id")
+      val bk = graft.functions.BottomK.agg(5)
+      val top = base.withColumn("key", key)
+        .select(col("lang"), packed.as("pk"))
+        .groupBy("lang")
+        .agg(bk(col("pk")).as("bk"))
+        .select(col("lang"), posexplode(col("bk.mins")).as(Seq("pos", "pk")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+          col("pk").bitwiseAND(lit(2147483647L)).as("doc_id"),
+          (lit(2147483647L) - shiftright(col("pk"), 31)).as("key"))
+      val wts = base.select(col("doc_id").as("w_doc_id"), col("wt"))
+      wts.join(broadcast(top), col("doc_id") === col("w_doc_id"))
+        .select(col("lang"), col("rn"), col("doc_id"), col("wt"), col("key"))
+        .orderBy("lang", "rn")
+    },
+    Some {
+      def h(j: Int) =
+        s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws:$j'), 1, 8) AS BIGINT) % 2147483648"
+      s"""WITH w AS (SELECT doc_id, lang, LEAST(1 + n_chars // 128, 4) AS wt
+        FROM documents),
+      k AS (SELECT doc_id, lang, wt,
+          GREATEST(${h(0)},
+            CASE WHEN wt > 1 THEN ${h(1)} ELSE -1 END,
+            CASE WHEN wt > 2 THEN ${h(2)} ELSE -1 END,
+            CASE WHEN wt > 3 THEN ${h(3)} ELSE -1 END) AS key
+        FROM w),
+      r AS (SELECT lang, doc_id, wt, key,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
+            AS BIGINT) AS rn
+        FROM k)
+      SELECT lang, rn, doc_id, wt, key FROM r WHERE rn <= 5 ORDER BY lang, rn"""
+    },
+    bench = true)
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
       q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations,
-      q118MmrDiversify)
+      q118MmrDiversify, q143WeightedSample)
 }

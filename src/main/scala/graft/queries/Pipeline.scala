@@ -435,8 +435,78 @@ object Pipeline {
       FROM vals v JOIN assign a ON v.doc_id = a.doc_id
       ORDER BY v.doc_id, v.i"""))
 
+  // ---- q145: sparse-cosine similarity join via inverted index ---------------
+
+  /** q145: SPARSE-VECTOR cosine similarity join — the term-at-a-time /
+    * posting-list formulation of all-pairs document similarity
+    * (Bayardo et al., WWW'07 family): each document is a sparse count
+    * vector over its 4-gram shingles, candidate pairs materialize ONLY
+    * through shared postings (an equi-join on the feature key), and
+    * cos² = dot²/(‖a‖²·‖b‖²) stays in exact integer arithmetic until
+    * one final IEEE division — bit-identical in both engines, no
+    * embedding model needed (contrast q25, which joins on dense
+    * embedding buckets). Features are [[Portable.h32]] shingle hashes,
+    * so the shuffle key is a fixed-width long, not a string.
+    *
+    * Scale shape: postings/df/norms are uniform-hash-keyed aggregates
+    * with map-side partials; the pair join is keyed on the feature
+    * hash, so per-feature work is df² — bounded by the df ≤ 20
+    * vocabulary prune (hot features are stopword shingles and
+    * boilerplate: quadratic cost, least specificity; the same
+    * semantic-cap argument as `Dedup.bucketPairs`' flood cap, and the
+    * prune is replayed identically by the oracle so results stay
+    * exact in the pruned space). df=1 features can never pair and are
+    * excluded from the join side but still count toward norms. The
+    * final top-20 is TakeOrderedAndProject (per-partition heads, no
+    * total sort). The df table joins postings on the feature key — a
+    * keyed shuffle, NOT a broadcast: at 100 TB the [2,20]-df slice is
+    * vocabulary-sized.
+    */
+  private val q145SparseCosine = Q(
+    "q145_sparse_cosine",
+    (s, d) => {
+      val posts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.Hash32.shingleHashes(col("text"))).as("h"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+      val dfT = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      val kept = posts.join(dfT.filter(col("df") <= 20), "h")
+      val n2 = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      def side(p: String) = kept.filter(col("df") >= 2)
+        .select(col("doc_id").as(s"${p}_id"), col("h"), col("tf").as(s"tf$p"))
+      val dots = side("a").join(side("b"), Seq("h"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(sum(col("tfa") * col("tfb")).as("dot"))
+      dots
+        .join(n2.select(col("doc_id").as("a_id"), col("n2").as("n2a")), "a_id")
+        .join(n2.select(col("doc_id").as("b_id"), col("n2").as("n2b")), "b_id")
+        .select(col("a_id"), col("b_id"), col("dot"), col("n2a"), col("n2b"),
+          ((col("dot") * col("dot")).cast("double") /
+            (col("n2a") * col("n2b")).cast("double")).as("cos2"))
+        .orderBy(col("cos2").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      posts AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h,
+          count(*) AS tf FROM sh GROUP BY 1, 2),
+      df AS (SELECT h, count(*) AS df FROM posts GROUP BY 1),
+      kept AS (SELECT p.doc_id, p.h, p.tf, d.df FROM posts p JOIN df d ON p.h = d.h
+        WHERE d.df <= 20),
+      n2 AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 FROM kept GROUP BY 1),
+      dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        WHERE a.df >= 2 AND b.df >= 2
+        GROUP BY 1, 2)
+      SELECT d.a_id, d.b_id, d.dot, na.n2 AS n2a, nb.n2 AS n2b,
+        CAST(d.dot * d.dot AS DOUBLE) / CAST(na.n2 * nb.n2 AS DOUBLE) AS cos2
+      FROM dots d JOIN n2 na ON na.doc_id = d.a_id
+      JOIN n2 nb ON nb.doc_id = d.b_id
+      ORDER BY cos2 DESC, a_id, b_id LIMIT 20"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q21DedupExact, q22NgramJaccard, q23MinhashLsh, q24Simhash,
     q25NeardupCosine, q26AnnTopk, q27LangId, q28QualityScore,
-    q29TokenStats, q30Fingerprint, q66EmbedSeam)
+    q29TokenStats, q30Fingerprint, q66EmbedSeam, q145SparseCosine)
 }

@@ -720,6 +720,58 @@ object Relational {
               (PARTITION BY event_type, user_id) AS c FROM events)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q144: BLOOM SEMI-JOIN REDUCTION — the runtime-filter pattern for a
+    * selective fact⋈dim join once the dim slice has outgrown a
+    * broadcast-hash build: build a Bloom filter over the dim side's
+    * join keys (~10 bits/key at 1% fpp vs ~100 bytes/key for a hash
+    * build side — the q86 argument), probe it INSIDE the fact scan
+    * stage ([[graft.functions.BloomMightContain]], codegen'd), and
+    * only then pay the shuffle join. With 0.8% dim selectivity the
+    * exchange moves ~1% of lineitem instead of all of it; false
+    * positives only cost shuffle bytes — the exact join behind the
+    * probe keeps the result exact, so the oracle is the plain join.
+    * The join is pinned to shuffle-merge because that is the regime
+    * the operator exists for (a broadcastable dim needs no bloom);
+    * BloomSemiJoinSpec asserts the probe sits below the exchange.
+    * Spark's own `runtime.bloomFilter` rule is the same idea applied
+    * opportunistically; the explicit form keys off semantic knowledge
+    * (status+date slice) rather than cost estimates, and the build is
+    * one partial-aggregated job over the already-filtered dim.
+    * Scale bound: bloom bits grow linearly in dim keys (1.2 MB per
+    * million at 1% fpp) — past plan-shippable size the q86
+    * bloom-on-hash + exact confirm anti-join shape takes over.
+    */
+  private val q144BloomSemiJoin = Q(
+    "q144_bloom_semi_join",
+    (s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1997-03-01")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val nKeys = dim.count() // bounded: the 2-month F-status slice
+      val bf = dim.stat.bloomFilter("o_orderkey", math.max(nKeys, 1L), 0.01)
+      Tables.lineitem(s, d)
+        .filter(graft.functions.Bloom.mightContainCol(col("l_orderkey"), bf))
+        .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-03-01'
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
@@ -727,5 +779,5 @@ object Relational {
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
     q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin,
     q92AsofNative, q105Rollup, q115StarJoin, q121JsonExtract,
-    q122PivotUnpivot)
+    q122PivotUnpivot, q144BloomSemiJoin)
 }

@@ -165,4 +165,28 @@ class CurationSpec extends AnyFunSuite {
     assert(bloomed === exact)
     assert(exact.nonEmpty)
   }
+
+  test("q143: keys replay the max-of-w-uniforms A-ES identity per row") {
+    import graft.functions.Portable
+    val out = Registry.byName("q143_weighted_sample").fn(spark, sf).collect()
+    val langs = out.map(_.getString(0)).distinct
+    assert(langs.nonEmpty)
+    langs.foreach { l =>
+      val rows = out.filter(_.getString(0) == l).sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq,
+        s"ranks not dense for lang $l")
+      assert(rows.length <= 5)
+      // keys non-increasing in rank (the sample IS the top-k by key)
+      val keys = rows.map(_.getLong(4))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+      rows.foreach { r =>
+        val (id, wt, key) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(wt >= 1L && wt <= 4L)
+        val expected = (0L until wt)
+          .map(j => Portable.h32s(s"$id:ws:$j") % 2147483648L).max
+        assert(key === expected,
+          s"A-ES key mismatch for doc $id (wt=$wt)")
+      }
+    }
+  }
 }

@@ -850,11 +850,14 @@ object Cdc {
       val landing = new java.io.File(root, "landing")
       landing.mkdirs()
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // millisecond spacing keeps each batch's event-time span tiny at
-      // ANY scale factor, so batch 1's watermark never expires dedup
-      // state before batch 2 arrives — every duplicate is suppressed
-      // by the STATE STORE (the property under test), none by the
-      // late-row filter
+      // millisecond spacing keeps each batch's event-time span small
+      // (N ms for N docs), so batch 1's watermark (its max ts - 1h)
+      // stays behind batch 2's earliest row (+30 min) and every
+      // duplicate is suppressed by the STATE STORE (the property
+      // under test), none by the late-row filter. That holds while
+      // N·1ms < 1h 30min, i.e. through every driver sf; a corpus past
+      // ~5.4M docs would need wider watermark/offset constants for
+      // the state-store path to stay the one exercised
       val base = 1700000000000000L
       val b1 = docs.select(col("doc_id"), col("text"),
         timestamp_micros(lit(base) + col("doc_id") * 1000L).as("ts"))
@@ -932,19 +935,6 @@ object Cdc {
     },
     Some(Analytics.heavyHittersOracleSql))
 
-  /** q137: STREAM-STREAM interval join through the driver gate
-    * (StreamJoinSpec's family, oracle-backed): purchases joined to
-    * the same user's clicks within the preceding 6 hours, BOTH sides
-    * file streams split at the event-time midpoint into two
-    * micro-batches each. The dual watermark + time-range condition is
-    * what bounds both sides' join state: a click's state is evicted
-    * once the purchase side's watermark passes `cts + 6h`, and the
-    * eviction-safety argument is the delay choice — with a 6 h
-    * watermark delay, a click evicted after batch 1 (cts < mid − 12 h)
-    * cannot match any batch-2 purchase (pts > mid needs
-    * cts ≥ pts − 6 h > mid − 6 h) — so the streamed INNER join's row
-    * set equals the batch closed form exactly, which is the oracle.
-    */
   /** Event-time (lo, hi) bounds in microseconds — one tiny agg action. */
   private def tsBoundsUs(df: org.apache.spark.sql.DataFrame,
       tsCol: String): (Long, Long) = {
@@ -967,6 +957,19 @@ object Cdc {
           modTime = if (name.startsWith("1")) 60000L else 120000L)
     }
 
+  /** q137: STREAM-STREAM interval join through the driver gate
+    * (StreamJoinSpec's family, oracle-backed): purchases joined to
+    * the same user's clicks within the preceding 6 hours, BOTH sides
+    * file streams split at the event-time midpoint into two
+    * micro-batches each. The dual watermark + time-range condition is
+    * what bounds both sides' join state: a click's state is evicted
+    * once the purchase side's watermark passes `cts + 6h`, and the
+    * eviction-safety argument is the delay choice — with a 6 h
+    * watermark delay, a click evicted after batch 1 (cts < mid − 12 h)
+    * cannot match any batch-2 purchase (pts > mid needs
+    * cts ≥ pts − 6 h > mid − 6 h) — so the streamed INNER join's row
+    * set equals the batch closed form exactly, which is the oracle.
+    */
   private val q137StreamIntervalJoin = Q(
     "q137_stream_interval_join",
     (s, d) => {
@@ -1074,12 +1077,15 @@ object Cdc {
     (s, d) => {
       import s.implicits._
       val gapUs = 1800000000L
-      val sentinel = 999999999L
       val root = Files.createTempDirectory("graft-ssz-").toString
       val landing = new java.io.File(root, "landing")
       landing.mkdirs()
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("value"))
+      // sentinel id is derived, not hard-coded: a fixture that ever
+      // contained the sentinel would merge real events into clock
+      // batches and then silently drop that user's sessions
+      val sentinel = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
       val (lo, hi) = tsBoundsUs(ev, "ts")
       val mid = (lo + hi) / 2
       val farUs = hi + 365L * 86400L * 1000000L

@@ -373,7 +373,110 @@ object Extensions {
       SELECT vec_id, adc_d2 FROM dist ORDER BY adc_d2, vec_id LIMIT 10"""),
     bench = true)
 
+  /** q146: STREAMING ANN — the retrieval family's streaming rung
+    * (beside batch-exact q26, IVF q47, PQ q96/q97): query vectors
+    * arrive in ordered micro-batches and each batch probes the
+    * STANDING IVF index (codebook + cell assignment over the corpus).
+    * `foreachBatch` is the right shape, as with q141: the index is
+    * corpus-sized — at 100 TB the assignment lives as a table
+    * persisted bucketed by cell, the tiny query batch broadcasts
+    * against the probed cells only (partition pruning on cell), and
+    * NOTHING rides the state store. The probe is stateless per query
+    * row, so the streamed union across batches is row-equal to the
+    * batch closed form over the same query set — one oracle pins
+    * both (the q138 order-insensitivity argument, no confirm pass).
+    * Per-batch retries are idempotent: results land in batch-id
+    * subdirs with Overwrite (the q141 convention). Windows inside a
+    * batch partition by qid — bounded by batch size, not corpus.
+    */
+  private val q146StreamAnn = Q(
+    "q146_stream_ann",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-san-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val emb = Tables.embeddings(s, d)
+      val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = vecs.filter(col("vec_id") % 25 === 1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Seq(0, 1).foreach { b =>
+        Scratch.landFile(queries.filter(pmod(col("qid"), lit(100)) === b * 50),
+          landing.toString, s"${b}_queries.parquet", modTime = 60000L * (b + 1))
+      }
+      val assigns = Ivf.assignments(emb, 25)
+      val outRoot = new java.io.File(root, "results")
+      def cos6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round(dot(a, b) / sqrt(norm2(a) * norm2(b)), 6)
+      val step: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, id) => {
+        val q = batch.select(col("qid"), toDouble(col("embedding")).as("qv"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cs").desc, col("cid"))
+        val probes = q.crossJoin(broadcast(cents))
+          .select(col("qid"), col("cid"), cos6(col("qv"), col("cv")).as("cs"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 4)
+          .select(col("qid"), col("cid").as("cell"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+        assigns.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .join(vecs, "vec_id")
+          .join(broadcast(q), "qid")
+          .select(col("qid"), col("vec_id"),
+            cos6(col("v"), col("qv")).as("cos_sim"))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+          .write.mode("overwrite")
+          .parquet(new java.io.File(outRoot, s"batch-$id").toString)
+      }
+      val query = s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .foreachBatch(step)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val parts = outRoot.listFiles().filter(_.isDirectory).map(_.toString)
+      Scratch.sealAndClean(
+        s.read.parquet(parts.toIndexedSeq: _*).orderBy("qid", "rank"), root)
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+               FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+               FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn FROM sims) t WHERE rn = 1),
+      qprobe AS (SELECT vid AS qid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn
+          FROM sims WHERE vid % 50 = 0) t WHERE rn <= 4),
+      cand AS (SELECT p.qid, a.vid FROM assign a JOIN qprobe p USING (cell)
+               WHERE a.vid <> p.qid),
+      dp AS (SELECT c.qid, c.vid, sum(ev.x * eq.x) AS dp
+             FROM cand c JOIN el ev ON ev.vec_id = c.vid
+             JOIN el eq ON eq.vec_id = c.qid AND eq.i = ev.i
+             GROUP BY 1, 2),
+      scored AS (SELECT d.qid, d.vid,
+          round(d.dp / sqrt(nv.n2 * nq.n2), 6) AS cos_sim
+        FROM dp d JOIN nrm nv ON nv.vec_id = d.vid
+        JOIN nrm nq ON nq.vec_id = d.qid)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vid AS vec_id, cos_sim FROM (
+        SELECT qid, vid, cos_sim, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC, vid) AS rank FROM scored) t
+      WHERE rank <= 10 ORDER BY qid, rank"""))
+
   val queries: Seq[Q] =
     Seq(q47AnnIvf, q48MultimodalMeta, q49MultimodalFeatures, q74SqlApi,
-      q77IvfKmeans, q89SemDedup, q96PqAdc, q97IvfPq)
+      q77IvfKmeans, q89SemDedup, q96PqAdc, q97IvfPq, q146StreamAnn)
 }

@@ -866,9 +866,96 @@ object Curation {
     },
     bench = true)
 
+  // ---- q148: BPE merge training ---------------------------------------------
+
+  /** q148: BPE TOKENIZER TRAINING — the merge-table induction step of
+    * byte-pair encoding (Sennrich et al., ACL'16), the piece of the
+    * tokenizer a training pipeline actually has to BUILD from the
+    * corpus (q29 only counts with a fixed tokenizer). Words reduce to
+    * a (word, freq) vocabulary once — the corpus-sized aggregation;
+    * every training round after that runs on the VOCABULARY (persisted
+    * here, a table at 100 TB): count adjacent symbol pairs weighted by
+    * word frequency (uniform-key agg, map-side partials), pick the
+    * most frequent pair (TakeOrdered 1 — the model step, one tiny
+    * driver fetch per round, the Ivf-codebook precedent), and apply
+    * the merge as a broadcast literal rewrite. The output IS the
+    * model: the 5 merge rules with their weighted counts.
+    *
+    * Merge application is 4 boundary-marked `replace` passes over the
+    * space-joined symbol string — replace-all is left-to-right
+    * non-overlapping in both engines, and a run of 2^4 identical
+    * adjacent symbols fully collapses in 4 passes (longest corpus word
+    * is far shorter), so both engines execute the IDENTICAL
+    * deterministic procedure and the oracle replays the whole chain —
+    * pair choice, tie-breaks, rewrites — bit-for-bit. The returned
+    * frame is literal (the collected model), so the vocabulary cache
+    * is released before returning.
+    */
+  private val q148BpeTrain = Q(
+    "q148_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      val wf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist()
+      def pairsOf(c: org.apache.spark.sql.Column) = {
+        val t = split(trim(c), " ")
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      def rep4(c: org.apache.spark.sql.Column, pair: String) = {
+        val pat = lit(" " + pair + " ")
+        val repl = lit(" " + pair.replace(" ", "") + " ")
+        (1 to 4).foldLeft(c)((acc, _) => replace(acc, pat, repl))
+      }
+      var spaced = wf.select(
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"),
+        col("freq"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (r <- 1 to 5) {
+        val top = spaced
+          .select(explode(pairsOf(col("s"))).as("p"), col("freq"))
+          .groupBy("p").agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("p"))
+          .limit(1).head()
+        merges += ((r.toLong, top.getString(0), top.getLong(1)))
+        spaced = spaced.withColumn("s", rep4(col("s"), top.getString(0)))
+      }
+      wf.unpersist(blocking = false)
+      merges.toSeq.toDF("round", "pair", "wcount")
+    },
+    Some {
+      def rep4(sc: String, p: String) = {
+        val pat = s"' ' || $p || ' '"
+        val rep = s"' ' || replace($p, ' ', '') || ' '"
+        (1 to 4).foldLeft(sc)((acc, _) => s"replace($acc, $pat, $rep)")
+      }
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        """w0 AS (SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          GROUP BY 1)""",
+        """s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s,
+          freq FROM w0)""")
+      val sel = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (r <- 1 to 5) {
+        ctes += s"""pc$r AS (SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1])) AS p, freq
+          FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM s${r - 1}))
+          GROUP BY 1)"""
+        ctes += s"m$r AS (SELECT p, c FROM pc$r ORDER BY c DESC, p LIMIT 1)"
+        ctes += s"""s$r AS (SELECT ${rep4(s"s${r - 1}.s", s"m$r.p")} AS s, freq
+          FROM s${r - 1} CROSS JOIN m$r)"""
+        sel += s"SELECT CAST($r AS BIGINT) AS round, p AS pair, c AS wcount FROM m$r"
+      }
+      "WITH " + ctes.mkString(",\n") + "\n" +
+        sel.mkString(" UNION ALL ") + " ORDER BY round"
+    })
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
       q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations,
-      q118MmrDiversify, q143WeightedSample)
+      q118MmrDiversify, q143WeightedSample, q148BpeTrain)
 }

@@ -865,10 +865,82 @@ object Training {
       SELECT d.doc_id, c.m AS cluster FROM d JOIN c USING (seg)
       WHERE c.n >= 2 ORDER BY d.doc_id"""))
 
+  /** q147: SPLIT-LEAKAGE AUDIT — the composition a training pipeline
+    * runs before shipping a dataset: near-dup candidate pairs (q23's
+    * LSH bands, via [[graft.ops.Dedup.candidates]]) crossed with the
+    * q70 hash-bucket split assignment, reporting how many near-dup
+    * pairs STRADDLE split boundaries (a val/test document with a
+    * training-set near-duplicate is evaluation contamination — the
+    * within-corpus twin of q72's benchmark decontamination). Output is
+    * the per-split-pair-class count plus an exact membership checksum
+    * (sum of packed pair ids), so the oracle pins WHICH pairs leak,
+    * not just how many. Split class is order-normalized
+    * (least/greatest) since pairs are unordered.
+    *
+    * Scale shape: pair generation is the ONE banded shuffle
+    * (`bucketPairs`, flood-capped — never all-pairs); the split label
+    * is a pure per-row hash function computed inside the same stage
+    * (no join against a split table — q70's leakage-safe determinism
+    * means the label derives from the id anywhere it's needed), and
+    * the audit aggregate has 6 possible groups — map-side partials
+    * collapse it to nothing.
+    */
+  private val q147SplitLeakage = Q(
+    "q147_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      val pairs = graft.ops.Dedup
+        .candidates(graft.ops.Dedup.bandSignatures(docs))
+        .select(col("a_id"), col("b_id"))
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val bucket = h32(c.cast("string")) % 100
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      }
+      pairs
+        .withColumn("sa", splitOf(col("a_id")))
+        .withColumn("sb", splitOf(col("b_id")))
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"),
+          col("a_id"), col("b_id"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_id") * 1000000L + col("b_id")).as("pair_sum"))
+        .withColumn("leaks", col("split_lo") =!= col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      pr AS (SELECT DISTINCT n.doc_id AS a_id, o.doc_id AS b_id
+             FROM bands n JOIN bands o
+               ON n.band = o.band AND n.sig = o.sig AND n.doc_id < o.doc_id),
+      sp AS (SELECT a_id, b_id,
+          CASE WHEN CAST('0x' || substr(md5(CAST(a_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(a_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS sa,
+          CASE WHEN CAST('0x' || substr(md5(CAST(b_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(b_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS sb
+        FROM pr)
+      SELECT LEAST(sa, sb) AS split_lo, GREATEST(sa, sb) AS split_hi,
+        count(*) AS n_pairs,
+        CAST(sum(a_id * 1000000 + b_id) AS BIGINT) AS pair_sum,
+        LEAST(sa, sb) <> GREATEST(sa, sb) AS leaks
+      FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
     q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar,
     q133LogdigestQuantiles, q138StreamLogdigest, q141StreamNeardup,
-    q142PctRank)
+    q142PctRank, q147SplitLeakage)
 }

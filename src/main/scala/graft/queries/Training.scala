@@ -937,10 +937,85 @@ object Training {
       FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""),
     bench = true)
 
+  /** q149: WEIGHTED PAGERANK — iterative link-analysis centrality over
+    * the user↔event-type interaction graph (edge weight = interaction
+    * count; the bipartite "engagement influence" ranking an activity
+    * pipeline derives), joining q67/q132's connected components as the
+    * iterative-graph family's second member. All arithmetic is EXACT
+    * integer: ranks are e12-scaled longs, per-edge contributions are
+    * `(r * w) div totw`, damping is `(85 * Σ) div 100` — deterministic
+    * division order on both engines, no float accumulation anywhere,
+    * so 5 unrolled rounds replay bit-for-bit in the oracle's CTE
+    * chain. Type nodes live at a hash-derived id offset (replayable in
+    * SQL); bidirectional edges mean no dangling mass by construction.
+    *
+    * Scale shape per round: ranks join edges co-partitioned on src
+    * (edges persist bucketed at scale and never re-shuffle), then ONE
+    * aggregation keyed by dst — the canonical two-exchange PageRank
+    * step. Rounds are eagerly `localCheckpoint`ed (the q132 reason:
+    * iterative lineage grows exponentially under self-reference), and
+    * edges checkpoint once so the band of 5 rounds re-reads a
+    * materialized edge list instead of re-deriving it.
+    */
+  private val q149Pagerank = Q(
+    "q149_pagerank",
+    (s, d) => {
+      val ue = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          (lit(2000000000L) + h32(col("event_type")) % 1000000000L).as("tid"))
+        .agg(count(lit(1)).as("w"))
+      val edges = ue.select(col("user_id").as("src"), col("tid").as("dst"), col("w"))
+        .union(ue.select(col("tid").as("src"), col("user_id").as("dst"), col("w")))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val deg = edges.groupBy("src").agg(sum(col("w")).as("totw"))
+      var ranks = nodes.select(col("id"), lit(1000000000000L).as("r"))
+      for (_ <- 1 to 5) {
+        val contribs = edges
+          .join(ranks, edges("src") === ranks("id")).drop("id")
+          .join(deg, "src")
+          .select(col("dst").as("id"), expr("(r * w) div totw").as("contrib"))
+          .groupBy("id").agg(sum(col("contrib")).as("c"))
+        ranks = nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"), (lit(150000000000L) +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.join(deg.withColumnRenamed("src", "id"), "id")
+        .select(col("id").as("node_id"), col("totw"), col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("node_id"))
+        .limit(20)
+    },
+    Some {
+      val rounds = (1 to 5).map { r =>
+        s"""ct$r AS (SELECT e.dst AS id,
+          CAST(sum((r${r - 1}.r * e.w) // d.totw) AS BIGINT) AS c
+          FROM edges e JOIN r${r - 1} ON e.src = r${r - 1}.id
+          JOIN deg d ON e.src = d.id GROUP BY 1),
+      r$r AS (SELECT n.id, 150000000000 + (85 * COALESCE(ct$r.c, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN ct$r ON n.id = ct$r.id)"""
+      }.mkString(",\n      ")
+      s"""WITH ue AS (SELECT user_id,
+          2000000000 + CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT)
+            % 1000000000 AS tid,
+          count(*) AS w
+        FROM events GROUP BY 1, 2),
+      edges AS (SELECT user_id AS src, tid AS dst, w FROM ue
+                UNION ALL SELECT tid, user_id, w FROM ue),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      deg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS totw
+              FROM edges GROUP BY 1),
+      r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+      $rounds
+      SELECT n.id AS node_id, d.totw, r5.r AS rank_e12 FROM nodes n
+      JOIN deg d ON n.id = d.id JOIN r5 ON n.id = r5.id
+      ORDER BY rank_e12 DESC, node_id LIMIT 20"""
+    })
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
     q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar,
     q133LogdigestQuantiles, q138StreamLogdigest, q141StreamNeardup,
-    q142PctRank, q147SplitLeakage)
+    q142PctRank, q147SplitLeakage, q149Pagerank)
 }

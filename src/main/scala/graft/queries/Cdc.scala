@@ -1127,11 +1127,85 @@ object Cdc {
         count(*) AS n_events
       FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q150: VERSION DIFF (change data feed) — the row-level change set
+    * between two table versions, the `table_changes` companion to
+    * q112's time travel: which keys were inserted, updated, or
+    * deleted between version 3 (batches 0-2) and the final version,
+    * with old and new values side by side (what a downstream
+    * incremental consumer replays instead of re-reading the table).
+    * Plan shape: ONE full-outer join of the two snapshots keyed by
+    * user_id — at 100 TB both sides are bucketed by the merge key
+    * (TableStore's layout), so the join co-locates; change
+    * classification and the equality filter are scan-stage
+    * expressions. Value comparison is raw stored-double equality (no
+    * arithmetic), so the oracle replays it exactly from its two
+    * closed-form version states.
+    */
+  private val q150VersionDiff = Q(
+    "q150_version_diff",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-vd-").toString
+      val store = new TableStore(s, root, "user_id")
+      val (upserts, tombstones) = cdcBatches(s, d)
+      for (b <- 0 until 5)
+        store.merge("state", upserts(b), tombstones(b), s"batch_$b")
+      val a = store.snapshotAt("state", 3).get
+        .select(col("user_id"), col("last_type").as("old_type"),
+          col("last_value").as("old_value"))
+      val b = store.snapshot("state").get
+        .select(col("user_id"), col("last_type").as("new_type"),
+          col("last_value").as("new_value"))
+      val diff = a.join(b, Seq("user_id"), "full_outer")
+        .withColumn("change",
+          when(col("old_type").isNull, "insert")
+            .when(col("new_type").isNull, "delete")
+            .otherwise("update"))
+        .filter(col("old_type").isNull || col("new_type").isNull ||
+          col("old_type") =!= col("new_type") ||
+          col("old_value") =!= col("new_value"))
+        .select(col("change"), col("user_id"), col("old_type"),
+          col("old_value"), col("new_type"), col("new_value"))
+        .orderBy("user_id")
+      Scratch.sealAndClean(diff, root)
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+            event_id % 5 AS batch, (event_type = 'error') AS is_del FROM events),
+      lu3 AS (SELECT user_id, event_type AS last_type, value AS last_value, batch,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+             FROM ev WHERE NOT is_del AND batch <= 2),
+      s3 AS (SELECT u.user_id, u.last_type, u.last_value
+             FROM (SELECT * FROM lu3 WHERE rn = 1) u
+             LEFT JOIN (SELECT user_id, max(batch) AS db FROM ev
+                        WHERE is_del AND batch <= 2 GROUP BY 1) d
+               ON u.user_id = d.user_id
+             WHERE d.db IS NULL OR u.batch >= d.db),
+      lu AS (SELECT user_id, event_type AS last_type, value AS last_value, batch,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+             FROM ev WHERE NOT is_del),
+      sf AS (SELECT u.user_id, u.last_type, u.last_value
+             FROM (SELECT * FROM lu WHERE rn = 1) u
+             LEFT JOIN (SELECT user_id, max(batch) AS db FROM ev
+                        WHERE is_del GROUP BY 1) d
+               ON u.user_id = d.user_id
+             WHERE d.db IS NULL OR u.batch >= d.db)
+      SELECT CASE WHEN a.user_id IS NULL THEN 'insert'
+                  WHEN f.user_id IS NULL THEN 'delete'
+                  ELSE 'update' END AS change,
+        COALESCE(f.user_id, a.user_id) AS user_id,
+        a.last_type AS old_type, a.last_value AS old_value,
+        f.last_type AS new_type, f.last_value AS new_value
+      FROM sf f FULL OUTER JOIN s3 a ON f.user_id = a.user_id
+      WHERE f.user_id IS NULL OR a.user_id IS NULL
+        OR f.last_type <> a.last_type OR f.last_value <> a.last_value
+      ORDER BY user_id"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
       q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin,
-      q139Compaction, q140StreamSessionize)
+      q139Compaction, q140StreamSessionize, q150VersionDiff)
 }

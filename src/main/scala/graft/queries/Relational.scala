@@ -772,6 +772,35 @@ object Relational {
       GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  /** q151: q10's ranked per-group retrieval through the NATIVE
+    * [[graft.plans.TopKPerGroup]] operator instead of the window —
+    * same rows, same ranks, same oracle, different machine: the window
+    * form exchanges EVERY order row and fully sorts each customer's
+    * group to discard all but 3; the native operator's partial pass
+    * caps the exchange at 3 rows per customer per input partition
+    * (bounded heaps, no sort of the input at all) and the final pass
+    * re-selects and ranks. One hash exchange either way — the
+    * difference is what rides it and the absence of the N·log N sort.
+    * NativeTopKSpec pins native ≡ window on real tables and random
+    * inputs, and pins the plan (Partial+Final, no Window node).
+    */
+  private val q151TopkNative = Q(
+    "q151_topk_native",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.NativeTopK.topK(o, Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3, "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q01YearHist, q02MetaCount, q03TopkScore, q04SearchJoin, q05BroadcastJoin,
     q06AntiJoin, q07LastWins, q08UnionArms, q09Containment, q10GroupTopk,
@@ -779,5 +808,5 @@ object Relational {
     q15ThresholdFlags, q16NullGuards, q17SetDiff, q18DistinctAgg,
     q19StringClean, q20PicoFlagship, q75Sessionize, q79AsofJoin,
     q92AsofNative, q105Rollup, q115StarJoin, q121JsonExtract,
-    q122PivotUnpivot, q144BloomSemiJoin)
+    q122PivotUnpivot, q144BloomSemiJoin, q151TopkNative)
 }

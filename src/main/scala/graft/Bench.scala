@@ -45,6 +45,21 @@ object Bench {
       ()
     }
 
+    // UNTIMED per-run session hygiene: some queries persist
+    // intermediates internally (dedup shingle sets, CC frontiers); run
+    // N+1 rebuilds an identical plan, and without clearing, the shared
+    // CacheManager re-registers it each run ("Asked to cache already
+    // cached data") and storage accumulates across the 6 executions ×
+    // 48 queries until the session degrades (round-6 verdict item 2:
+    // q86 median 12.1 s in the leaky session vs 0.89 s clean). Public
+    // API only: catalog.clearCache drops Dataset/table cache entries,
+    // getPersistentRDDs catches RDD-level persists.
+    def cleanSession(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     require(Runs >= 1,
       s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $Runs — a zero-run " +
@@ -55,6 +70,7 @@ object Bench {
       val ok =
         try { execute(q); true }          // warm-up (unmeasured)
         catch { case _: Throwable => false }
+        finally cleanSession()
       if (!ok) (q.name, -1.0, -1.0, false)
       else {
         val times = Vector.newBuilder[Double]
@@ -64,6 +80,7 @@ object Bench {
           val t0 = System.nanoTime()
           try { execute(q); times += (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => alive = false }
+          finally cleanSession()          // untimed: outside the clock
           i += 1
         }
         val ts = times.result()

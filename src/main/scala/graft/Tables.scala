@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
-  * All tables are plain parquet under `dir`. The `events` table stores
-  * nanosecond timestamps, which Spark 4 refuses by default
-  * (PARQUET_TYPE_ILLEGAL); we read them as longs and truncate to
-  * microseconds, matching what DuckDB does when it reads the same file.
+  * All tables are plain parquet under `dir`. The `events` table's `ts`
+  * column has shipped in two physical encodings across harness data
+  * regenerations: int64 nanoseconds (read as long under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, then truncated to
+  * micros — matching DuckDB), and a plain microsecond TIMESTAMP
+  * (which Spark surfaces as TIMESTAMP_NTZ). The loader inspects the
+  * file schema and adapts, so either vintage of testdata works.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,14 +24,24 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events with `ts` as a microsecond TimestampType (ns truncated).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
+  /** events with `ts` normalized to a microsecond TimestampType,
+    * whatever the file stores (see object Scaladoc). The int64-nanos
+    * branch requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
     * session config (set by Verify/Bench/test builders — a table loader
     * must not mutate session state as a side effect).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected int64 nanos or timestamp)")
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

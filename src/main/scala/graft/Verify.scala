@@ -34,12 +34,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws writes no parquet, so the driver records no
+    // CORRECTNESS row for it — absent rows read as "not sampled", which
+    // is how a 38-query hole once shipped silently. Record every failure
+    // in a dedicated artifact so holes are loud.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    val failJson = failures
+      .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
+      println(s"[verify] FAILURES=${failures.size} (see verify_failures.json)")
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Verify.jsonEscape(k)}: ${Verify.jsonEscape(v)}" }

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Operators whose POINT is the 100 TB execution shape: fingerprint
+  * near-dup joins that never go all-pairs, data-layout clustering for
+  * scan pruning, skew-proof join salting, and corpus chunking for
+  * training/RAG prep.
+  *
+  * Same portability contract as [[Pipeline]]: every hash routes
+  * through md5-derived [[graft.functions.Portable]] helpers and all
+  * bucket arithmetic is integer-exact, so the DuckDB oracles replay
+  * each result bit-for-bit.
+  */
+object ScaleOps {
+
+  /** Shared CTE: per-doc 32-bit SimHash, identical to the q24 oracle
+    * (distinct-token h32 sign-sum per bit, ties up).
+    */
+  private def simhashCte: String =
+    """tok AS (SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) raw),
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+      bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+        GROUP BY 1, 2),
+      sh AS (SELECT doc_id,
+          CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1)"""
+
+  /** q152: SIMHASH HAMMING-DISTANCE NEAR-DUP JOIN via pigeonhole
+    * blocking (Manku, Jain & Sarma, WWW'07 — the simhash dedup design;
+    * q24 only COMPUTES fingerprints, this finds the pairs). A pair
+    * within Hamming distance k must agree EXACTLY on at least one of
+    * k+1 disjoint bit blocks, so for k=1 the 32-bit fingerprint splits
+    * into two 16-bit halves, candidates are pairs sharing a
+    * (block_idx, block_value) bucket — ONE shuffle through
+    * [[graft.ops.Dedup.bucketPairs]], never an all-pairs join — and an
+    * exact popcount-of-xor verify keeps true pairs only. The blocking
+    * is EXACT (pigeonhole, not probabilistic), which is why the
+    * all-pairs oracle matches it bit-for-bit; on this corpus it cuts
+    * 124,750 possible pairs to ~12.9k candidates. At 100 TB the same
+    * operator runs simhash-64 with 4×16-bit blocks and k=3 (the WWW'07
+    * production setting); bucket keys are uniform fingerprint slices,
+    * so the single shuffle has no skew, and the verify stage joins
+    * candidates back to the (id, fingerprint) table — 8-byte payloads,
+    * shuffle-join on uniform ids.
+    */
+  private val q152SimhashHamming = Q(
+    "q152_simhash_hamming",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Hash32.simhashCol(col("text")).as("sh"))
+      val blocks = sh.select(col("doc_id"),
+          posexplode(array(
+            col("sh").bitwiseAND(lit(65535L)),
+            shiftright(col("sh"), 16).bitwiseAND(lit(65535L)))))
+        .toDF("doc_id", "blk", "bv")
+      graft.ops.Dedup.bucketPairs(blocks, "doc_id", Seq("blk", "bv"))
+        .distinct()
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH $simhashCte
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      ORDER BY 1, 2"""),
+    bench = true)
+
+  /** q153: Z-ORDER LAYOUT AUDIT — the space-filling-curve clustering
+    * behind lakehouse `OPTIMIZE ZORDER BY`: interleaving the bits of
+    * two bucketed dimensions gives a 1-D sort key whose fixed-width
+    * ranges ("files") stay tight in BOTH dimensions, so min/max file
+    * stats prune scans on either predicate. Events are range-bucketed
+    * to 16 levels per dimension (integer arithmetic on the global
+    * min/max — one broadcast row), the 8-bit z-value is the 4+4 bit
+    * interleave, and the audit reports each of 8 fixed z-ranges' row
+    * count and per-dimension bounding box NEXT TO the same stats for a
+    * time-ordered layout: z tiles bound user-buckets ≤4 AND days ≤8,
+    * where time tiles nail days but leave user unbounded (span 16) —
+    * the pruning tradeoff made visible. Everything below the one
+    * broadcast is map-side integer math + one 16-key aggregation; at
+    * 100 TB the tile id becomes the `repartitionByRange(z)` write key
+    * and the bounding boxes are the parquet footer stats this audit
+    * predicts.
+    */
+  private val q153ZorderLayout = Q(
+    "q153_zorder_layout",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val bounds = ev.agg(
+        min("user_id").as("u0"), max("user_id").as("u1"),
+        min("day").as("d0"), max("day").as("d1"))
+      val bucketed = ev.crossJoin(broadcast(bounds))
+        .withColumn("ub", expr("(user_id - u0) * 16 DIV (u1 - u0 + 1)"))
+        .withColumn("db", expr("(day - d0) * 16 DIV (d1 - d0 + 1)"))
+      // z = interleave(ub, db): ub bit i -> z bit 2i+1, db bit i -> z bit 2i
+      val zExpr = (0 until 4).map { i =>
+        s"((ub DIV ${1 << i}) % 2) * ${1 << (2 * i + 1)} + ((db DIV ${1 << i}) % 2) * ${1 << (2 * i)}"
+      }.mkString(" + ")
+      val z = bucketed.withColumn("z", expr(zExpr))
+      def audit(layout: String, tile: org.apache.spark.sql.Column) =
+        z.withColumn("tile", tile)
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n"),
+            min("ub").as("ub_min"), max("ub").as("ub_max"),
+            min("db").as("db_min"), max("db").as("db_max"))
+          .select(lit(layout).as("layout"), col("tile"), col("n"),
+            (col("ub_max") - col("ub_min") + 1).as("u_span"),
+            (col("db_max") - col("db_min") + 1).as("d_span"))
+      audit("zorder", expr("z DIV 32"))
+        .unionByName(audit("time", expr("db DIV 2")))
+        .orderBy("layout", "tile")
+    },
+    Some("""WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+          min(epoch_us(ts) // 86400000000) AS d0, max(epoch_us(ts) // 86400000000) AS d1
+        FROM events),
+      e AS (SELECT (user_id - u0) * 16 // (u1 - u0 + 1) AS ub,
+          ((epoch_us(ts) // 86400000000) - d0) * 16 // (d1 - d0 + 1) AS db
+        FROM events CROSS JOIN b),
+      z AS (SELECT ub, db,
+          ((ub // 1) % 2) * 2 + ((db // 1) % 2) * 1 +
+          ((ub // 2) % 2) * 8 + ((db // 2) % 2) * 4 +
+          ((ub // 4) % 2) * 32 + ((db // 4) % 2) * 16 +
+          ((ub // 8) % 2) * 128 + ((db // 8) % 2) * 64 AS z
+        FROM e),
+      zt AS (SELECT 'zorder' AS layout, z // 32 AS tile, count(*) AS n,
+          max(ub) - min(ub) + 1 AS u_span, max(db) - min(db) + 1 AS d_span
+        FROM z GROUP BY 1, 2),
+      tt AS (SELECT 'time' AS layout, db // 2 AS tile, count(*) AS n,
+          max(ub) - min(ub) + 1 AS u_span, max(db) - min(db) + 1 AS d_span
+        FROM z GROUP BY 1, 2)
+      SELECT layout, tile, n, u_span, d_span FROM zt
+      UNION ALL SELECT layout, tile, n, u_span, d_span FROM tt
+      ORDER BY layout, tile"""))
+
+  /** q154: SKEW-SALTED EQUI-JOIN — the manual fix for the join AQE's
+    * skew splitting can't always save (one hot key flooding a single
+    * reduce task): the fact side gets a uniform salt derived from a
+    * per-row id, the (small) dimension side is replicated once per
+    * salt value, and the join key becomes (key, salt) — the hot key's
+    * rows now land on S reducers instead of one. Salting is
+    * RESULT-INVARIANT, which is exactly what the oracle checks: the
+    * plain unsalted DuckDB join must produce the identical aggregate.
+    * Events route to a customer shard by modular key (the synthetic
+    * stand-in for a genuinely skewed foreign key); S=8 here, sized at
+    * 100 TB to hot-key-rows / healthy-partition-rows, and the
+    * replicated dimension costs S× a side that is broadcast-sized by
+    * construction — the classic trade (Kwon et al., SkewTune's
+    * motivating pattern).
+    */
+  private val q154SaltedJoin = Q(
+    "q154_salted_join",
+    (s, d) => {
+      val S = 8
+      val fact = Tables.events(s, d)
+        .select((pmod(col("user_id"), lit(1500L)) + 1L).as("ck"),
+          col("value"),
+          pmod(col("event_id"), lit(S.toLong)).as("salt"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(S.toLong - 1))))
+      // the merge hint pins the SHUFFLE-join regime: salting only
+      // matters when the dim exceeds the broadcast threshold (a
+      // broadcast join has no reduce-side skew to fix), and without
+      // the hint local-mode auto-broadcast would leave the salt inert
+      fact.join(dim.hint("shuffle_merge"),
+          fact("ck") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("total_value"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM (SELECT user_id % 1500 + 1 AS ck, value FROM events) e
+      JOIN customer ON ck = c_custkey
+      GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** q155: SLIDING-WINDOW DOCUMENT CHUNKING — the corpus-prep step
+    * between cleaning and tokenization for both training sequence
+    * packing (q71 packs CHUNKS, not whole docs, when docs exceed the
+    * context length) and RAG indexing: fixed 64-token windows with
+    * stride 48 (16-token overlap so no boundary sentence is lost to
+    * both sides). Chunk COUNT is closed-form integer arithmetic
+    * (1 + ceil((n-64)/48), floor-division form, so both engines agree
+    * on every edge: n ≤ 64 → one chunk, the tail chunk may run
+    * short), the token slice is engine-native array slicing, and the
+    * chunk is fingerprinted (md5 of the re-joined slice) rather than
+    * materialized — the downstream exact-dedup key (q21 runs on
+    * chunks at this point of the pipeline). Entirely map-side: one
+    * codegen'd pass per document, output rows ∝ corpus tokens /
+    * stride; nothing shuffles until the consumer.
+    */
+  private val q155ChunkDocs = Q(
+    "q155_chunk_docs",
+    (s, d) => {
+      val W = 64
+      val St = 48
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn("nc", lit(1L) + expr(s"greatest(0L, n - $W + $St - 1) DIV $St"))
+      base
+        .select(col("doc_id"), col("tk"),
+          posexplode(expr("sequence(0, nc - 1)")))
+        .toDF("doc_id", "tk", "pos", "k")
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          (col("k") * St + 1).as("start_tok"),
+          slice(col("tk"), (col("k") * St + 1).cast("int"), lit(W)).as("sl"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("sl")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("sl"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      nc AS (SELECT doc_id, tk, n,
+          1 + greatest(0, n - 64 + 48 - 1) // 48 AS nc FROM base),
+      ch AS (SELECT doc_id, tk, unnest(range(0, nc)) AS k FROM nc)
+      SELECT doc_id, k AS chunk_idx, k * 48 + 1 AS start_tok,
+        CAST(len(tk[(k * 48 + 1):(k * 48 + 64)]) AS BIGINT) AS n_tok,
+        md5(array_to_string(tk[(k * 48 + 1):(k * 48 + 64)], ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  val queries: Seq[Q] = Seq(
+    q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Algebraic properties of the ScaleOps entries (q152–q155) beyond
+  * their DuckDB oracles: pigeonhole completeness, layout bounds,
+  * salting invariance, chunk coverage.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).fn(spark, dir)
+
+  test("q152: blocked pairs equal brute-force Hamming<=1 pairs") {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.Hash32.simhashCol(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    val brute = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
+    val blocked = run("q152_simhash_hamming")
+    assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty,
+      "pigeonhole blocking must be exactly complete for k=1 over 2 blocks")
+    assert(blocked.count() > 0, "fixture corpus should contain near-dup fingerprints")
+  }
+
+  test("q153: tiles partition the table and respect interleave bounds") {
+    val rows = run("q153_zorder_layout").collect()
+    val total = Tables.events(spark, dir).count()
+    for (layout <- Seq("zorder", "time")) {
+      val tiles = rows.filter(_.getString(0) == layout)
+      assert(tiles.map(_.getLong(2)).sum === total, s"$layout tiles must partition rows")
+    }
+    // z DIV 32 fixes u bits 3,2 and d bit 3: u confined to a
+    // 4-wide quarter, d to an 8-wide half — the pruning guarantee
+    rows.filter(_.getString(0) == "zorder").foreach { r =>
+      assert(r.getLong(3) <= 4, s"zorder tile ${r.getLong(1)} u_span ${r.getLong(3)} > 4")
+      assert(r.getLong(4) <= 8, s"zorder tile ${r.getLong(1)} d_span ${r.getLong(4)} > 8")
+    }
+    // the time layout nails days but cannot bound the user dimension
+    rows.filter(_.getString(0) == "time").foreach { r =>
+      assert(r.getLong(4) <= 2, s"time tile ${r.getLong(1)} d_span ${r.getLong(4)} > 2")
+    }
+  }
+
+  test("q154: salted join result is identical to the plain join") {
+    val plain = Tables.events(spark, dir)
+      .select((pmod(col("user_id"), lit(1500L)) + 1L).as("ck"), col("value"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("ck") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Portable.dsum6(col("value")).as("total_value"))
+    val salted = run("q154_salted_join")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must be result-invariant")
+  }
+
+  test("q155: chunks tile every document with stride 48 and cover all tokens") {
+    val chunks = run("q155_chunk_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nTokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet === nTokens.keySet, "every document must chunk")
+    for ((doc, cs) <- chunks) {
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, _), i) =>
+        assert(idx === i.toLong, s"doc $doc chunk indices must be dense")
+        assert(start === i.toLong * 48 + 1, s"doc $doc stride must be 48")
+      }
+      val (_, _, lastStart, lastLen) = sorted.last
+      val n = nTokens(doc)
+      assert(lastStart + lastLen - 1 === n,
+        s"doc $doc: last chunk must end exactly at token $n")
+      sorted.dropRight(1).foreach { case (_, idx, _, len) =>
+        assert(len === 64L, s"doc $doc chunk $idx: only the tail may run short")
+      }
+      // a doc at or under one window is exactly one chunk
+      if (n <= 64) assert(sorted.length === 1)
+    }
+  }
+}

@@ -234,6 +234,110 @@ object ScaleOps {
         md5(array_to_string(tk[(k * 48 + 1):(k * 48 + 64)], ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  /** q156: DSIR IMPORTANCE WEIGHTS — Data Selection via Importance
+    * Resampling (Xie et al., NeurIPS'23): score every raw document by
+    * the log-likelihood ratio of its hashed n-gram features under a
+    * TARGET domain's feature distribution vs the raw corpus's, the
+    * principled replacement for hand-tuned quality filters when
+    * curating toward a domain (here: the English slice as target).
+    * Features are bigram h32s folded into 256 buckets (the paper's
+    * hashed n-gram trick — model size is FIXED at B buckets no matter
+    * the corpus, so both distributions are broadcast-sized at any
+    * scale); both distributions are Laplace-smoothed (+1 / +B); each
+    * bucket's log-ratio is rounded into DECIMAL(28,6) ONCE in the
+    * model (q93's determinism pattern) so the per-doc exact decimal
+    * sum is order-insensitive and engine-identical. Shape at 100 TB:
+    * two fixed-width aggregations (uniform hash keys, map-side
+    * partials), model broadcast into the scan stage, one per-doc
+    * aggregation — no shuffle wider than B=256 rows except the final
+    * doc rollup. Resampling then draws via q143's A-ES machinery with
+    * these weights.
+    */
+  private val q156DsirWeights = Q(
+    "q156_dsir_weights",
+    (s, d) => {
+      val B = 256
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.Hash32.bigramHashes(col("text"))).as("h"))
+        .withColumn("b", pmod(col("h"), lit(B.toLong)))
+      val raw = bg.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = bg.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      val totals = bg.agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val model = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+              (col("nt") + B).cast("double")) -
+            log((col("cr") + 1L).cast("double") /
+              (col("nr") + B).cast("double")))
+            .cast("decimal(28,6)").as("delta"))
+      bg.join(broadcast(model), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"),
+          sum(col("delta")).cast("double").as("logw"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      tok AS (SELECT doc_id, lang, CAST(generate_subscripts(t, 1) AS INT) AS i,
+              unnest(t) AS u FROM w),
+      bg AS (SELECT a.doc_id, a.lang,
+               CAST('0x' || substr(md5(a.u || ' ' || b.u), 1, 8) AS BIGINT) % 256 AS b
+             FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.lang = b.lang
+               AND b.i = a.i + 1),
+      raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY 1),
+      tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT count(*) AS nr,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM bg),
+      model AS (SELECT raw.b,
+              CAST(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt + 256)) -
+                   ln(CAST(cr + 1 AS DOUBLE) / (nr + 256)) AS DECIMAL(28,6)) AS delta
+             FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+      SELECT bg.doc_id, count(*) AS n_bg,
+        CAST(sum(delta) AS DOUBLE) AS logw
+      FROM bg JOIN model ON bg.b = model.b
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** q157: PARTITION-PRUNED LAYOUT — the Hive-style `partitionBy`
+    * write + pruned read that turns a 100 TB fact table into a
+    * directory tree where a day predicate reads ONE directory's files
+    * and the planner proves it (`PartitionFilters` in the scan,
+    * `ScaleOpsSpec` asserts exactly one of the table's partitions
+    * survives pruning). The probe day is min(day)+1, fetched by one
+    * tiny driver-side aggregate (the Ivf-codebook precedent: a
+    * scalar, not a table) so the filter is a LITERAL — static pruning
+    * at plan time, no runtime subquery. The oracle replays the same
+    * day's aggregate straight off the raw events table, proving the
+    * layout is a pure reorganization. Write side: `partitionBy(day)`
+    * is itself the scale pattern — one task per (input-partition ×
+    * day) file, no shuffle — and the scratch tree is sealed and
+    * deleted before return (q131's hygiene).
+    */
+  private val q157PartitionPruning = Q(
+    "q157_partition_pruning",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-part-").toString
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      ev.write.partitionBy("day").parquet(s"$root/t")
+      val probeDay = ev.agg(min("day")).head().getLong(0) + 1L
+      val pruned = s.read.parquet(s"$root/t")
+        .filter(col("day") === probeDay)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum6(col("value")).as("total_value"))
+        .orderBy("event_type")
+      Scratch.sealAndClean(pruned, root)
+    },
+    Some("""WITH m AS (SELECT min(epoch_us(ts) // 86400000000) + 1 AS pd FROM events)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM events CROSS JOIN m
+      WHERE epoch_us(ts) // 86400000000 = pd
+      GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
-    q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs)
+    q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,
+    q156DsirWeights, q157PartitionPruning)
 }

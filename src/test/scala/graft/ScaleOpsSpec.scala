@@ -87,4 +87,44 @@ class ScaleOpsSpec extends AnyFunSuite {
       if (n <= 64) assert(sorted.length === 1)
     }
   }
+
+  test("q156: importance weights separate the target domain") {
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("q156_dsir_weights").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length === langs.size, "every document must score")
+    // the likelihood ratio must, on average, rank target-domain (en)
+    // docs above the rest — that separation is the whole point of DSIR
+    val (en, rest) = rows.partition { case (id, _) => langs(id) == "en" }
+    val enMean = en.map(_._2).sum / en.length
+    val restMean = rest.map(_._2).sum / rest.length
+    assert(enMean > restMean,
+      s"mean log-weight of target docs ($enMean) must exceed the rest ($restMean)")
+  }
+
+  test("q157: the day filter prunes the partitioned scan to one directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-partspec-").toString
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+    ev.write.partitionBy("day").parquet(s"$root/t")
+    val nDays = ev.select("day").distinct().count()
+    assert(nDays > 1, "fixture must span multiple partitions")
+    val probeDay = ev.agg(min("day")).head().getLong(0) + 1L
+    val pruned = spark.read.parquet(s"$root/t").filter(col("day") === probeDay)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        "day predicate must reach the scan as a partition filter")
+      assert(f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .length === 1,
+        s"exactly 1 of $nDays partitions must survive pruning")
+    }
+    graft.queries.Scratch.rmTree(root)
+  }
 }

@@ -45,27 +45,34 @@ object ScaleOps {
     * 124,750 possible pairs to ~12.9k candidates. At 100 TB the same
     * operator runs simhash-64 with 4×16-bit blocks and k=3 (the WWW'07
     * production setting); bucket keys are uniform fingerprint slices,
-    * so the single shuffle has no skew, and the verify stage joins
-    * candidates back to the (id, fingerprint) table — 8-byte payloads,
-    * shuffle-join on uniform ids.
+    * so the single shuffle has no skew, and the fingerprint PACKS into
+    * the id long that rides through the bucket shuffle, so the verify
+    * popcount needs no join back to a signature table — one scan, one
+    * shuffle, zero verify-stage joins (with 64-bit fingerprints the
+    * pack becomes a 2-field struct key — same shape).
     */
   private val q152SimhashHamming = Q(
     "q152_simhash_hamming",
     (s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.Hash32.simhashCol(col("text")).as("sh"))
-      val blocks = sh.select(col("doc_id"),
+      // the 32-bit fingerprint PACKS with its doc_id into one long
+      // (id << 32 | sh), so the signature rides through bucketPairs
+      // beside the id: ONE scan of documents, no verify-stage joins
+      // back to a signature table (pair order on the packed value ≡
+      // order on doc_id — distinct ids dominate the high bits)
+      val packed = Tables.documents(s, d)
+        .select((shiftleft(col("doc_id"), 32) +
+          graft.functions.Hash32.simhashCol(col("text"))).as("id_sh"))
+      val blocks = packed.select(col("id_sh"),
           posexplode(array(
-            col("sh").bitwiseAND(lit(65535L)),
-            shiftright(col("sh"), 16).bitwiseAND(lit(65535L)))))
-        .toDF("doc_id", "blk", "bv")
-      graft.ops.Dedup.bucketPairs(blocks, "doc_id", Seq("blk", "bv"))
+            col("id_sh").bitwiseAND(lit(65535L)),
+            shiftright(col("id_sh"), 16).bitwiseAND(lit(65535L)))))
+        .toDF("id_sh", "blk", "bv")
+      graft.ops.Dedup.bucketPairs(blocks, "id_sh", Seq("blk", "bv"))
         .distinct()
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+        .select(shiftright(col("a_id"), 32).as("a_id"),
+          shiftright(col("b_id"), 32).as("b_id"),
+          bit_count(col("a_id").bitwiseXOR(col("b_id"))
+            .bitwiseAND(lit(4294967295L))).cast("long").as("hamming"))
         .filter(col("hamming") <= 1)
         .orderBy("a_id", "b_id")
     },

@@ -40,6 +40,39 @@ object Multimodal {
     (w, h, f(0), f(1), f(2), f(3))
   }
 
+  /** Typed per-item media header (what a real demux/probe would emit:
+    * image dims + "video" duration and frame rate). The md5 hex rides
+    * along so downstream DECLARATIVE stages (resize math, frame
+    * sampling, per-frame fingerprints) can derive deterministic
+    * values without re-touching the payload.
+    */
+  final case class MediaMeta(
+      doc_id: Long, md5_hex: String, width: Int, height: Int,
+      dur_ms: Int, fps: Int)
+
+  /** Partition-batched header probe — the same seam as
+    * [[extractFeatures]] (codec handle per partition, streamed rows),
+    * but emitting the metadata a resize/frame-sample stage consumes.
+    * Stub formulas are integer-exact off the payload md5.
+    */
+  def extractMeta(bin: DataFrame): Dataset[MediaMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          digest.reset()
+          val hex = digest.digest(bytes).map(b => f"$b%02x").mkString
+          val (w, h, _, _, _, _) = stubDecode(hex)
+          val durMs = 1000 + (java.lang.Long.parseLong(hex.substring(8, 12), 16) % 60000).toInt
+          val fps = 10 + (java.lang.Long.parseLong(hex.substring(12, 14), 16) % 20).toInt
+          MediaMeta(id, hex, w, h, durMs, fps)
+        }
+      }
+  }
+
   /** Partition-batched feature extraction over (doc_id, content):
     * the per-partition block is where a real implementation loads its
     * codec/model ONCE and streams the partition through it.

@@ -344,7 +344,134 @@ object ScaleOps {
       WHERE epoch_us(ts) // 86400000000 = pd
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q158: MEDIA RESIZE + FRAME SAMPLING — the remaining multimodal
+    * preprocessing rungs beside q48's metadata and q49's features
+    * ([[graft.multimodal.Multimodal]]): letterbox-resize every image
+    * to a 224×224 model input (integer-exact aspect-preserving scale
+    * + centered padding — the arithmetic a real resize plans with
+    * before touching pixels) and sample every 10th frame (≤8 samples)
+    * of each stub-"video", fingerprinting each sampled frame. The
+    * IMPERATIVE seam stops at the header probe
+    * ([[graft.multimodal.Multimodal.extractMeta]], partition-batched
+    * like a real demuxer); resize math, the frame EXPLOSION
+    * (`posexplode(sequence(...))` — a Catalyst Generate the optimizer
+    * sees and pipelines, not a per-row loop), and per-frame h32
+    * fingerprints stay declarative codegen. Scale: frame sampling is
+    * the row-multiplying stage of a video pipeline (here ≤8×,
+    * real pipelines 100-1000×) — keeping it a Generate means no
+    * shuffle, output partitions inherit the input's, and the sample
+    * cap bounds the blowup per item.
+    */
+  private val q158MediaFrames = Q(
+    "q158_media_frames",
+    (s, d) => {
+      val meta = graft.multimodal.Multimodal.extractMeta(
+        graft.multimodal.Multimodal.binarize(Tables.documents(s, d))).toDF()
+      meta
+        .withColumn("out_w", expr("width * 224 DIV greatest(width, height)"))
+        .withColumn("out_h", expr("height * 224 DIV greatest(width, height)"))
+        .withColumn("pad_x", expr("(224 - out_w) DIV 2"))
+        .withColumn("pad_y", expr("(224 - out_h) DIV 2"))
+        .withColumn("n_frames", expr("dur_ms * fps DIV 1000"))
+        .select(col("doc_id"), col("md5_hex"), col("out_w"), col("out_h"),
+          col("pad_x"), col("pad_y"), col("fps"),
+          posexplode(expr("sequence(0, least(7, (n_frames - 1) DIV 10))")))
+        .withColumn("frame_idx", col("col") * 10)
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("pad_x"), col("pad_y"), col("frame_idx"),
+          expr("frame_idx * 1000 DIV fps").as("frame_t_ms"),
+          (h32(concat(col("md5_hex"), lit(":"), col("frame_idx"))) % 1000L)
+            .cast("double").divide(lit(1000.0)).as("ffeat"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH m AS (SELECT doc_id, md5(text) AS hex FROM documents),
+      hdr AS (SELECT doc_id, hex,
+          64 + CAST('0x' || substr(hex, 1, 4) AS BIGINT) % 1024 AS w,
+          64 + CAST('0x' || substr(hex, 5, 4) AS BIGINT) % 1024 AS h,
+          1000 + CAST('0x' || substr(hex, 9, 4) AS BIGINT) % 60000 AS dur_ms,
+          10 + CAST('0x' || substr(hex, 13, 2) AS BIGINT) % 20 AS fps
+        FROM m),
+      rs AS (SELECT doc_id, hex, fps,
+          w * 224 // greatest(w, h) AS out_w,
+          h * 224 // greatest(w, h) AS out_h,
+          dur_ms * fps // 1000 AS n_frames
+        FROM hdr),
+      fr AS (SELECT doc_id, hex, fps, out_w, out_h,
+          (224 - out_w) // 2 AS pad_x, (224 - out_h) // 2 AS pad_y,
+          unnest(range(0, least(7, (n_frames - 1) // 10) + 1)) * 10 AS frame_idx
+        FROM rs)
+      SELECT doc_id, out_w, out_h, pad_x, pad_y, frame_idx,
+        frame_idx * 1000 // fps AS frame_t_ms,
+        CAST(CAST('0x' || substr(md5(hex || ':' || frame_idx), 1, 8) AS BIGINT) % 1000
+          AS DOUBLE) / 1000.0 AS ffeat
+      FROM fr ORDER BY doc_id, frame_idx"""))
+
+  /** q159: SKETCH-DRIVEN BALANCED RANGE PARTITIONER — the
+    * deterministic replacement for `repartitionByRange`'s
+    * RangePartitioner SAMPLING (whose split points vary run-to-run
+    * and cannot merge across pre-computed statistics): the global
+    * LogDigest sketch (q133's mergeable O(bins) state, map-side
+    * partials) yields 7 split bins at the ceil(k·N/8) cumulative
+    * targets, fetched as ONE tiny driver row (the Ivf-codebook
+    * precedent — the sketch IS the table statistics a warehouse
+    * stores), and every row's partition is a literal bin-threshold
+    * sum evaluated in the scan stage. Balance is exact at bin
+    * granularity (heavy single bins can't split — the documented
+    * sketch trade; a production writer follows with the q154 salt
+    * WITHIN oversized partitions). Output: per-partition row counts
+    * and value bounds — ranges provably non-overlapping
+    * (ScaleOpsSpec), the property that makes the layout a total
+    * order for merge-join / file-skipping consumers.
+    */
+  private val q159SketchRangePartition = Q(
+    "q159_sketch_range_partition",
+    (s, d) => {
+      val S = 16
+      val P = 8
+      val xs = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("x"))
+        .filter(col("x") >= 1)
+        .withColumn("e", (length(bin(col("x"))) - 1).cast("long"))
+        .withColumn("base", expr("cast(pow(2.0d, cast(e as double)) as bigint)"))
+        .withColumn("bin_id", expr(s"e * $S + (x - base) * $S div base"))
+      val sk = xs.agg(graft.functions.LogDigest.sketch(S)(col("x")).as("sk"))
+        .select(col("sk.bins"), col("sk.counts")).head()
+      val bins = sk.getSeq[Long](0)
+      val counts = sk.getSeq[Long](1)
+      val n = counts.sum
+      val cum = counts.scanLeft(0L)(_ + _).tail
+      val splits = (1 until P).map { k =>
+        val target = (k * n + P - 1) / P
+        bins(cum.indexWhere(_ >= target))
+      }
+      val part = splits.map(t =>
+        when(col("bin_id") >= lit(t), 1L).otherwise(lit(0L)): org.apache.spark.sql.Column)
+        .reduce(_ + _)
+      xs.groupBy(part.as("part"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+        .orderBy("part")
+    },
+    Some("""WITH x AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+      p AS (SELECT doc_id, x, CAST(length(bin(x)) - 1 AS BIGINT) AS e
+            FROM x WHERE x >= 1),
+      b AS (SELECT doc_id, x, e * 16 +
+            ((x - CAST(power(2, e) AS BIGINT)) * 16)
+              // CAST(power(2, e) AS BIGINT) AS bin_id FROM p),
+      bc AS (SELECT bin_id, count(*) AS c FROM b GROUP BY 1),
+      cum AS (SELECT bin_id, sum(c) OVER (ORDER BY bin_id) AS cum,
+              (SELECT count(*) FROM b) AS n FROM bc),
+      splits AS (SELECT k, min(bin_id) AS sbin
+                 FROM cum CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks
+                 WHERE cum >= (k * n + 7) // 8 GROUP BY k),
+      pa AS (SELECT b.doc_id, b.x,
+               sum(CASE WHEN b.bin_id >= s.sbin THEN 1 ELSE 0 END) AS part
+             FROM b CROSS JOIN splits s GROUP BY 1, 2)
+      SELECT part, count(*) AS n, min(x) AS x_min, max(x) AS x_max
+      FROM pa GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,
-    q156DsirWeights, q157PartitionPruning)
+    q156DsirWeights, q157PartitionPruning, q158MediaFrames,
+    q159SketchRangePartition)
 }

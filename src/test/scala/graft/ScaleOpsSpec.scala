@@ -127,4 +127,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     graft.queries.Scratch.rmTree(root)
   }
+
+  test("q158: resize letterboxes to 224 and frame samples respect the stride/cap") {
+    val rows = run("q158_media_frames").collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.size === Tables.documents(spark, dir).count(),
+      "every media item must emit frames")
+    rows.foreach { r =>
+      val (w, h, px, py) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.max(w, h) === 224L, "the long side must hit the target exactly")
+      assert(w >= 1 && h >= 1 && px >= 0 && py >= 0)
+      assert(px * 2 <= 224 - w && (224 - w) - px * 2 <= 1, "pad must center (±1 for odd)")
+      assert(r.getLong(5) % 10 === 0L, "frame stride must be 10")
+    }
+    perDoc.values.foreach { fs =>
+      assert(fs.length <= 8, "sample cap is 8 frames")
+      assert(fs.map(_.getLong(5)).sorted.sameElements(
+        (0 until fs.length).map(_ * 10L)), "frames must be the dense stride prefix")
+    }
+  }
+
+  test("q159: sketch ranges are non-overlapping, complete, and balanced-ish") {
+    val rows = run("q159_sketch_range_partition").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val total = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 1).count()
+    assert(rows.map(_._2).sum === total, "partitions must cover every row")
+    // value ranges must form a total order — the merge-join /
+    // file-skipping guarantee a range layout exists to provide
+    rows.sliding(2).foreach {
+      case Array((pa, _, _, aMax), (pb, _, bMin, _)) =>
+        assert(pa < pb && aMax < bMin,
+          s"partition $pa [..$aMax] must precede $pb [$bMin..]")
+      case _ =>
+    }
+    // balance at bin granularity: nobody should exceed 2x the ideal
+    // share unless a single heavy bin forces it (none in this corpus)
+    val ideal = total.toDouble / 8
+    rows.foreach { case (p, n, _, _) =>
+      assert(n <= 2 * ideal + 1,
+        s"partition $p holds $n rows vs ideal $ideal — splits degenerated")
+    }
+  }
 }

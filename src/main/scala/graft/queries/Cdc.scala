@@ -120,7 +120,10 @@ object Cdc {
     Some("""SELECT CAST(5 AS BIGINT) AS batches_applied,
       CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS upserts_seen,
       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS tombstones_seen
-      FROM events"""))
+      FROM events"""),
+    // bench-flagged so the driver's sampled runs exercise the A4
+    // counters — q130 had an oracle but no CORRECTNESS row through r06
+    bench = true)
 
   /** T6 oracle entry: the full-refresh escape hatch
     * (pubmed.py:436-444 force_update — wipe the derived table, leave
@@ -160,7 +163,10 @@ object Cdc {
         "force-refresh state diverged from the incremental state")
       Scratch.sealAndClean(rebuilt.orderBy("user_id"), root)
     },
-    Some(cdcFinalStateSql))
+    Some(cdcFinalStateSql),
+    // bench-flagged so the driver's sampled runs exercise the T6
+    // escape hatch — q131 had an oracle but no CORRECTNESS row through r06
+    bench = true)
 
   /** q76: the STREAMING ingest path end-to-end (SURVEY T1/T5/O4 —
     * round-2 verdict's last spec-only items, now oracle-checked).

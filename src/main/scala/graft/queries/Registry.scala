@@ -83,7 +83,8 @@ object Registry {
       Readers.queries ++ Extensions.queries ++ Ictrp.queries ++
       Coverage.queries ++ Sources.queries ++ Api.queries ++ EndToEnd.queries ++
       Sinks.queries ++ Training.queries ++ Analytics.queries ++
-      Curation.queries ++ Linkage.queries ++ ScaleOps.queries
+      Curation.queries ++ Linkage.queries ++ ScaleOps.queries ++
+      Corpus.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Algebraic properties of the Corpus entries (q160–q163) beyond their
+  * DuckDB oracles: whole-vector aggregation ≡ explode formulation,
+  * shuffle permutation laws, sequence-order determinism, run-length
+  * entropy ≡ explode/group-by counts.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).fn(spark, dir)
+
+  test("q160: VecSum centroids equal the posexplode formulation") {
+    val q = Tables.embeddings(spark, dir).select(col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("q"))
+    val exploded = q.select(col("label"), posexplode(col("q")))
+      .groupBy(col("label"), col("pos").cast("int").as("dim"))
+      .agg(sum("col").as("s"), count(lit(1)).as("n_members"))
+      .select(col("label"), col("dim"),
+        floor(col("s").cast("double") / col("n_members"))
+          .cast("long").as("cval"),
+        col("n_members"))
+    val native = run("q160_vector_centroids")
+    assert(native.exceptAll(exploded).isEmpty &&
+      exploded.exceptAll(native).isEmpty,
+      "whole-vector aggregate must reproduce the explode+groupBy result")
+  }
+
+  test("q160: VecSum is partitioning-invariant") {
+    val q = Tables.embeddings(spark, dir).select(col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("q"))
+    val a = q.repartition(1).groupBy("label")
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("vs"))
+      .select(col("label"), col("vs.s"), col("vs.n"))
+    val b = q.repartition(7, col("q")).groupBy("label")
+      .agg(graft.functions.VecSum.vecSum(col("q")).as("vs"))
+      .select(col("label"), col("vs.s"), col("vs.n"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "integer vector sums must not depend on partitioning / merge order")
+  }
+
+  test("q160: VecSum rejects mixed dimensionality loudly") {
+    import spark.implicits._
+    val bad = Seq((1, Seq(1L, 2L)), (1, Seq(1L, 2L, 3L))).toDF("g", "q")
+    val e = intercept[Exception] {
+      bad.repartition(1).groupBy("g")
+        .agg(graft.functions.VecSum.vecSum(col("q"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("mixed dimensionality"))),
+      s"expected a mixed-dimensionality failure, got: ${e.getMessage}")
+  }
+
+  test("q161: output is a permutation with dense per-shard positions") {
+    val out = run("q161_global_shuffle")
+    val n = Tables.documents(spark, dir).count()
+    assert(out.count() === n, "shuffle must be a permutation: no row lost")
+    assert(out.select("doc_id").distinct().count() === n)
+    // per-shard positions are 1..count(shard) with no gaps
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("c") || col("mn") =!= 1L)
+    assert(bad.isEmpty, "positions must be dense 1..n per shard")
+    // deterministic: a second run is bit-identical
+    val again = run("q161_global_shuffle")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("q162: sequence equals the window-ordered formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val viaWindow = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), "|").as("seq"))
+    val native = run("q162_user_sequences")
+    assert(native.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(native).isEmpty,
+      "struct-sort secondary sort must equal the window row_number order")
+  }
+
+  test("q163: run-length entropy equals explode+groupBy counts") {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val g = t.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val expl = g.groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(28,6)"))
+          .cast("decimal(28,6)").cast("double").as("slnc"))
+    val native = run("q163_word_entropy")
+    assert(native.exceptAll(expl).isEmpty && expl.exceptAll(native).isEmpty,
+      "map-side run-length entropy must equal the two-shuffle formulation")
+  }
+
+  test("q163: plan is shuffle-free below the final sort") {
+    val df = run("q163_word_entropy")
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the range partition for the output
+    // ORDER BY; the entropy computation itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the order-by exchange, got:\n$plan")
+  }
+}

@@ -74,4 +74,49 @@ object VecSum {
     val f = udaf(new VecSumAggregator, Encoders.product[In])
     q => f(q)
   }
+
+  /** Element-wise ABS-MAX over a vector column — the per-dimension
+    * scale pass of int8 quantization (q167), same whole-vector O(D)
+    * state and merge-order-free integer arithmetic as [[vecSum]].
+    */
+  class VecAbsMaxAggregator extends Aggregator[In, Buf, Out] {
+
+    private def absMax(acc: Array[Long], v: Seq[Long]): Array[Long] =
+      if (acc.isEmpty) {
+        val out = new Array[Long](v.length)
+        var i = 0
+        while (i < out.length) { out(i) = math.abs(v(i)); i += 1 }
+        out
+      } else {
+        require(acc.length == v.length,
+          s"vec_abs_max: mixed dimensionality ${acc.length} vs ${v.length}")
+        val out = acc.clone()
+        var i = 0
+        while (i < out.length) {
+          val a = math.abs(v(i))
+          if (a > out(i)) out(i) = a
+          i += 1
+        }
+        out
+      }
+
+    def zero: Buf = Buf(Array.emptyLongArray, 0L)
+    def reduce(b: Buf, in: In): Buf =
+      if (in.q == null) b else Buf(absMax(b.s, in.q), b.n + 1L)
+    def merge(a: Buf, b: Buf): Buf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else Buf(absMax(a.s, b.s.toSeq), a.n + b.n)
+    def finish(b: Buf): Out = Out(b.s, b.n)
+    def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    def outputEncoder: Encoder[Out] = Encoders.product[Out]
+  }
+
+  /** `vecAbsMax(q)`: struct<s: array<long>, n: long> — per-dimension
+    * max of |v| and the row count.
+    */
+  lazy val vecAbsMax: Column => Column = {
+    val f = udaf(new VecAbsMaxAggregator, Encoders.product[In])
+    q => f(q)
+  }
 }

@@ -189,7 +189,231 @@ object Corpus {
       FROM g GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  /** q164: HYPERLOGLOG DISTINCT COUNT per group through the portable
+    * trailing-zero [[graft.functions.Hll]] aggregate — the fixed-
+    * memory COUNT(DISTINCT) GROUP BY: 512 byte registers per group per
+    * task vs exact distinct's shuffle of every distinct value. The
+    * query estimates distinct words per source and carries the exact
+    * count alongside, so the oracle checks BOTH the bit-exact sketch
+    * evidence (v_zero, t_total — pure integer algebra both engines
+    * replay) AND the shared closed-form estimate, AND the accuracy
+    * claim is visible in the row itself.
+    *
+    * 100 TB shape: the token explode feeds a partial aggregate whose
+    * state is O(512) bytes per (source) group per task — map-side
+    * combine collapses any token volume before the one exchange;
+    * register-max merge is associative/commutative, so AQE can
+    * coalesce or split freely. (The exact count rides along here for
+    * audit; a production 100 TB run would drop it — THAT is the point
+    * of the sketch.)
+    */
+  private val q164HllDistinct = Q(
+    "q164_hll_distinct",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      t.groupBy("source")
+        .agg(graft.functions.Hll.hll(
+            graft.functions.Portable.h32(col("w"))).as("sk"),
+          count_distinct(col("w")).as("exact_distinct"))
+        .select(col("source"), col("sk.v_zero").as("v_zero"),
+          col("sk.t_total").as("t_total"), col("exact_distinct"))
+        .withColumn("est",
+          expr(graft.functions.Hll.estimateSql("v_zero", "t_total")))
+        .select("source", "v_zero", "t_total", "est", "exact_distinct")
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      h AS (SELECT source, w,
+          CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM t),
+      r AS (SELECT source, h % 512 AS idx,
+          CASE WHEN h // 512 = 0 THEN 24
+               ELSE bit_count(((h // 512) & -(h // 512)) - 1) + 1 END AS rho
+        FROM h),
+      mreg AS (SELECT source, idx, max(rho) AS mx FROM r GROUP BY 1, 2),
+      agg AS (SELECT source, count(*) AS n_used,
+          sum(CAST(power(2, 24 - mx) AS BIGINT)) AS t_used
+        FROM mreg GROUP BY 1),
+      ex AS (SELECT source, count(DISTINCT w) AS exact_distinct
+        FROM t GROUP BY 1)
+      SELECT a.source,
+        CAST(512 - n_used AS BIGINT) AS v_zero,
+        CAST(t_used + (512 - n_used) * 16777216 AS BIGINT) AS t_total,
+        ${graft.functions.Hll.estimateSql(
+          "(512 - n_used)", "(t_used + (512 - n_used) * 16777216)")} AS est,
+        CAST(exact_distinct AS BIGINT) AS exact_distinct
+      FROM agg a JOIN ex ON a.source = ex.source ORDER BY a.source"""),
+    bench = true)
+
+  /** q165: CONTAMINATION OVERLAP FRACTION per document — the graded
+    * form of decontamination (q72 flags docs sharing ANY benchmark
+    * shingle; real pipelines THRESHOLD on the overlap fraction, e.g.
+    * "drop if >20% of 4-gram shingles appear in the eval set"). Same
+    * benchmark partition (doc_id % 97 = 0) and md5 shingles as
+    * q72/q86; LEFT join keeps zero-overlap docs so the output is a
+    * score for EVERY candidate, and the threshold flag is the
+    * integer-exact predicate `5·n_hit ≥ n_shingles`, never a float
+    * ratio.
+    *
+    * 100 TB shape: benchmark shingles broadcast (eval sets are small
+    * by definition — q72's documented contract), probe is map-side,
+    * one groupBy(doc_id) exchange on the uniform key.
+    */
+  private val q165ContamFrac = Q(
+    "q165_contam_frac",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(size(graft.functions.Portable.tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          array_distinct(
+            graft.functions.Hash32.shingleHashes(col("text"))).as("hs"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+        .withColumn("hit", lit(1L))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+          explode(col("hs")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          (col("n_hit") * 5 >= col("n_shingles")).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM th GROUP BY 1),
+      bench AS (SELECT DISTINCT h FROM th WHERE doc_id % 97 = 0),
+      hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM th t JOIN bench b ON t.h = b.h
+        WHERE t.doc_id % 97 <> 0 GROUP BY 1)
+      SELECT c.doc_id, c.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+        COALESCE(h.n_hit, 0) * 5 >= c.n_shingles AS contaminated
+      FROM cnt c LEFT JOIN hits h ON c.doc_id = h.doc_id
+      WHERE c.doc_id % 97 <> 0 ORDER BY c.doc_id"""))
+
+  /** q166: QUALITY-FILTER FUNNEL — the ablation accounting every
+    * curation pipeline publishes (how many documents each stage
+    * drops, applied in order): token floor → language gate → stopword
+    * ratio → mean word length, with the q28 threshold definitions.
+    * ONE scan computes all stage flags as map-side conditionals, one
+    * single-row aggregate takes the four cumulative sums, and `stack`
+    * unpivots it to the funnel table — no per-stage re-scan, no
+    * shuffle beyond the 1-row partial-agg exchange, a shape that is
+    * identical at 100 TB.
+    */
+  private val q166QualityFunnel = Q(
+    "q166_quality_funnel",
+    (s, d) => {
+      val toks = graft.functions.Portable.tokens(col("text"))
+      val nT = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      val stopRatio = round(nStop.cast("double") / nT, 6)
+      val avgLen = round(
+        length(regexp_replace(col("text"), " ", "")).cast("double") / nT, 6)
+      val f1 = nT >= 25
+      val f2 = f1 && col("lang") === "en"
+      val f3 = f2 && stopRatio <= 0.08
+      val f4 = f3 && avgLen <= 8.0
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n0"),
+          sum(f1.cast("long")).as("s1"), sum(f2.cast("long")).as("s2"),
+          sum(f3.cast("long")).as("s3"), sum(f4.cast("long")).as("s4"))
+        .selectExpr("""stack(4,
+            1, 'tokens',    n0, s1,
+            2, 'lang',      s1, s2,
+            3, 'stopwords', s2, s3,
+            4, 'wordlen',   s3, s4)
+          AS (stage_idx, stage, n_in, n_out)""")
+        .orderBy("stage_idx")
+    },
+    Some("""WITH m AS (SELECT
+          len(string_split(text, ' ')) AS nt,
+          lang,
+          round(CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS stop_ratio,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS avg_len
+        FROM documents),
+      g AS (SELECT nt >= 25 AS f1,
+          nt >= 25 AND lang = 'en' AS f2,
+          nt >= 25 AND lang = 'en' AND stop_ratio <= 0.08 AS f3,
+          nt >= 25 AND lang = 'en' AND stop_ratio <= 0.08
+            AND avg_len <= 8.0 AS f4
+        FROM m),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+          CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+          CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+          CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        FROM g)
+      SELECT 1 AS stage_idx, 'tokens' AS stage, n0 AS n_in, s1 AS n_out FROM s
+      UNION ALL SELECT 2, 'lang', s1, s2 FROM s
+      UNION ALL SELECT 3, 'stopwords', s2, s3 FROM s
+      UNION ALL SELECT 4, 'wordlen', s3, s4 FROM s
+      ORDER BY stage_idx"""))
+
+  /** q167: INT8 EMBEDDING QUANTIZATION with per-dimension abs-max
+    * scales — the storage/serving compression pass before an ANN
+    * index ships (4× smaller than float32; PQ (q96) is the
+    * multi-codebook big sibling, this is the per-dim linear baseline).
+    * Two passes, both whole-vector: [[graft.functions.VecSum
+    * .vecAbsMax]] computes the 1×D scale vector with O(D) state and
+    * no explode (the q160 argument), the D-long scale row broadcasts
+    * back, and `zip_with` quantizes map-side: q = floor(v·127 /
+    * scale). Output is the per-dimension audit (scale, Σq, min q,
+    * max q — all exact integers), which pins every quantized value
+    * through the sum without emitting N·D rows.
+    *
+    * 100 TB shape: pass 1 exchanges one D-long buffer per task; pass
+    * 2 is scan-stage projection against the broadcast scales; the
+    * audit groupBy is D rows. Nothing grows with N except the scans.
+    */
+  private val q167Int8Quant = Q(
+    "q167_int8_quant",
+    (s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("q"))
+      val scales = q.agg(graft.functions.VecSum.vecAbsMax(col("q")).as("vm"))
+        .select(col("vm.s").as("scales"))
+      q.crossJoin(broadcast(scales))
+        .select(col("vec_id"),
+          posexplode(zip_with(col("q"), col("scales"),
+            (v, m) => when(m === 0L, lit(0L)).otherwise(
+              floor(v.cast("double") * 127 / m).cast("long")))))
+        .groupBy(col("pos").cast("int").as("dim"))
+        .agg(sum("col").as("q_sum"), min("col").as("q_min"),
+          max("col").as("q_max"))
+        .join(
+          scales.select(posexplode(col("scales")))
+            .select(col("pos").cast("int").as("dim"), col("col").as("scale")),
+          Seq("dim"))
+        .select("dim", "scale", "q_sum", "q_min", "q_max")
+        .orderBy("dim")
+    },
+    Some("""WITH el AS (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        FROM embeddings),
+      sc AS (SELECT dim, max(abs(qv)) AS scale FROM el GROUP BY 1),
+      q8 AS (SELECT e.dim,
+          CASE WHEN s.scale = 0 THEN 0
+               ELSE CAST(floor(CAST(e.qv AS DOUBLE) * 127 / s.scale) AS BIGINT)
+          END AS q
+        FROM el e JOIN sc s ON e.dim = s.dim)
+      SELECT q8.dim, CAST(sc.scale AS BIGINT) AS scale,
+        CAST(sum(q) AS BIGINT) AS q_sum, CAST(min(q) AS BIGINT) AS q_min,
+        CAST(max(q) AS BIGINT) AS q_max
+      FROM q8 JOIN sc ON q8.dim = sc.dim
+      GROUP BY q8.dim, sc.scale ORDER BY q8.dim"""))
+
   val queries: Seq[Q] = Seq(
     q160VectorCentroids, q161GlobalShuffle, q162UserSequences,
-    q163WordEntropy)
+    q163WordEntropy, q164HllDistinct, q165ContamFrac, q166QualityFunnel,
+    q167Int8Quant)
 }

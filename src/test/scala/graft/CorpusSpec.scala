@@ -106,6 +106,67 @@ class CorpusSpec extends AnyFunSuite {
       "map-side run-length entropy must equal the two-shuffle formulation")
   }
 
+  test("q164: HLL estimate is within the expected error of exact") {
+    val rows = run("q164_hll_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      // 3 standard errors at m=512: 3 * 1.04/sqrt(512) ≈ 13.8%
+      assert(math.abs(est - exact) / exact <= 0.14,
+        s"${r.getAs[String]("source")}: est $est vs exact $exact")
+    }
+  }
+
+  test("q164: HLL registers are partitioning-invariant") {
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"), graft.functions.Portable.h32(col("w")).as("h"))
+    val a = t.repartition(1).groupBy("source")
+      .agg(graft.functions.Hll.hll(col("h")).as("sk"))
+      .select(col("source"), col("sk.v_zero"), col("sk.t_total"))
+    val b = t.repartition(7, col("h")).groupBy("source")
+      .agg(graft.functions.Hll.hll(col("h")).as("sk"))
+      .select(col("source"), col("sk.v_zero"), col("sk.t_total"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "register maxima must not depend on partitioning / merge order")
+  }
+
+  test("q165: positive-overlap docs agree with q72's inner-join counts") {
+    val frac = run("q165_contam_frac")
+      .filter(col("n_hit") > 0).select(col("doc_id"), col("n_hit"))
+    val q72 = run("q72_decontam")
+      .select(col("doc_id"), col("n_shared_shingles").as("n_hit"))
+    assert(frac.exceptAll(q72).isEmpty && q72.exceptAll(frac).isEmpty,
+      "the graded score must agree with the flag query where both exist")
+  }
+
+  test("q166: funnel is monotone and chains stage to stage") {
+    val rows = run("q166_quality_funnel").orderBy("stage_idx").collect()
+    assert(rows.length === 4)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"),
+        s"stage ${r.getAs[String]("stage")} grew the corpus"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") === b.getAs[Long]("n_in"),
+        "each stage's survivors must be the next stage's input")
+    }
+  }
+
+  test("q167: quantized stats stay in int8 range and hit the scale") {
+    val rows = run("q167_int8_quant").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_min") >= -127L && r.getAs[Long]("q_max") <= 127L,
+        s"dim ${r.getAs[Int]("dim")}: quantized range escaped int8")
+    }
+    // some dimension must reach the boundary: the abs-max row
+    // quantizes to exactly ±127
+    assert(rows.exists(r =>
+      r.getAs[Long]("q_max") == 127L || r.getAs[Long]("q_min") == -127L),
+      "the scale-defining element must quantize to the boundary")
+  }
+
   test("q163: plan is shuffle-free below the final sort") {
     val df = run("q163_word_entropy")
     val plan = df.queryExecution.executedPlan.toString

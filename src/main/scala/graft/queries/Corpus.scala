@@ -412,8 +412,250 @@ object Corpus {
       FROM q8 JOIN sc ON q8.dim = sc.dim
       GROUP BY q8.dim, sc.scale ORDER BY q8.dim"""))
 
+  /** q176: TF-IDF KEYTERM EXTRACTION — top-3 terms per document by
+    * tf·idf, the classic keyword/topic-tagging pass (q83's BM25 ranks
+    * DOCS for a query; this ranks TERMS within each doc — metadata
+    * enrichment, dataset cards, topic routing). Scoring is
+    * integer-exact end to end: idf quantizes ONCE per term as
+    * `floor(ln(N/df)·1e6)` (same double, same floor, both engines),
+    * so `score_e6 = tf · idf_e6` and the (score_e6 desc, term) rank
+    * order are pure BIGINT — no float comparison anywhere near the
+    * ranking (the q106/q113 discipline).
+    *
+    * 100 TB shape: tf partial-aggregates on the uniform (doc_id,
+    * term) key — one exchange; df reduces the ALREADY-AGGREGATED tf
+    * frame (never the raw token stream) and broadcasts back (bounded
+    * vocabulary; past broadcast size it takes q93's documented
+    * threshold/MG seam); the per-doc top-3 is one window on doc_id
+    * with a 3-bounded heap (or the q151 native top-k operator for the
+    * sort-free physical plan).
+    */
+  private val q176TfidfKeyterms = Q(
+    "q176_tfidf_keyterms",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_e6").desc, col("w"))
+      tf.join(broadcast(df), "w").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("w"), col("tf"),
+          (col("tf") * floor(log(col("nd").cast("double") / col("df"))
+            * lit(1e6)).cast("long")).as("score_e6"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"),
+          col("tf"), col("score_e6"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+      tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS nd FROM documents),
+      sc AS (SELECT tf.doc_id, tf.w, tf.tf,
+          tf.tf * CAST(floor(ln(CAST(nd AS DOUBLE) / df) * 1000000)
+            AS BIGINT) AS score_e6
+        FROM tf JOIN df USING (w) CROSS JOIN n),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score_e6 DESC, w) AS rank FROM sc)
+      SELECT doc_id, rank, w AS term, tf, score_e6
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""),
+    bench = true)
+
+  /** q177: CORPUS NOVELTY CURVE — per document, how many of its
+    * 4-gram shingles appear here FIRST (min doc_id owns the shingle),
+    * the data-ordering diagnostic behind curriculum/dedup decisions:
+    * a corpus slice whose docs contribute no novel shingles is
+    * redundant with what precedes it (q109 measures within-corpus
+    * duplication symmetrically; this attributes it to arrival order,
+    * and q175 is its streaming sibling). The flag is the integer
+    * predicate `2·n_novel ≥ n_shingles`, never a ratio.
+    *
+    * 100 TB shape: ONE exchange on the uniform shingle hash computes
+    * both first-owner (min doc_id) and the per-doc shingle counts
+    * hang off the scan side; novel counts come from re-aggregating
+    * the ALREADY-REDUCED first-owner table by its owning doc (tiny),
+    * and the final doc-level join is between two doc-keyed aggregates
+    * — the raw shingle stream is never joined back to itself.
+    */
+  private val q177NgramNovelty = Q(
+    "q177_ngram_novelty",
+    (s, d) => {
+      val th = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.Hash32.shingleHashes(col("text")))).as("h"))
+      val perDoc = th.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = th.groupBy("h").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("mostly_novel", col("n_novel") * 2 >= col("n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM th GROUP BY 1),
+      fo AS (SELECT h, min(doc_id) AS doc_id FROM th GROUP BY 1),
+      nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM fo GROUP BY 1)
+      SELECT pd.doc_id, pd.n_shingles,
+        COALESCE(nv.n_novel, 0) AS n_novel,
+        COALESCE(nv.n_novel, 0) * 2 >= pd.n_shingles AS mostly_novel
+      FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id
+      ORDER BY pd.doc_id"""))
+
+  /** q179: MINHASH ESTIMATE vs EXACT JACCARD — the sketch-accuracy
+    * audit for the near-dup pipeline (the q164 pattern applied to
+    * q23): for every LSH candidate pair, emit BOTH the 8-slot MinHash
+    * agreement estimate (`n_match·125000` millionths) and the exact
+    * shingle-set Jaccard (`n_inter·1e6 DIV n_union`) so threshold
+    * calibration reads collision behavior off real data instead of
+    * the Broder bound. All integers; no float ever ranks or compares.
+    *
+    * 100 TB shape: candidates come from the shared single-shuffle
+    * [[graft.ops.Dedup.bucketPairs]] path (never all-pairs); the
+    * verify stage joins the per-doc sketch+shingle arrays on uniform
+    * ids — bounded per-doc arrays riding two hash joins, the standard
+    * LSH-verify shape (at open-web doc lengths the exact-set side
+    * caps via q155 chunking; the estimate side is fixed 8 longs).
+    */
+  private val q179MinhashEstimate = Q(
+    "q179_minhash_estimate",
+    (s, d) => {
+      import graft.ops.Dedup
+      val docs = Tables.documents(s, d)
+        .filter(size(graft.functions.Portable.tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          array_distinct(
+            graft.functions.Hash32.shingleHashes(col("text"))).as("hs"))
+      def mhCol(i: Int) = {
+        val (_, a, b) = Dedup.mhParams(i)
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % 2147483647L))
+      }
+      val sk = docs.select(col("doc_id"), col("hs"),
+        array((0 until 8).map(mhCol): _*).as("mh"))
+      val pairs = Dedup.candidates(Dedup.bandSignatures(docs))
+        .select("a_id", "b_id")
+      pairs
+        .join(sk.select(col("doc_id").as("a_id"), col("hs").as("hsa"),
+          col("mh").as("mha")), "a_id")
+        .join(sk.select(col("doc_id").as("b_id"), col("hs").as("hsb"),
+          col("mh").as("mhb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(filter(zip_with(col("mha"), col("mhb"), (x, y) => x === y),
+            bv => bv)).cast("long").as("n_match"),
+          size(array_intersect(col("hsa"), col("hsb"))).cast("long")
+            .as("n_inter"),
+          (size(col("hsa")) + size(col("hsb"))).cast("long").as("n_sum"))
+        .select(col("a_id"), col("b_id"), col("n_match"), col("n_inter"),
+          (col("n_sum") - col("n_inter")).as("n_union"),
+          (col("n_match") * 125000).as("est_e6"),
+          expr("(n_inter * 1000000) DIV (n_sum - n_inter)").as("jac_e6"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+        FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+        FROM mh GROUP BY 1, 2),
+      pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      slots AS (SELECT p.a_id, p.b_id,
+          CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_match
+        FROM pairs p JOIN mh ma ON ma.doc_id = p.a_id
+        JOIN mh mb ON mb.doc_id = p.b_id AND mb.i = ma.i
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM th GROUP BY 1),
+      inter AS (SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS n_inter
+        FROM pairs p JOIN th ta ON ta.doc_id = p.a_id
+        JOIN th tb ON tb.doc_id = p.b_id AND tb.h = ta.h
+        GROUP BY 1, 2)
+      SELECT s.a_id, s.b_id, s.n_match,
+        COALESCE(i.n_inter, 0) AS n_inter,
+        sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union,
+        s.n_match * 125000 AS est_e6,
+        (COALESCE(i.n_inter, 0) * 1000000)
+          // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jac_e6
+      FROM slots s
+      LEFT JOIN inter i ON s.a_id = i.a_id AND s.b_id = i.b_id
+      JOIN sizes sa ON sa.doc_id = s.a_id
+      JOIN sizes sb ON sb.doc_id = s.b_id
+      ORDER BY s.a_id, s.b_id"""))
+
+  /** q182: DATASET CARD — the per-source summary block every corpus
+    * release publishes (HuggingFace dataset cards, Datasheets for
+    * Datasets): document and token volume, language mix, exact-dup
+    * rate, and short-doc rate, in one report. Composes the primitives
+    * (q21 exact dedup keys, q29 token stats, q166 quality gates) into
+    * the release artifact itself. All counts are exact integers.
+    *
+    * 100 TB shape: one scan computes every per-doc statistic map-side
+    * (token count, md5, short flag); the card is one groupBy on the
+    * low-cardinality source key with algebraic partials, plus a dup
+    * sub-aggregation on the uniform (source, md5) key whose result
+    * re-aggregates to |sources| rows. Two exchanges total, both
+    * map-combined; output is card-sized regardless of corpus size.
+    */
+  private val q182DatasetCard = Q(
+    "q182_dataset_card",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum((col("lang") === "en").cast("long")).as("n_en"),
+        sum((col("n_tok") < 25).cast("long")).as("n_short"))
+      val dups = docs.groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy("source").agg(sum("c").as("n_exact_dup"))
+      base.join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("n_en"), col("n_short"),
+          coalesce(col("n_exact_dup"), lit(0L)).as("n_exact_dup"))
+        .orderBy("source")
+    },
+    Some("""WITH m AS (SELECT source, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          md5(text) AS h
+        FROM documents),
+      base AS (SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_en,
+          CAST(sum(CASE WHEN n_tok < 25 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_short
+        FROM m GROUP BY 1),
+      g AS (SELECT source, h, count(*) AS c FROM m GROUP BY 1, 2),
+      dup AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_exact_dup
+        FROM g WHERE c >= 2 GROUP BY 1)
+      SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, b.n_en, b.n_short,
+        COALESCE(d.n_exact_dup, 0) AS n_exact_dup
+      FROM base b LEFT JOIN dup d ON b.source = d.source
+      ORDER BY b.source"""))
+
   val queries: Seq[Q] = Seq(
     q160VectorCentroids, q161GlobalShuffle, q162UserSequences,
     q163WordEntropy, q164HllDistinct, q165ContamFrac, q166QualityFunnel,
-    q167Int8Quant)
+    q167Int8Quant, q176TfidfKeyterms, q177NgramNovelty, q179MinhashEstimate,
+    q182DatasetCard)
 }

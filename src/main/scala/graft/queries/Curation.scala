@@ -953,9 +953,123 @@ object Curation {
         sel.mkString(" UNION ALL ") + " ORDER BY round"
     })
 
+  // ---- q174: held-out trigram LM with stupid backoff -----------------------
+
+  /** q174: TRIGRAM LM SCORING WITH STUPID BACKOFF (Brants et al. 2007)
+    * — the production upgrade of q93's bigram model, and unlike q93 it
+    * is a genuinely HELD-OUT evaluation: the model trains on the
+    * doc_id%10<8 split and scores only the held-out 20%, so every
+    * unseen-context path matters. Per trigram occurrence:
+    * c(w1w2w3)/c(w1w2) when the trigram is known, else
+    * 0.4·c(w2w3)/c(w2), else 0.16·c(w3)/N, else OOV (counted,
+    * excluded from the sum) — the unnormalized backoff that made
+    * web-scale LMs tractable precisely because it needs NO discount
+    * fitting pass over the counts.
+    *
+    * 100 TB shape: all n-gram extraction is map-side array transforms
+    * in the scan stage (one row → its trigram structs, no self-join);
+    * count models partial-aggregate on uniform n-gram keys; the score
+    * pass probes five broadcast model tables (bounded by train
+    * vocabulary — past broadcast size each takes the q93-documented
+    * threshold/Misra–Gries/bloom seam) and shuffles once on doc_id.
+    * Determinism: integer counts, shared literal text for 0.4/0.16,
+    * identical division order, ln rounded into DECIMAL(28,6) before
+    * the exact per-doc sum ([[Portable.dsum6]]); the SUM is emitted,
+    * never the average (the q93 tie lesson).
+    */
+  private val q174TrigramBackoff = Q(
+    "q174_trigram_backoff",
+    (s, d) => {
+      val ws = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(col("doc_id"), ws.as("ws"))
+      val tri = base.filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ws")) - 2), i => struct(
+            element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2"),
+            element_at(col("ws"), i + 2).as("w3")))).as("t"))
+        .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+      val bg = base.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ws")) - 1), i => struct(
+            element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val uni = base.select(col("doc_id"), explode(col("ws")).as("u"))
+      val trainOn = col("doc_id") % 10 < 8
+      val c3 = tri.filter(trainOn).groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("n3"))
+      val c2 = bg.filter(trainOn).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n2"))
+      val c1 = uni.filter(trainOn).groupBy("u").agg(count(lit(1)).as("n1"))
+      val nn = uni.filter(trainOn).agg(count(lit(1)).as("total"))
+      tri.filter(col("doc_id") % 10 >= 8)
+        .join(broadcast(c3), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(c2.withColumnRenamed("n2", "n2ctx")),
+          Seq("w1", "w2"), "left")
+        .join(broadcast(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+          col("n2").as("n2bg"))), Seq("w2", "w3"), "left")
+        .join(broadcast(c1.select(col("u").as("w2"), col("n1").as("n1u2"))),
+          Seq("w2"), "left")
+        .join(broadcast(c1.select(col("u").as("w3"), col("n1").as("n1u3"))),
+          Seq("w3"), "left")
+        .crossJoin(broadcast(nn))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("n3").isNull && col("n2bg").isNull &&
+            col("n1u3").isNull, 1L).otherwise(0L)).as("n_oov"),
+          dsum6(
+            when(col("n3").isNotNull,
+              log(col("n3").cast("double") / col("n2ctx")))
+            .when(col("n2bg").isNotNull,
+              log(lit(0.4) * col("n2bg").cast("double") / col("n1u2")))
+            .when(col("n1u3").isNotNull,
+              log(lit(0.16) * col("n1u3").cast("double") / col("total"))))
+            .as("lp"))
+        .select(col("doc_id"), col("n_tri"), col("n_oov"), col("lp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents),
+      tok AS (SELECT doc_id, CAST(generate_subscripts(t, 1) AS INT) AS i,
+          unnest(t) AS u FROM w),
+      tri AS (SELECT a.doc_id, a.u AS w1, b.u AS w2, c.u AS w3
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+      c3 AS (SELECT w1, w2, w3, count(*) AS n3 FROM tri
+        WHERE doc_id % 10 < 8 GROUP BY 1, 2, 3),
+      bgr AS (SELECT a.doc_id, a.u AS w1, b.u AS w2
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      c2 AS (SELECT w1, w2, count(*) AS n2 FROM bgr
+        WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      c1 AS (SELECT u, count(*) AS n1 FROM tok
+        WHERE doc_id % 10 < 8 GROUP BY 1),
+      nn AS (SELECT count(*) AS total FROM tok WHERE doc_id % 10 < 8),
+      sc AS (SELECT t.doc_id, count(*) AS n_tri,
+          CAST(sum(CASE WHEN c3.n3 IS NULL AND b23.n2 IS NULL
+              AND u3.n1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          CAST(sum(CAST(CASE
+              WHEN c3.n3 IS NOT NULL
+                THEN ln(CAST(c3.n3 AS DOUBLE) / cx.n2)
+              WHEN b23.n2 IS NOT NULL
+                THEN ln(0.4 * CAST(b23.n2 AS DOUBLE) / u2.n1)
+              WHEN u3.n1 IS NOT NULL
+                THEN ln(0.16 * CAST(u3.n1 AS DOUBLE) / total)
+            END AS DECIMAL(28,6))) AS DOUBLE) AS lp
+        FROM tri t
+        LEFT JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+        LEFT JOIN c2 cx ON cx.w1 = t.w1 AND cx.w2 = t.w2
+        LEFT JOIN c2 b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+        LEFT JOIN c1 u2 ON u2.u = t.w2
+        LEFT JOIN c1 u3 ON u3.u = t.w3
+        CROSS JOIN nn
+        WHERE t.doc_id % 10 >= 8
+        GROUP BY 1)
+      SELECT doc_id, n_tri, n_oov, lp FROM sc ORDER BY doc_id"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
       q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations,
-      q118MmrDiversify, q143WeightedSample, q148BpeTrain)
+      q118MmrDiversify, q143WeightedSample, q148BpeTrain, q174TrigramBackoff)
 }

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series regularization operators over the events table — the
+  * feature-engineering steps that turn an irregular event stream into
+  * model-ready panels: calendar resampling with forward fill, and
+  * robust (median/MAD) outlier flagging. Complements the event-
+  * sequence family (q75 sessionize, q101 funnel, q102 retention,
+  * q162 user sequences), which preserves irregular time; these two
+  * normalize it.
+  */
+object Temporal {
+
+  /** q171: DAILY RESAMPLE + FORWARD FILL per user — the panel-data
+    * regularization every per-entity feature pipeline runs (metrics
+    * tables, state-of-the-world-at-day-D training features): collapse
+    * each user's events to one row per active day (last value wins,
+    * (ts, event_id)-deterministic), densify to the user's full
+    * [min_day, max_day] calendar, and carry the last observation
+    * forward across the gaps. Day counts ride along so downstream can
+    * distinguish "observed 0" from "filled".
+    *
+    * 100 TB shape: ONE exchange on user_id serves everything — the
+    * per-(user, day) last-event window, the per-user span aggregate,
+    * and the forward-fill window all share the user_id partitioning
+    * (Catalyst reuses the exchange; the day-level window sorts within
+    * it). The grid explode is bounded by span-days per user, not by
+    * event volume, and `last(_, ignoreNulls)` over an ever-growing
+    * frame is O(1) running state per user — no per-day re-scan.
+    */
+  private val q171ResampleFfill = Q(
+    "q171_resample_ffill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val lastW = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(lastW))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn") === 1, col("value"))).as("v_last"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+      val ffillW = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("v_last"), ignoreNulls = true).over(ffillW).as("v_ffill"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts,
+          event_id, value FROM events),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+          ORDER BY ts DESC, event_id DESC) AS rn FROM ev),
+      daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+          max(CASE WHEN rn = 1 THEN value END) AS v_last
+        FROM rk GROUP BY 1, 2),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      grid AS (SELECT user_id,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span)
+      SELECT g.user_id, g.day,
+        COALESCE(d.n_events, 0) AS n_events,
+        last_value(d.v_last IGNORE NULLS) OVER (PARTITION BY g.user_id
+          ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS v_ffill
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+      ORDER BY g.user_id, g.day"""))
+
+  /** q172: ROBUST OUTLIER FLAGGING (median / MAD) per event_type — the
+    * distribution-audit step before a metric column feeds training
+    * (mean/stddev gates break under the very outliers they hunt;
+    * median absolute deviation does not). Both medians are the exact
+    * LOWER median — the ceil(n/2)-th smallest element under a total
+    * order with (value, event_id) tie-break — so no two-value
+    * averaging, no float interpolation, and both engines pick the
+    * identical element. The flag predicate |v − med| > 3·MAD compares
+    * doubles produced by subtraction of stored values only (no
+    * accumulation), so it is engine-exact too. Output: per-type
+    * median, MAD, n, n_outliers.
+    *
+    * 100 TB shape: two window passes, both keyed on the (bounded)
+    * event_type — each is one exchange; per-group state is a sort.
+    * For an unbounded group count or skewed groups the exact median
+    * swaps for q133's mergeable LogDigest quantile sketch — this
+    * entry is the exact companion the sketch is validated against.
+    */
+  private val q172MadOutliers = Q(
+    "q172_mad_outliers",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        col("value"))
+      val n = Window.partitionBy("event_type")
+      val w1 = n.orderBy(col("value"), col("event_id"))
+      val med = ev
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .withColumn("med",
+          max(when(col("rn") === expr("(cnt + 1) div 2"), col("value"))).over(n))
+      val w2 = n.orderBy(abs(col("value") - col("med")), col("event_id"))
+      val mad = med
+        .withColumn("ad", abs(col("value") - col("med")))
+        .withColumn("rn2", row_number().over(w2))
+        .withColumn("madv",
+          max(when(col("rn2") === expr("(cnt + 1) div 2"), col("ad"))).over(n))
+      mad.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("med").as("med"),
+          max("madv").as("mad"),
+          sum((col("ad") > col("madv") * 3).cast("long")).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id, value FROM events),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS cnt FROM ev),
+      m1 AS (SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+          OVER (PARTITION BY event_type) AS med FROM r1),
+      r2 AS (SELECT *, abs(value - med) AS ad,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(value - med), event_id) AS rn2 FROM m1),
+      m2 AS (SELECT *, max(CASE WHEN rn2 = (cnt + 1) // 2 THEN ad END)
+          OVER (PARTITION BY event_type) AS madv FROM r2)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(med) AS med,
+        max(madv) AS mad,
+        CAST(sum(CASE WHEN ad > madv * 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM m2 GROUP BY 1 ORDER BY 1"""))
+
+  /** q178: MARKOV TRANSITION MATRIX over per-user event sequences —
+    * the behavioral-model fit (next-action prediction features,
+    * anomaly baselines, synthetic-sequence generators) built from the
+    * same (ts, event_id)-ordered per-user streams as q162, but
+    * reduced to the global first-order transition statistics:
+    * P(to | from) as exact integer millionths `(n·1e6) DIV n_from`
+    * (the q106/q113 no-float-ranking discipline).
+    *
+    * 100 TB shape: `lead` over the user_id window is one exchange on
+    * the uniform user key with per-group state of one row; the
+    * transition counts then partial-aggregate on the (from, to) key —
+    * a key space bounded by |event_type|², so the second exchange
+    * carries a few dozen rows per task, and the row-total join is a
+    * broadcast of the |event_type|-sized marginal.
+    */
+  private val q178MarkovTransitions = Q(
+    "q178_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val counts = tr.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val marginal = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      counts.join(broadcast(marginal), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000000) DIV n_from").as("p_e6"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH tr AS (SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n, m.n_from,
+        (c.n * 1000000) // m.n_from AS p_e6
+      FROM c JOIN m USING (from_type)
+      ORDER BY from_type, to_type"""))
+
+  val queries: Seq[Q] = Seq(q171ResampleFfill, q172MadOutliers,
+    q178MarkovTransitions)
+}

@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable.{dot, h32s, norm2, toDouble}
+
+/** Embedding-space operators for training-data pipelines: random-
+  * projection dimensionality reduction, LSH-bucketed mutual-kNN graph
+  * construction, and degree-oriented triangle counting over that graph
+  * — the adjacency-analysis family that sits between ANN retrieval
+  * (q26/q47/q97) and graph algorithms (q132 connected components, q149
+  * PageRank).
+  *
+  * Portability contract (same as [[Corpus]]/[[ScaleOps]]): every
+  * branch decision (LSH bit, bucket id, projection value) is exact
+  * integer arithmetic over `floor(x·1e6)` quantized components with
+  * md5-derived ±1 signs ([[graft.functions.Portable.h32s]]), so the
+  * DuckDB oracle replays bucketing bit-for-bit; float cosine appears
+  * only inside `round(..., 6)` final scores (the q26 discipline).
+  */
+object Vectors {
+
+  /** Embedding dimensionality, discovered once per query build from a
+    * single row (driver-side 1-row collect — bounded, and the sign
+    * matrices below must be sized to it before the plan is built; the
+    * IvfKmeans codebook precedent). */
+  private def embDim(s: SparkSession, d: String): Int =
+    Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
+
+  /** ±1 sign for position `i` of derivation `tag` — plan-bound twin of
+    * the oracle's `CASE WHEN CAST('0x'||substr(md5(tag),1,8) AS
+    * BIGINT) % 2 = 0 THEN 1 ELSE -1 END`. */
+  private def sgn(tag: String): Long = if (h32s(tag) % 2 == 0) 1L else -1L
+
+  /** Quantized integer copy of the embedding: floor(x·1e6) longs, the
+    * exact-arithmetic basis for every LSH/projection decision. */
+  private val quantized =
+    transform(col("embedding"), x => floor(x.cast("double") * lit(1e6)).cast("long"))
+
+  /** Integer dot product of the quantized vector against a plan-bound
+    * ±1 sign vector: map-side, exact, order-independent. */
+  private def signDot(signs: Seq[Long]) =
+    aggregate(zip_with(col("q"), typedlit(signs), (v, sg) => v * sg),
+      lit(0L), (acc, x) => acc + x)
+
+  /** q168: RANDOM-PROJECTION DIMENSIONALITY REDUCTION (Johnson–
+    * Lindenstrauss with a Rademacher ±1 matrix, Achlioptas 2003) — the
+    * cheap-projection step before sketching/clustering when D is too
+    * wide for downstream stages (PQ (q96) compresses for storage; this
+    * compresses for COMPUTE). Out-dim k=16; sign(i,j) is md5-derived,
+    * so the "model" is pure code — no trained artifact to ship.
+    *
+    * 100 TB shape: the sign matrix is a PLAN-BOUND LITERAL (D×16 longs
+    * inside the codegen'd projection — no join, no broadcast, no
+    * shuffle); each row's 16 output values are integer dots computed in
+    * the scan stage. The only exchange in the query is the output
+    * orderBy for the oracle; a production run writes the projection
+    * with zero shuffles. Contrast with the explode-join formulation
+    * (N·D·k intermediate rows — the q160 argument against explode).
+    */
+  private val q168RandomProjection = Q(
+    "q168_random_projection",
+    (s, d) => {
+      val dim = embDim(s, d)
+      val k = 16
+      val projCols = (0 until k).map { j =>
+        signDot((0 until dim).map(i => sgn(s"rp:$i:$j")))
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), quantized.as("q"))
+        .select(col("vec_id"), posexplode(array(projCols: _*)))
+        .select(col("vec_id"), col("pos").cast("int").as("out_dim"),
+          col("col").as("proj"))
+        .orderBy("vec_id", "out_dim")
+    },
+    Some("""WITH el AS (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        FROM embeddings),
+      sg AS (SELECT d.i, t.j,
+          CASE WHEN CAST('0x' || substr(md5('rp:' || CAST(d.i AS VARCHAR)
+              || ':' || CAST(t.j AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+            THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT DISTINCT i FROM el) d, range(16) t(j))
+      SELECT e.vec_id, CAST(s.j AS INT) AS out_dim,
+        CAST(sum(e.qv * s.sgn) AS BIGINT) AS proj
+      FROM el e JOIN sg s ON e.i = s.i
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
+  /** LSH hyperplane-signature bucket (B sign bits) + mutual-kNN edge
+    * derivation shared by q169/q170. Bits are EXACT: bit b is the sign
+    * of the integer dot of the quantized vector against an md5-derived
+    * ±1 hyperplane, so both engines agree on every bucket. Candidates
+    * are generated WITHIN buckets only (the scale contract: never
+    * all-pairs), directed kNN is a per-src bounded window, and an edge
+    * survives only if BOTH endpoints rank each other in their top-K
+    * (mutual-kNN — the standard graph-clustering sparsifier, cutting
+    * hub nodes that one-directional kNN creates).
+    */
+  private val B = 4
+  private val K = 3
+
+  private[queries] def mutualKnnEdges(s: SparkSession, d: String): DataFrame = {
+    val dim = embDim(s, d)
+    val bitCols = (0 until B).map { b =>
+      (signDot((0 until dim).map(i => sgn(s"hp:$b:$i"))) >= 0L)
+        .cast("long") * lit(1L << b)
+    }
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), quantized.as("q"))
+      .select(col("vec_id"), col("v"), norm2(col("v")).as("n2"),
+        bitCols.reduce(_ + _).as("bucket"))
+    val a = vecs.select(col("bucket"), col("vec_id").as("src"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = vecs.select(col("bucket"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("n2").as("nb"))
+    val cand = a.join(b, "bucket").filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+    val dir = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K).drop("rn")
+    dir.as("x").join(dir.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"),
+        col("x.cos_sim").as("cos_sim"))
+  }
+
+  /** DuckDB WITH-chain computing the same mutual edge set, shared by
+    * the q169 and q170 oracles (ends with relation `mut(src, dst,
+    * cos_sim)`). Bucketing is integer-exact; cosine follows the q26
+    * float-then-round-6 oracle pattern. */
+  private[queries] val knnEdgesCte: String =
+    """el AS (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        FROM embeddings),
+      hp AS (SELECT d.i, t.b,
+          CASE WHEN CAST('0x' || substr(md5('hp:' || CAST(t.b AS VARCHAR)
+              || ':' || CAST(d.i AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+            THEN 1 ELSE -1 END AS sg
+        FROM (SELECT DISTINCT i FROM el) d, range(4) t(b)),
+      bits AS (SELECT e.vec_id, h.b,
+          CASE WHEN sum(e.qv * h.sg) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM el e JOIN hp h ON e.i = h.i GROUP BY 1, 2),
+      bk AS (SELECT vec_id,
+          CAST(sum(bit * CAST(power(2, b) AS BIGINT)) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1),
+      ed AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM ed GROUP BY 1),
+      cand AS (SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      dp AS (SELECT c.src, c.dst, sum(ea.x * eb.x) AS dp
+        FROM cand c JOIN ed ea ON ea.vec_id = c.src
+        JOIN ed eb ON eb.vec_id = c.dst AND ea.i = eb.i
+        GROUP BY 1, 2),
+      cs AS (SELECT dp.src, dp.dst,
+          round(dp.dp / sqrt(na.n2 * nb.n2), 6) AS cos_sim
+        FROM dp JOIN nrm na ON na.vec_id = dp.src
+        JOIN nrm nb ON nb.vec_id = dp.dst),
+      rk AS (SELECT src, dst, cos_sim,
+          row_number() OVER (PARTITION BY src
+            ORDER BY cos_sim DESC, dst) AS rn FROM cs),
+      dir AS (SELECT src, dst, cos_sim FROM rk WHERE rn <= 3),
+      mut AS (SELECT a.src, a.dst, a.cos_sim
+        FROM dir a JOIN dir b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst)"""
+
+  /** q169: MUTUAL-kNN GRAPH CONSTRUCTION over the embedding column —
+    * the adjacency build behind graph-based semantic clustering,
+    * kNN-LM datastores, and label propagation (SemDeDup (q89) prunes
+    * WITHIN cells; this materializes the cross-document neighborhood
+    * structure itself). LSH hyperplane buckets (B=4 bits) generate
+    * candidates, per-src top-K (K=3) directs edges, and only
+    * reciprocated edges survive.
+    *
+    * 100 TB shape: bucketing is a map-side integer projection (signs
+    * plan-bound, the q168 argument); the candidate self-join shuffles
+    * both sides once on the uniform bucket key and NEVER goes
+    * all-pairs; the kNN window is one exchange on src with a K-bounded
+    * heap per group; the mutuality join keys on the uniform (src, dst)
+    * pair. At real scale B grows with N (more, smaller buckets) plus
+    * multi-probe for recall — the knob is data-independent, the plan
+    * shape identical. Degree is capped at K by construction, so no
+    * node floods a downstream stage ([[q170TriangleCount]] relies on
+    * exactly this).
+    */
+  private val q169KnnGraph = Q(
+    "q169_knn_graph",
+    (s, d) => mutualKnnEdges(s, d).orderBy("src", "dst"),
+    Some(s"""WITH $knnEdgesCte
+      SELECT src, dst, cos_sim FROM mut ORDER BY src, dst"""),
+    bench = true)
+
+  /** q170: TRIANGLE COUNTING on the mutual-kNN graph, degree-oriented
+    * (the Schank–Wagner / "forward" algorithm): orient every undirected
+    * edge from the (degree, id)-smaller endpoint to the larger, turning
+    * the graph into a DAG where each triangle survives as exactly one
+    * wedge a→b, a→c closed by b→c; per-node counts credit all three
+    * corners. Triangle participation is the local-clustering signal
+    * that separates genuinely dense semantic clusters from chains of
+    * pairwise near-dups — the refinement step after q67/q132's
+    * connected components (a component of N docs with zero triangles
+    * is a drift chain, not a duplicate cluster).
+    *
+    * 100 TB shape: the orientation is THE point — joining oriented
+    * out-neighbor lists bounds per-node work by out-degree, and
+    * orienting low→high degree caps out-degree at O(√m) on any graph
+    * (on a mutual-kNN input it is already ≤ K). Plan: two self-joins
+    * of the oriented edge list on uniform node keys, one explode of
+    * the 3 corners, one count — every exchange keys on node ids.
+    */
+  private val q170TriangleCount = Q(
+    "q170_triangle_count",
+    (s, d) => {
+      val e = mutualKnnEdges(s, d).select("src", "dst")
+      val deg = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+      val keyed = e
+        .join(deg.select(col("id").as("src"), col("dg").as("dga")), "src")
+        .join(deg.select(col("id").as("dst"), col("dg").as("dgb")), "dst")
+      // orient (deg, id)-ascending; src < dst already, so ties keep src→dst
+      val o = keyed.select(
+        when(col("dga") <= col("dgb"), col("src")).otherwise(col("dst")).as("u"),
+        when(col("dga") <= col("dgb"), col("dst")).otherwise(col("src")).as("v"))
+      val tri = o.as("o1")
+        .join(o.as("o2"), col("o2.u") === col("o1.v"))
+        .join(o.as("o3"),
+          col("o3.u") === col("o1.u") && col("o3.v") === col("o2.v"))
+        .select(col("o1.u").as("a"), col("o1.v").as("b"), col("o2.v").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node_id"))
+    },
+    Some(s"""WITH $knnEdgesCte,
+      e AS (SELECT src, dst FROM mut),
+      deg AS (SELECT id, count(*) AS dg FROM (
+          SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN da.dg <= db.dg THEN e.src ELSE e.dst END AS u,
+          CASE WHEN da.dg <= db.dg THEN e.dst ELSE e.src END AS v
+        FROM e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+      tri AS (SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        FROM o o1 JOIN o o2 ON o2.u = o1.v
+        JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v),
+      corners AS (SELECT unnest([a, b, c]) AS node_id FROM tri)
+      SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri
+      FROM corners GROUP BY 1 ORDER BY n_tri DESC, node_id"""))
+
+  /** q181: ANN RECALL AUDIT — recall@10 of the IVF index (q47's
+    * centroidMod=25, nprobe=4 configuration) against exact brute-force
+    * ground truth, per probe query (vec_id % 50 == 0): the index-
+    * quality measurement every ANN deployment publishes, and the
+    * third member of the accuracy-audit family (q164 HLL vs exact,
+    * q179 MinHash vs exact). recall_e6 is integer millionths; both
+    * top-k sets use the round-6 cosine + id tie-break, so membership
+    * is engine-exact.
+    *
+    * 100 TB shape: the ground-truth side is deliberately |Q|·N — a
+    * recall audit NEEDS exact truth, so the cost knob is the SAMPLED
+    * probe set (|Q| = N/50 here; fixed small in production), and the
+    * truth pass is one broadcast of Q against the never-shuffled N
+    * side with a 10-bounded heap per query. The IVF side reuses the
+    * map-side plan-bound codebook assignment (q47) — probed cells
+    * only, no N-side shuffle anywhere.
+    */
+  private val q181AnnRecall = Q(
+    "q181_ann_recall",
+    (s, d) => {
+      import graft.search.Ivf
+      def cos6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round(dot(a, b) / sqrt(norm2(a) * norm2(b)), 6)
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val qs = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val truth = vecs.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cos6(col("v"), col("qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+        .select("qid", "vec_id")
+      val cents = vecs.filter(col("vec_id") % 25 === 1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val probes = cents.crossJoin(broadcast(qs))
+        .select(col("qid"), col("cid"), cos6(col("qv"), col("cv")).as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") <= 4)
+        .select(col("qid"), col("cid").as("cell"))
+      val ivf = Ivf.assignments(Tables.embeddings(s, d), 25)
+        .join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(vecs, "vec_id").join(broadcast(qs), "qid")
+        .select(col("qid"), col("vec_id"),
+          cos6(col("v"), col("qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+        .select("qid", "vec_id")
+      val tn = truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      val fn = ivf.groupBy("qid").agg(count(lit(1)).as("n_found"))
+      val hit = truth.join(ivf, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      tn.join(fn, Seq("qid"), "left").join(hit, Seq("qid"), "left")
+        .select(col("qid"), col("n_true"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_e6", expr("(n_hit * 1000000) DIV n_true"))
+        .orderBy("qid")
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      q AS (SELECT vec_id AS qid FROM nrm WHERE vec_id % 50 = 0),
+      qel AS (SELECT qq.qid, el.i, el.x FROM q qq
+        JOIN el ON el.vec_id = qq.qid),
+      dpq AS (SELECT el.vec_id AS vid, qel.qid, sum(el.x * qel.x) AS dp
+        FROM el JOIN qel ON el.i = qel.i
+        WHERE el.vec_id <> qel.qid GROUP BY 1, 2),
+      csq AS (SELECT vid, qid,
+          round(dp / sqrt(nv.n2 * nq.n2), 6) AS cos_sim
+        FROM dpq JOIN nrm nv ON nv.vec_id = vid
+        JOIN nrm nq ON nq.vec_id = qid),
+      truth AS (SELECT qid, vid FROM (SELECT qid, vid,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, vid) AS rn FROM csq) t WHERE rn <= 10),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+        FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+        FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn FROM sims) t WHERE rn = 1),
+      probes AS (SELECT vid AS qid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn
+          FROM sims WHERE vid IN (SELECT qid FROM q)) t WHERE rn <= 4),
+      cand AS (SELECT p.qid, a.vid FROM assign a
+        JOIN probes p ON a.cell = p.cell WHERE a.vid <> p.qid),
+      ivf AS (SELECT qid, vid FROM (SELECT c.qid, c.vid,
+          row_number() OVER (PARTITION BY c.qid
+            ORDER BY cs.cos_sim DESC, c.vid) AS rn
+        FROM cand c JOIN csq cs ON cs.qid = c.qid AND cs.vid = c.vid) t
+        WHERE rn <= 10),
+      tn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true
+        FROM truth GROUP BY 1),
+      fn AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_found
+        FROM ivf GROUP BY 1),
+      hit AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hit
+        FROM truth t JOIN ivf i ON t.qid = i.qid AND t.vid = i.vid
+        GROUP BY 1)
+      SELECT tn.qid, tn.n_true,
+        COALESCE(fn.n_found, 0) AS n_found,
+        COALESCE(hit.n_hit, 0) AS n_hit,
+        (COALESCE(hit.n_hit, 0) * 1000000) // tn.n_true AS recall_e6
+      FROM tn LEFT JOIN fn ON tn.qid = fn.qid
+      LEFT JOIN hit ON tn.qid = hit.qid
+      ORDER BY tn.qid"""))
+
+  val queries: Seq[Q] = Seq(
+    q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall)
+}

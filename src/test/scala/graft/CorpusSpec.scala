@@ -175,4 +175,47 @@ class CorpusSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected at most the order-by exchange, got:\n$plan")
   }
+
+  test("q176: ranks are dense, terms occur in the doc, one doc recomputes") {
+    val rows = run("q176_tfidf_keyterms").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq,
+        "per-doc ranks must be dense from 1")
+      assert(rs.length <= 3)
+    }
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r =>
+      docs(r.getLong(0)).split(" ").contains(r.getString(2))),
+      "every keyterm must be a token of its document")
+    // integer score law: score_e6 = tf * floor(ln(N/df)*1e6)
+    val n = docs.size.toDouble
+    val df = docs.values.flatMap(_.split(" ").distinct).toSeq
+      .groupBy(identity).view.mapValues(_.size)
+    val (d0, rs0) = byDoc.head
+    val tf0 = docs(d0).split(" ").groupBy(identity).view.mapValues(_.size)
+    rs0.foreach { r =>
+      val t = r.getString(2)
+      val expect = tf0(t).toLong *
+        math.floor(math.log(n / df(t)) * 1e6).toLong
+      assert(r.getLong(4) == expect, s"score law broken for term $t")
+    }
+  }
+
+  test("q177: novelty counts conserve the distinct-shingle space") {
+    val out = run("q177_ngram_novelty")
+    assert(out.filter(col("n_novel") > col("n_shingles")).isEmpty)
+    val th = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Hash32.shingleHashes(col("text")))).as("h"))
+    val totalDistinct = th.select("h").distinct().count()
+    assert(out.agg(sum("n_novel")).head.getLong(0) == totalDistinct,
+      "every distinct shingle has exactly one first owner")
+    val firstDoc = out.agg(min("doc_id")).head.getLong(0)
+    val firstRow = out.filter(col("doc_id") === firstDoc).head
+    assert(firstRow.getLong(1) == firstRow.getLong(2),
+      "the earliest doc's shingles are all novel by definition")
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Invariants of the time-series entries (q171/q172) and the held-out
+  * trigram LM (q174) and governance audit (q173) beyond their DuckDB
+  * oracles.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).fn(spark, dir)
+
+  test("q171: grids are contiguous, fully filled, and conserve event counts") {
+    val out = run("q171_resample_ffill")
+    assert(out.filter(col("v_ffill").isNull).isEmpty,
+      "first grid day is always observed, so forward fill leaves no nulls")
+    val spans = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("day").as("d0"), max("day").as("d1"),
+        sum("n_events").as("tot"))
+      .withColumn("span", datediff(col("d1"), col("d0")) + 1)
+    assert(spans.filter(col("n") =!= col("span")).isEmpty,
+      "one row per calendar day between first and last activity")
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("raw"))
+    assert(spans.join(perUser, "user_id")
+      .filter(col("tot") =!= col("raw")).isEmpty,
+      "resampling must conserve per-user event counts")
+  }
+
+  test("q172: medians are group members and outliers are a strict subset") {
+    val rows = run("q172_mad_outliers").collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, dir).select("event_type", "value")
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)))
+    rows.foreach { r =>
+      val (et, n, med, mad, out) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      val vs = byType(et)
+      assert(n == vs.length)
+      assert(vs.contains(med), "lower median must be an actual group element")
+      assert(mad >= 0.0)
+      assert(out == vs.count(v => math.abs(v - med) > mad * 3),
+        "flag count must match the 3-MAD rule recomputed driver-side")
+    }
+  }
+
+  test("q173: classes partition the table and gates match thresholds") {
+    val out = run("q173_k_anonymity")
+    val total = Tables.events(spark, dir).count()
+    assert(out.agg(sum("n_rows")).head.getLong(0) == total,
+      "quasi-identifier classes must partition the event table")
+    assert(out.filter(col("n_users") > col("n_rows")).isEmpty)
+    assert(out.filter(col("k_anon") =!= (col("n_rows") >= 5)).isEmpty)
+    assert(out.filter(col("l_div") =!= (col("n_users") >= 3)).isEmpty)
+  }
+
+  test("q178: transition mass conserves and marginals sum") {
+    val out = run("q178_markov_transitions")
+    assert(out.filter(col("p_e6") > 1000000L).isEmpty,
+      "integer-millionth probabilities cannot exceed 1")
+    val marg = out.groupBy("from_type")
+      .agg(sum("n").as("s"), max("n_from").as("nf"))
+    assert(marg.filter(col("s") =!= col("nf")).isEmpty,
+      "per-from transition counts must sum to the marginal")
+    val ev = Tables.events(spark, dir)
+    val expectedTransitions = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(out.agg(sum("n")).head.getLong(0) == expectedTransitions,
+      "each user contributes exactly n_events - 1 transitions")
+  }
+
+  test("q179: pair set matches q23 candidates; estimates stay in range") {
+    val out = run("q179_minhash_estimate")
+    assert(out.count() > 0)
+    assert(out.filter(col("n_match") < 0 || col("n_match") > 8).isEmpty)
+    assert(out.filter(col("jac_e6") > 1000000L || col("jac_e6") < 0).isEmpty)
+    assert(out.filter(col("n_inter") > col("n_union")).isEmpty)
+    val q23 = run("q23_minhash_lsh").select("a_id", "b_id")
+    val mine = out.select("a_id", "b_id")
+    assert(mine.exceptAll(q23).isEmpty && q23.exceptAll(mine).isEmpty,
+      "audit must cover exactly the LSH candidate pairs")
+  }
+
+  test("q180: surrogates are collision-free and conserve the table") {
+    val out = run("q180_pseudonymize")
+    assert(out.filter(col("n_source_ids") =!= 1L).isEmpty,
+      "a surrogate collision would merge two users' histories")
+    assert(out.agg(sum("n_events")).head.getLong(0) ==
+      Tables.events(spark, dir).count())
+    assert(out.count() ==
+      Tables.events(spark, dir).select("user_id").distinct().count())
+  }
+
+  test("q174: held-out docs only, probabilities below one, OOV bounded") {
+    val out = run("q174_trigram_backoff")
+    assert(out.count() > 0)
+    assert(out.filter(col("doc_id") % 10 < 8).isEmpty,
+      "training-split docs must not be scored")
+    assert(out.filter(col("n_oov") > col("n_tri")).isEmpty)
+    assert(out.filter(col("lp") > 0.0).isEmpty,
+      "stupid-backoff scores are log-probabilities of p <= 1")
+    assert(out.filter(col("n_oov") === col("n_tri") && col("lp").isNotNull)
+      .isEmpty, "all-OOV docs must yield NULL lp (empty sum), as in q93")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Algebraic properties of the embedding-graph entries (q168–q170)
+  * beyond their DuckDB oracles: projection linearity against a
+  * driver-side recomputation, mutual-kNN structural invariants, and
+  * triangle counts checked against a brute-force driver-side count on
+  * the same edge set.
+  */
+class VectorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).fn(spark, dir)
+
+  test("q168: every vector gets 16 dims, and one vector recomputes exactly") {
+    val rows = run("q168_random_projection").collect()
+    val n = Tables.embeddings(spark, dir).count()
+    assert(rows.length == n * 16, "k=16 projections per vector")
+
+    val first = Tables.embeddings(spark, dir)
+      .orderBy("vec_id").select("vec_id", "embedding").head
+    val vid = first.getLong(0)
+    val q = first.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong)
+    val expected = (0 until 16).map { j =>
+      q.zipWithIndex.map { case (v, i) =>
+        v * (if (graft.functions.Portable.h32s(s"rp:$i:$j") % 2 == 0) 1L else -1L)
+      }.sum
+    }
+    val got = rows.filter(_.getLong(0) == vid).sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(got.toSeq == expected, "plan-bound sign matrix must match h32s derivation")
+  }
+
+  test("q169: edges are canonical, reciprocal, and degree-capped at K") {
+    val edges = run("q169_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.nonEmpty, "clustered fixture embeddings should yield mutual edges")
+    assert(edges.forall { case (s, d, _) => s < d }, "src < dst canonical form")
+    assert(edges.forall { case (_, _, c) => c >= -1.000001 && c <= 1.000001 })
+    val deg = edges.flatMap { case (s, d, _) => Seq(s, d) }
+      .groupBy(identity).map(_._2.size)
+    assert(deg.max <= 3, "mutual-kNN degree is bounded by K=3 by construction")
+  }
+
+  test("q181: recall bounds hold and the probe set is covered") {
+    val rows = run("q181_ann_recall").collect()
+    val nq = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length == nq, "one audit row per probe query")
+    rows.foreach { r =>
+      val (nTrue, nFound, nHit, rec) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nHit <= math.min(nTrue, nFound), "hits bound by both sets")
+      assert(rec <= 1000000L && rec >= 0L)
+      assert(rec == nHit * 1000000L / nTrue, "integer recall law")
+    }
+  }
+
+  test("q182: card partitions the corpus by source") {
+    val out = Registry.byName("q182_dataset_card").fn(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    assert(out.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(out.count() == docs.select("source").distinct().count())
+    assert(out.filter(col("n_en") > col("n_docs")).isEmpty)
+    assert(out.filter(col("n_exact_dup") === 1L).isEmpty,
+      "a dup group contributes at least 2 docs")
+  }
+
+  test("q170: counts match a brute-force triangle count over the q169 edges") {
+    val edges = run("q169_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if edges((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if edges((nodes(j), nodes(k))) && edges((nodes(i), nodes(k)))
+    } {
+      brute(nodes(i)) += 1; brute(nodes(j)) += 1; brute(nodes(k)) += 1
+    }
+    val got = run("q170_triangle_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap, "degree-oriented count must equal brute force")
+    assert(got.values.sum % 3 == 0, "each triangle credits exactly 3 corners")
+  }
+}

@@ -423,12 +423,16 @@ object Corpus {
     * ranking (the q106/q113 discipline).
     *
     * 100 TB shape: tf partial-aggregates on the uniform (doc_id,
-    * term) key — one exchange; df reduces the ALREADY-AGGREGATED tf
-    * frame (never the raw token stream) and broadcasts back (bounded
-    * vocabulary; past broadcast size it takes q93's documented
-    * threshold/MG seam); the per-doc top-3 is one window on doc_id
-    * with a 3-bounded heap (or the q151 native top-k operator for the
-    * sort-free physical plan).
+    * term) key — one exchange; df reduces the tf AGGREGATE (never the
+    * raw token stream — docs contribute 1 per term, so the df pass's
+    * map-side combine collapses to vocabulary size) and broadcasts
+    * back (bounded vocabulary; past broadcast size it takes q93's
+    * documented threshold/MG seam). The plan deliberately RECOMPUTES
+    * the tf aggregation for the df branch rather than materializing
+    * corpus-scale tf state (two scans beat caching a corpus-sized
+    * intermediate); the per-doc top-3 is one window on doc_id with a
+    * 3-bounded heap (WindowGroupLimit partial+final in the plan, or
+    * the q151 native top-k operator for the sort-free alternative).
     */
   private val q176TfidfKeyterms = Q(
     "q176_tfidf_keyterms",
@@ -653,9 +657,60 @@ object Corpus {
       FROM base b LEFT JOIN dup d ON b.source = d.source
       ORDER BY b.source"""))
 
+  /** q184: SEQUENCE-PACKING ABLATION — the padding-vs-contamination
+    * tradeoff table behind every pre-training data layout decision,
+    * swept over context lengths (128/256/512) in ONE pass: the
+    * concat-and-chunk scheme (q71) wastes zero tokens but splits
+    * documents across sequence boundaries (cross-attention
+    * contamination — `n_cross_docs`), while boundary-respecting
+    * padding keeps documents whole at `ceil(nt/C)·C − nt` pad tokens
+    * each. All quantities are closed-form integer arithmetic off the
+    * SAME shard cumulative sum q71 emits (the offsets are context-
+    * independent), so the ablation costs one window pass + a 3-way
+    * explode + a 3-row aggregate, at any corpus size.
+    */
+  private val q184PackingAblation = Q(
+    "q184_packing_ablation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nt = size(split(col("text"), " ")).cast("long")
+      val shard = graft.functions.Portable.h32(col("doc_id").cast("string")) % 8
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), shard.as("shard"), nt.as("nt"))
+        .withColumn("off", sum(col("nt")).over(w) - col("nt"))
+        .select(col("nt"), col("off"),
+          explode(array(lit(128L), lit(256L), lit(512L))).as("ctx"))
+        .groupBy("ctx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((expr("off DIV ctx") =!= expr("(off + nt - 1) DIV ctx"))
+            .cast("long")).as("n_cross_docs"),
+          sum(expr("(nt + ctx - 1) DIV ctx")).as("n_seqs_padded"),
+          sum(expr("((nt + ctx - 1) DIV ctx) * ctx - nt")).as("pad_tokens"))
+        .orderBy("ctx")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 8 AS shard,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        FROM documents),
+      c AS (SELECT doc_id, shard, nt,
+          CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) - nt AS off
+        FROM d),
+      x AS (SELECT c.*, ctx FROM c
+        CROSS JOIN (VALUES (CAST(128 AS BIGINT)), (256), (512)) v(ctx))
+      SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN off // ctx <> (off + nt - 1) // ctx
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs,
+        CAST(sum((nt + ctx - 1) // ctx) AS BIGINT) AS n_seqs_padded,
+        CAST(sum(((nt + ctx - 1) // ctx) * ctx - nt) AS BIGINT) AS pad_tokens
+      FROM x GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q160VectorCentroids, q161GlobalShuffle, q162UserSequences,
     q163WordEntropy, q164HllDistinct, q165ContamFrac, q166QualityFunnel,
     q167Int8Quant, q176TfidfKeyterms, q177NgramNovelty, q179MinhashEstimate,
-    q182DatasetCard)
+    q182DatasetCard, q184PackingAblation)
 }

@@ -124,11 +124,20 @@ object Vectors {
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
     val dir = cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K).drop("rn")
-    dir.as("x").join(dir.as("y"),
-        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
-      .filter(col("x.src") < col("x.dst"))
-      .select(col("x.src").as("src"), col("x.dst").as("dst"),
-        col("x.cos_sim").as("cos_sim"))
+    // mutuality WITHOUT a self-join: canonicalize each directed edge
+    // and keep pairs seen from both ends. A self-join of `dir` against
+    // itself re-evaluates the whole candidate+window pipeline per join
+    // side (verified in PLANS.md: two full subtree copies under a
+    // SortMergeJoin); this groupBy is ONE exchange on the pair key and
+    // evaluates the pipeline once. cos is symmetric (identical fold
+    // order both directions), so max() is a no-op tie of equal values.
+    dir
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("cos_sim"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_dir"), max("cos_sim").as("cos_sim"))
+      .filter(col("n_dir") === 2)
+      .select(col("a").as("src"), col("b").as("dst"), col("cos_sim"))
   }
 
   /** DuckDB WITH-chain computing the same mutual edge set, shared by
@@ -219,7 +228,10 @@ object Vectors {
   private val q170TriangleCount = Q(
     "q170_triangle_count",
     (s, d) => {
-      val e = mutualKnnEdges(s, d).select("src", "dst")
+      // the degree join + three-way oriented self-join would otherwise
+      // re-evaluate the whole kNN pipeline per join side (the q149
+      // localCheckpoint pattern); the edge list is m ≤ N·K/2 rows
+      val e = mutualKnnEdges(s, d).select("src", "dst").localCheckpoint(true)
       val deg = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("dg"))
@@ -368,6 +380,73 @@ object Vectors {
       LEFT JOIN hit ON tn.qid = hit.qid
       ORDER BY tn.qid"""))
 
+  /** q183: LATE-INTERACTION RETRIEVAL (ColBERT-style MaxSim) — the
+    * multi-vector scoring family beside single-vector ANN (q26/q47)
+    * and two-stage rerank (q94): document and query are SETS of
+    * sub-vectors (here: the 64-dim embedding viewed as 8×8 token
+    * vectors — the synthetic stand-in for per-token encodings), and
+    * the score is Σᵢ maxⱼ cos(qᵢ, dⱼ) — each query token matches its
+    * best document token, which is what makes late interaction robust
+    * where pooled single vectors wash out.
+    *
+    * 100 TB shape: the query's 8 sub-vectors and their norms are
+    * PLAN-BOUND LITERALS (q168's argument — one driver fetch of one
+    * row, the q157/Ivf-codebook precedent), so the whole 8×8 MaxSim
+    * grid evaluates inside one scan-stage projection per document: no
+    * join, no explode, no shuffle; top-10 is a TakeOrdered. Each
+    * per-(i,j) cosine rounds to 6dp BEFORE the max (exact on equal
+    * doubles), and the 8 maxes sum in DECIMAL(28,6) ([[graft
+    * .functions.Portable.dsum6]] discipline), so score and rank are
+    * engine-exact.
+    */
+  private val q183LateInteraction = Q(
+    "q183_late_interaction",
+    (s, d) => {
+      val S = 8 // sub-vectors per embedding, 8 dims each
+      val qRow = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(toDouble(col("embedding"))).head.getSeq[Double](0)
+      val qSubs = qRow.grouped(S).toSeq
+      val qNorms = qSubs.map(sv => sv.map(x => x * x).sum)
+      val v = toDouble(col("embedding"))
+      val maxes = (0 until S).map { i =>
+        val qv = qSubs(i); val qn = qNorms(i)
+        array_max(transform(sequence(lit(0), lit(S - 1)), j => {
+          val sub = slice(v, j * S + lit(1), lit(S))
+          round(dot(sub, typedlit(qv)) /
+            sqrt(norm2(sub) * lit(qn)), 6)
+        }))
+      }
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          aggregate(array(maxes: _*),
+            lit(0).cast("decimal(28,6)"),
+            (acc, x) => (acc + x.cast("decimal(28,6)")).cast("decimal(28,6)"))
+            .cast("double").as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH el AS (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS p,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      sub AS (SELECT vec_id, p // 8 AS sub, p % 8 AS j, x FROM el),
+      nrm AS (SELECT vec_id, sub, sum(x * x) AS n2
+        FROM sub GROUP BY 1, 2),
+      qs AS (SELECT sub AS qsub, j, x FROM sub WHERE vec_id = 0),
+      qn AS (SELECT sub AS qsub, n2 AS qn2 FROM nrm WHERE vec_id = 0),
+      dp AS (SELECT s.vec_id, s.sub, q.qsub, sum(s.x * q.x) AS dp
+        FROM sub s JOIN qs q ON s.j = q.j
+        WHERE s.vec_id <> 0 GROUP BY 1, 2, 3),
+      cs AS (SELECT dp.vec_id, dp.qsub,
+          round(dp.dp / sqrt(n.n2 * qn.qn2), 6) AS c
+        FROM dp JOIN nrm n ON n.vec_id = dp.vec_id AND n.sub = dp.sub
+        JOIN qn ON qn.qsub = dp.qsub),
+      mx AS (SELECT vec_id, qsub, max(c) AS m FROM cs GROUP BY 1, 2)
+      SELECT vec_id,
+        CAST(sum(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS maxsim
+      FROM mx GROUP BY 1
+      ORDER BY maxsim DESC, vec_id LIMIT 10"""))
+
   val queries: Seq[Q] = Seq(
-    q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall)
+    q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
+    q183LateInteraction)
 }

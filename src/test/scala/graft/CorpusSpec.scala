@@ -203,6 +203,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q184: packing accounting laws hold at every context length") {
+    val rows = run("q184_packing_ablation").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(128L, 256L, 512L))
+    val totalTokens = Tables.documents(spark, dir)
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    rows.foreach { r =>
+      val (ctx, nDocs, nCross, nSeqs, pad) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nSeqs * ctx - pad == totalTokens,
+        "padded sequences must account for every token exactly once")
+      assert(nCross <= nDocs)
+    }
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)),
+      "larger contexts never need more padded sequences")
+  }
+
   test("q177: novelty counts conserve the distinct-shingle space") {
     val out = run("q177_ngram_novelty")
     assert(out.filter(col("n_novel") > col("n_shingles")).isEmpty)

@@ -69,6 +69,29 @@ class VectorsSpec extends AnyFunSuite {
       "a dup group contributes at least 2 docs")
   }
 
+  test("q183: maxsim recomputes driver-side for the top hit") {
+    val rows = run("q183_late_interaction").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)),
+      "top-10 must be score-descending")
+    assert(!rows.exists(_.getLong(0) == 0L), "query vector excluded")
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val q = emb(0L).grouped(8).toSeq
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      BigDecimal(dp / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val top = rows.head
+    val dsubs = emb(top.getLong(0)).grouped(8).toSeq
+    val expected = q.map(qi => dsubs.map(dj => cos(qi, dj)).max).sum
+    assert(math.abs(top.getDouble(1) - expected) < 1e-9,
+      "Σ max cos must match the independent recomputation")
+  }
+
   test("q170: counts match a brute-force triangle count over the q169 edges") {
     val edges = run("q169_knn_graph").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -708,9 +708,55 @@ object Corpus {
         CAST(sum(((nt + ctx - 1) // ctx) * ctx - nt) AS BIGINT) AS pad_tokens
       FROM x GROUP BY 1 ORDER BY 1"""))
 
+  /** q187: JACKKNIFE REPLICATES — leave-one-shard-out estimates of a
+    * corpus statistic (mean tokens/doc), the uncertainty-quantification
+    * step for any number a dataset card (q182) publishes: if the
+    * replicate means swing, the statistic is dominated by a shard and
+    * shouldn't ship without a caveat. Delete-a-group jackknife over
+    * the 8 deterministic h32 shards; each replicate's mean is exact
+    * integer millionths `(S − Sᵢ)·1e6 DIV (n − nᵢ)` — the classic
+    * formulation needs only the per-shard (nᵢ, Sᵢ) partials and the
+    * grand totals, never a second data pass.
+    *
+    * 100 TB shape: ONE groupBy on the 8-way shard key (8-row result),
+    * a 1-row total broadcast, and the replicate table is 8 rows.
+    * This is why delete-a-group jackknife (Kott 2001) is the survey-
+    * statistics standard: variance machinery entirely in aggregate
+    * space.
+    */
+  private val q187JackknifeReplicates = Q(
+    "q187_jackknife_replicates",
+    (s, d) => {
+      val perShard = Tables.documents(s, d)
+        .select((graft.functions.Portable.h32(col("doc_id").cast("string"))
+          % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_i"), sum("nt").as("sum_i"))
+      val tot = perShard.agg(sum("n_i").as("n"), sum("sum_i").as("s"))
+      perShard.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_i"), col("sum_i"),
+          expr("((s - sum_i) * 1000000) DIV (n - n_i)").as("loo_mean_e6"),
+          expr("(s * 1000000) DIV n").as("mean_e6"))
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (SELECT
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 8 AS shard,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        FROM documents),
+      ps AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_i,
+          CAST(sum(nt) AS BIGINT) AS sum_i FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+          CAST(sum(sum_i) AS BIGINT) AS s FROM ps)
+      SELECT shard, n_i, sum_i,
+        ((s - sum_i) * 1000000) // (n - n_i) AS loo_mean_e6,
+        (s * 1000000) // n AS mean_e6
+      FROM ps CROSS JOIN tot ORDER BY shard"""))
+
   val queries: Seq[Q] = Seq(
     q160VectorCentroids, q161GlobalShuffle, q162UserSequences,
     q163WordEntropy, q164HllDistinct, q165ContamFrac, q166QualityFunnel,
     q167Int8Quant, q176TfidfKeyterms, q177NgramNovelty, q179MinhashEstimate,
-    q182DatasetCard, q184PackingAblation)
+    q182DatasetCard, q184PackingAblation, q187JackknifeReplicates)
 }

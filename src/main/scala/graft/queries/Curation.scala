@@ -1067,9 +1067,197 @@ object Curation {
         GROUP BY 1)
       SELECT doc_id, n_tri, n_oov, lp FROM sc ORDER BY doc_id"""))
 
+  // ---- q188: tokenizer fertility on held-out text --------------------------
+
+  /** q188: TOKENIZER FERTILITY — train the q148 BPE merges on the
+    * doc_id%10<8 split and measure tokens-per-word on the HELD-OUT
+    * docs: the tokenizer-evaluation metric (fertility ≈ 1 means the
+    * vocabulary fits the data; high fertility predicts wasted context
+    * window and slow training). Per held-out doc: word count, BPE
+    * token count, and `fert_e6 = n_tokens·1e6 DIV n_words` — exact
+    * integers end to end.
+    *
+    * 100 TB shape: training is q148's vocabulary-sized loop (word
+    * frequencies partial-aggregate to vocab size BEFORE any merge
+    * work; 5 driver-fetched 1-row argmaxes); application runs on the
+    * DISTINCT held-out vocabulary (map-side merge-chain rewrite of a
+    * vocab-sized table — never per-token), and docs join the
+    * vocab-sized token-length table by word. The merge chain is a
+    * broadcastable plan literal; per-doc aggregation is the only
+    * corpus-scale exchange.
+    */
+  private val q188BpeFertility = Q(
+    "q188_bpe_fertility",
+    (s, d) => {
+      val trainOn = col("doc_id") % 10 < 8
+      val wf = Tables.documents(s, d).filter(trainOn)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist()
+      def pairsOf(c: org.apache.spark.sql.Column) = {
+        val t = split(trim(c), " ")
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      def rep4(c: org.apache.spark.sql.Column, pair: String) = {
+        val pat = lit(" " + pair + " ")
+        val repl = lit(" " + pair.replace(" ", "") + " ")
+        (1 to 4).foldLeft(c)((acc, _) => replace(acc, pat, repl))
+      }
+      var spaced = wf.select(
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"),
+        col("freq"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (_ <- 1 to 5) {
+        val top = spaced
+          .select(explode(pairsOf(col("s"))).as("p"), col("freq"))
+          .groupBy("p").agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("p"))
+          .limit(1).head()
+        merges += top.getString(0)
+        spaced = spaced.withColumn("s", rep4(col("s"), top.getString(0)))
+      }
+      wf.unpersist(blocking = false)
+      val held = Tables.documents(s, d).filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val vocabSpaced = merges.foldLeft(
+        held.select(col("word")).distinct().withColumn("s",
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))))(
+        (df, p) => df.withColumn("s", rep4(col("s"), p)))
+      val tokLen = vocabSpaced
+        .select(col("word"), size(split(trim(col("s")), " ")).cast("long")
+          .as("ntok"))
+      held.join(broadcast(tokLen), "word")
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_words"),
+          sum(col("cnt") * col("ntok")).as("n_tokens"))
+        .withColumn("fert_e6", expr("(n_tokens * 1000000) DIV n_words"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def rep4(sc: String, p: String) = {
+        val pat = s"' ' || $p || ' '"
+        val rep = s"' ' || replace($p, ' ', '') || ' '"
+        (1 to 4).foldLeft(sc)((acc, _) => s"replace($acc, $pat, $rep)")
+      }
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        """w0 AS (SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          WHERE doc_id % 10 < 8)
+          GROUP BY 1)""",
+        """s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s,
+          freq FROM w0)""")
+      for (r <- 1 to 5) {
+        ctes += s"""pc$r AS (SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1])) AS p, freq
+          FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM s${r - 1}))
+          GROUP BY 1)"""
+        ctes += s"m$r AS (SELECT p, c FROM pc$r ORDER BY c DESC, p LIMIT 1)"
+        ctes += s"""s$r AS (SELECT ${rep4(s"s${r - 1}.s", s"m$r.p")} AS s, freq
+          FROM s${r - 1} CROSS JOIN m$r)"""
+      }
+      ctes += """hw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id % 10 >= 8)
+        GROUP BY 1, 2)"""
+      ctes += """h0 AS (SELECT word,
+        ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
+        FROM (SELECT DISTINCT word FROM hw))"""
+      for (r <- 1 to 5)
+        ctes += s"""h$r AS (SELECT word, ${rep4(s"h${r - 1}.s", s"m$r.p")} AS s
+          FROM h${r - 1} CROSS JOIN m$r)"""
+      ctes += """tl AS (SELECT word,
+        CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS ntok FROM h5)"""
+      "WITH " + ctes.mkString(",\n") + """
+      SELECT hw.doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens,
+        (CAST(sum(cnt * ntok) AS BIGINT) * 1000000)
+          // CAST(sum(cnt) AS BIGINT) AS fert_e6
+      FROM hw JOIN tl ON hw.word = tl.word
+      GROUP BY 1 ORDER BY 1"""
+    })
+
+  // ---- q185: hybrid retrieval via reciprocal rank fusion -------------------
+
+  /** q185: HYBRID RETRIEVAL — Reciprocal Rank Fusion (Cormack et al.
+    * 2009) of the lexical BM25 ranking (q83) and the dense cosine
+    * ranking (q26's brute-force, query = vec 0; doc_id ≡ vec_id in
+    * the synthetic corpus): `rrf_e6 = Σ_r 1e6 DIV (60 + rank_r)`,
+    * with a list contributing nothing for documents outside its
+    * top-50. RRF is THE production hybrid-search combiner precisely
+    * because it fuses RANKS, not scores — no cross-scorer
+    * calibration — and the integer formulation keeps the fused order
+    * engine-exact (the q106 discipline).
+    *
+    * 100 TB shape: each arm ends in a TakeOrdered top-50 (BM25 scores
+    * map-side off broadcast stats; cosine map-side off the broadcast
+    * query vector — neither corpus side shuffles); ranking then runs
+    * over 50-row frames (the single-partition window is BOUNDED by
+    * the candidate cap, not the corpus), and the fusion join touches
+    * ≤100 rows. Adding a third arm (q47 IVF, q83 variants) is one
+    * more 50-row outer join.
+    */
+  private val q185RrfFusion = Q(
+    "q185_rrf_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = bm25Scored(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(lexW).cast("long")
+          .as("lex_rank"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val denseW = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+      val dense = e.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(dot(col("v"), col("qv")) /
+            sqrt(norm2(col("v")) * norm2(col("qv"))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(denseW).cast("long")
+          .as("dense_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+           coalesce(expr("1000000 DIV (60 + dense_rank)"), lit(0L)))
+            .as("rrf_e6"))
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH $bm25ScoredCtes,
+      lex AS (SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM (SELECT doc_id, score FROM scored
+          ORDER BY score DESC, doc_id LIMIT 50) t),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      q AS (SELECT i, x FROM el WHERE vec_id = 0),
+      qn AS (SELECT n2 FROM nrm WHERE vec_id = 0),
+      dp AS (SELECT el.vec_id, sum(el.x * q.x) AS dp
+        FROM el JOIN q ON el.i = q.i WHERE el.vec_id > 0 GROUP BY 1),
+      cs AS (SELECT dp.vec_id AS doc_id,
+          round(dp / sqrt(n.n2 * qn.n2), 6) AS cos_sim
+        FROM dp JOIN nrm n ON dp.vec_id = n.vec_id CROSS JOIN qn),
+      dense AS (SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS dense_rank
+        FROM (SELECT doc_id, cos_sim FROM cs
+          ORDER BY cos_sim DESC, doc_id LIMIT 50) t)
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+        lex_rank, dense_rank,
+        COALESCE(1000000 // (60 + lex_rank), 0)
+          + COALESCE(1000000 // (60 + dense_rank), 0) AS rrf_e6
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+      ORDER BY rrf_e6 DESC, doc_id LIMIT 10"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
       q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations,
-      q118MmrDiversify, q143WeightedSample, q148BpeTrain, q174TrigramBackoff)
+      q118MmrDiversify, q143WeightedSample, q148BpeTrain, q174TrigramBackoff,
+      q185RrfFusion, q188BpeFertility)
 }

@@ -8,6 +8,8 @@ import graft.io.PubmedXml
 import graft.query.Pico
 import graft.query.Pico.PicoTerm
 import graft.stream.TableStore
+import graft.Tables
+import graft.functions.Portable.tokens
 
 /** q62: the COMPOSED end-to-end nightly pipeline, one flow over STORED
   * tables (SURVEY §7.3; reference: pubmed.py main update path):
@@ -282,5 +284,151 @@ ${arts.mkString("\n")}
         ORDER BY arm, pmid"""
     })
 
-  val queries: Seq[Q] = Seq(q62Pipeline)
+  /** q189: CURATION PIPELINE END-TO-END — the full training-data
+    * funnel as ONE query, chaining the repo's curation primitives in
+    * their production order and emitting the per-stage ablation table
+    * (the q166 accounting, over the REAL operators): token floor →
+    * eval-split removal → exact dedup (min doc per md5) → near-dup
+    * cluster representatives (min SURVIVING member of each q67
+    * MinHash-LSH component) → benchmark decontamination (q72's
+    * broadcast shingle probe) → quality gates (q166's thresholds) →
+    * sequence packing (q71's shard concat at ctx 256, reported as the
+    * final sequence count). Every stage is the same logic its
+    * standalone entry verifies, so the funnel is auditable against
+    * q21/q67/q72/q166/q71 one stage at a time.
+    *
+    * 100 TB shape: stage membership is carried as BOOLEAN FLAG
+    * COLUMNS on one frame (the q166 pattern) — never as chained
+    * re-counted sub-DataFrames — so the whole funnel is ONE pass over
+    * the corpus plus the aggregations the standalone operators already
+    * need: the exact-dedup min-per-hash (uniform h key), the q67
+    * component build (single-shuffle bucketPairs + CC), a broadcast
+    * eval-shingle probe, and the 8-row shard packing sum. The final
+    * count table is a single aggregate of flag sums.
+    */
+  private val q189CurationE2e = Q(
+    "q189_curation_e2e",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val nStop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("nt"), md5(col("text")).as("h"),
+        (size(toks) >= 25).as("f1"))
+        .withColumn("f2", col("f1") && col("doc_id") % 97 =!= 0)
+      val keepEx = base.filter(col("f2"))
+        .groupBy("h").agg(min("doc_id").as("keep_ex"))
+      val comp = graft.ops.Cluster.connectedComponents(
+        graft.ops.Dedup.candidates(graft.ops.Dedup.bandSignatures(
+          Tables.documents(s, d).filter(size(tokens(col("text"))) >= 4)
+            .select(col("doc_id"),
+              graft.functions.Hash32.shingleHashes(col("text")).as("hs"))))
+          .select("a_id", "b_id"))
+        .select(col("id").as("doc_id"), col("cluster"))
+      val evalSh = Tables.documents(s, d)
+        .filter(col("doc_id") % 97 === 0 && size(tokens(col("text"))) >= 4)
+        .select(explode(array_distinct(
+          graft.functions.Hash32.shingleHashes(col("text")))).as("sh"))
+        .distinct()
+      val contam = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.Hash32.shingleHashes(col("text")))).as("sh"))
+        .join(broadcast(evalSh), "sh")
+        .select("doc_id").distinct().withColumn("is_contam", lit(true))
+      val j1 = base.join(keepEx, Seq("h"), "left")
+        .withColumn("f3", col("f2") && col("doc_id") === col("keep_ex"))
+        .join(comp, Seq("doc_id"), "left")
+      val minSurv = j1.filter(col("f3") && col("cluster").isNotNull)
+        .groupBy("cluster").agg(min("doc_id").as("keep_id"))
+      val flagged = j1.join(broadcast(minSurv), Seq("cluster"), "left")
+        .withColumn("f4", col("f3") &&
+          (col("cluster").isNull || col("doc_id") === col("keep_id")))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("f5", col("f4") && col("is_contam").isNull)
+        .withColumn("f6", col("f5") &&
+          round(nStop.cast("double") / col("nt"), 6) <= 0.08 &&
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+            col("nt"), 6) <= 8.0)
+      val shard = graft.functions.Portable.h32(col("doc_id").cast("string")) % 8
+      val packed = flagged.filter(col("f6"))
+        .select(shard.as("shard"), col("nt"))
+        .groupBy("shard").agg(sum("nt").as("tot"))
+        .agg(coalesce(sum(expr("(tot + 255) DIV 256")), lit(0L)).as("n"))
+        .withColumn("k", lit(1))
+      val cnts = flagged.agg(count(lit(1)).as("n0"),
+        sum(col("f1").cast("long")).as("n1"),
+        sum(col("f2").cast("long")).as("n2"),
+        sum(col("f3").cast("long")).as("n3"),
+        sum(col("f4").cast("long")).as("n4"),
+        sum(col("f5").cast("long")).as("n5"),
+        sum(col("f6").cast("long")).as("n6"))
+        .withColumn("k", lit(1))
+      cnts.join(packed, "k")
+        .selectExpr("""stack(7,
+            1, 'token_floor', n0, n1,
+            2, 'eval_split',  n1, n2,
+            3, 'exact_dedup', n2, n3,
+            4, 'near_dup',    n3, n4,
+            5, 'decontam',    n4, n5,
+            6, 'quality',     n5, n6,
+            7, 'pack_256',    n6, n)
+          AS (stage_idx, stage, n_in, n_out)""")
+        .orderBy("stage_idx")
+    },
+    Some(s"""WITH RECURSIVE ${Training.clusterCtes},
+      base AS (SELECT doc_id, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+          md5(text) AS h
+        FROM documents),
+      s1 AS (SELECT * FROM base WHERE nt >= 25),
+      s2 AS (SELECT * FROM s1 WHERE doc_id % 97 <> 0),
+      ke AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+      s3 AS (SELECT s2.* FROM s2 JOIN ke USING (doc_id)),
+      cl AS (SELECT s3.*, c.cluster FROM s3
+        LEFT JOIN comp c ON c.id = s3.doc_id),
+      ms AS (SELECT cluster, min(doc_id) AS keep_id FROM cl
+        WHERE cluster IS NOT NULL GROUP BY 1),
+      s4 AS (SELECT cl.doc_id, cl.text, cl.nt FROM cl
+        LEFT JOIN ms ON cl.cluster = ms.cluster
+        WHERE cl.cluster IS NULL OR cl.doc_id = ms.keep_id),
+      esh AS (SELECT DISTINCT
+          CAST('0x' || substr(md5(sx), 1, 8) AS BIGINT) AS hh
+        FROM (SELECT unnest(list_transform(range(1, len(w) - 2),
+            i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sx
+          FROM (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 97 = 0))),
+      dsh AS (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(sx), 1, 8) AS BIGINT) AS hh
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+            i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sx
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s4))),
+      bad AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN esh ON d.hh = esh.hh),
+      s5 AS (SELECT * FROM s4
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      s6 AS (SELECT * FROM s5
+        WHERE round(CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a'))) AS DOUBLE) / nt, 6) <= 0.08
+          AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / nt, 6)
+            <= 8.0),
+      shd AS (SELECT
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 8 AS shard, nt FROM s6),
+      pk AS (SELECT CAST(sum((tot + 255) // 256) AS BIGINT) AS n
+        FROM (SELECT shard, CAST(sum(nt) AS BIGINT) AS tot
+          FROM shd GROUP BY 1)),
+      cnts AS (SELECT (SELECT count(*) FROM base) AS n0,
+        (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2,
+        (SELECT count(*) FROM s3) AS n3, (SELECT count(*) FROM s4) AS n4,
+        (SELECT count(*) FROM s5) AS n5, (SELECT count(*) FROM s6) AS n6)
+      SELECT 1 AS stage_idx, 'token_floor' AS stage,
+        CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_out FROM cnts
+      UNION ALL SELECT 2, 'eval_split', n1, n2 FROM cnts
+      UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM cnts
+      UNION ALL SELECT 4, 'near_dup', n3, n4 FROM cnts
+      UNION ALL SELECT 5, 'decontam', n4, n5 FROM cnts
+      UNION ALL SELECT 6, 'quality', n5, n6 FROM cnts
+      UNION ALL SELECT 7, 'pack_256', n6, (SELECT n FROM pk) FROM cnts
+      ORDER BY stage_idx"""))
+
+  val queries: Seq[Q] = Seq(q62Pipeline, q189CurationE2e)
 }

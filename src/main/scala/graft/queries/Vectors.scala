@@ -446,7 +446,51 @@ object Vectors {
       FROM mx GROUP BY 1
       ORDER BY maxsim DESC, vec_id LIMIT 10"""))
 
+  /** q186: IVF CELL-BALANCE AUDIT — the index-health report beside the
+    * recall audit (q181): per-cell population of the q47 assignment,
+    * with the hot-cell flag `n_vecs·n_cells ≥ 2·n_total` (a cell at
+    * ≥2× the ideal share — integer predicate, no float ratio). Hot
+    * cells are where IVF probe latency concentrates; the fixes are
+    * q154's salting (split the physical partition) or re-training with
+    * more centroids (q77), and this table is what triggers either.
+    *
+    * 100 TB shape: assignment is the map-side plan-bound codebook
+    * projection (no shuffle); the audit is one groupBy on the cell key
+    * producing C ≈ √N rows, plus a 1-row broadcast of the totals.
+    */
+  private val q186IvfCellAudit = Q(
+    "q186_ivf_cell_audit",
+    (s, d) => {
+      val cells = graft.search.Ivf.assignments(Tables.embeddings(s, d), 25)
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(count(lit(1)).as("n_cells"),
+        sum("n_vecs").as("n_total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"), col("n_cells"), col("n_total"),
+          (col("n_vecs") * col("n_cells") >= col("n_total") * 2).as("hot"))
+        .orderBy("cell")
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+        FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+        FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn FROM sims) t WHERE rn = 1),
+      cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assign GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+          CAST(sum(n_vecs) AS BIGINT) AS n_total FROM cells)
+      SELECT cell, n_vecs, n_cells, n_total,
+        n_vecs * n_cells >= n_total * 2 AS hot
+      FROM cells CROSS JOIN tot ORDER BY cell"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
-    q183LateInteraction)
+    q183LateInteraction, q186IvfCellAudit)
 }

@@ -219,6 +219,18 @@ class CorpusSpec extends AnyFunSuite {
       "larger contexts never need more padded sequences")
   }
 
+  test("q187: replicates obey the leave-one-out identity") {
+    val rows = run("q187_jackknife_replicates").collect()
+    assert(rows.length == 8, "8 deterministic shards")
+    val n = rows.map(_.getLong(1)).sum
+    val s = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(3) == (s - r.getLong(2)) * 1000000L / (n - r.getLong(1)),
+        "loo_mean_e6 must derive from the complement partials")
+      assert(r.getLong(4) == s * 1000000L / n)
+    }
+  }
+
   test("q177: novelty counts conserve the distinct-shingle space") {
     val out = run("q177_ngram_novelty")
     assert(out.filter(col("n_novel") > col("n_shingles")).isEmpty)

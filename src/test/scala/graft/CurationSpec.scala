@@ -189,4 +189,38 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q188: fertility is bounded below by 1 and above by characters") {
+    val rows = Registry.byName("q188_bpe_fertility").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 10 >= 8), "held-out docs only")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        "BPE emits at least one token per word")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getLong(2) <= docs(r.getLong(0))),
+      "token count cannot exceed non-space character count")
+    assert(rows.exists(r => r.getLong(2) < docs(r.getLong(0))),
+      "five trained merges must compress at least one held-out doc")
+  }
+
+  test("q189: funnel chains, shrinks monotonically, and packs nonzero") {
+    val rows = Registry.byName("q189_curation_e2e").fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
+    rows.take(6).foreach(r => assert(r.getLong(3) <= r.getLong(2),
+      s"stage ${r.getString(1)} cannot add documents"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      if (b.getInt(0) <= 6)
+        assert(a.getLong(3) == b.getLong(2), "funnel stages must chain")
+    }
+    assert(rows.head.getLong(2) ==
+      Tables.documents(spark, sf).count(), "stage 1 starts from the corpus")
+    assert(rows.last.getLong(3) > 0, "packing must emit sequences")
+  }
 }

@@ -69,6 +69,32 @@ class VectorsSpec extends AnyFunSuite {
       "a dup group contributes at least 2 docs")
   }
 
+  test("q185: fused ranks obey the RRF law and respect both arms") {
+    val rows = Registry.byName("q185_rrf_fusion").fn(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val dense = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val expect = lex.map(k => 1000000L / (60 + k)).getOrElse(0L) +
+        dense.map(k => 1000000L / (60 + k)).getOrElse(0L)
+      assert(r.getLong(3) == expect, "rrf_e6 must equal the integer RRF sum")
+      assert(lex.nonEmpty || dense.nonEmpty)
+    }
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q186: cell populations partition the assigned vectors") {
+    val out = Registry.byName("q186_ivf_cell_audit").fn(spark, dir)
+    val rows = out.collect()
+    val nCells = rows.head.getLong(2)
+    assert(rows.length == nCells, "n_cells must equal the audit row count")
+    assert(rows.map(_.getLong(1)).sum == rows.head.getLong(3),
+      "cell populations must sum to n_total")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(1) * nCells >= r.getLong(3) * 2))
+    }
+  }
+
   test("q183: maxsim recomputes driver-side for the top hit") {
     val rows = run("q183_late_interaction").collect()
     assert(rows.length == 10)

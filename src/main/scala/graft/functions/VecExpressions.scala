@@ -221,6 +221,58 @@ object IvfOps {
 
   def nearestCol(v: Column, cb: IvfCodebook): Column =
     GraftShim.column(NearestCentroid(GraftShim.expression(v), cb))
+
+  /** Top-2 centroid similarities in ONE map-side pass: the winning
+    * cell plus the best and second-best rounded cosines, i.e. exactly
+    * the rn=1 and rn=2 rows of `row_number over (partition by vec_id
+    * order by cs desc, cid)` — the inputs a cluster-quality audit
+    * (simplified silhouette: own-centroid vs nearest-other distance)
+    * needs WITHOUT materializing the N×C similarity table that the
+    * window formulation shuffles. Tie and degenerate-input rules are
+    * [[nearest]]'s: candidates scan cid-ascending with strict-`>`
+    * promotion (equal cosines keep the smaller cid at each rank);
+    * all-cosines-null falls back to the smallest cid with null
+    * similarities; an empty codebook yields a null struct.
+    */
+  def top2(v: ArrayData, cb: IvfCodebook): InternalRow = {
+    if (cb.cids.isEmpty) return null
+    val n = v.numElements()
+    var vOk = true
+    var i = 0
+    while (vOk && i < n) { if (v.isNullAt(i)) vOk = false; i += 1 }
+    var nv = 0.0
+    if (vOk) {
+      i = 0
+      while (i < n) { val x = v.getDouble(i); nv += x * x; i += 1 }
+    }
+    var has1 = false; var cs1 = 0.0; var cid1 = cb.cids(0)
+    var has2 = false; var cs2 = 0.0; var cid2 = 0L
+    var c = 0
+    while (c < cb.cids.length) {
+      if (vOk && nv != 0.0 && cb.valid(c) && cb.norms(c) != 0.0 &&
+          cb.vecs(c).length == n) {
+        val cv = cb.vecs(c)
+        var d = 0.0
+        i = 0
+        while (i < n) { d += v.getDouble(i) * cv(i); i += 1 }
+        val cs = round6(d / math.sqrt(nv * cb.norms(c)))
+        if (!has1 || java.lang.Double.compare(cs, cs1) > 0) {
+          if (has1) { has2 = true; cs2 = cs1; cid2 = cid1 }
+          has1 = true; cs1 = cs; cid1 = cb.cids(c)
+        } else if (!has2 || java.lang.Double.compare(cs, cs2) > 0) {
+          has2 = true; cs2 = cs; cid2 = cb.cids(c)
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cid1,
+        if (has1) java.lang.Double.valueOf(cs1) else null,
+        if (has2) java.lang.Double.valueOf(cs2) else null))
+  }
+
+  def top2Col(v: Column, cb: IvfCodebook): Column =
+    GraftShim.column(CentroidTop2(GraftShim.expression(v), cb))
 }
 
 /** `nearest_centroid(v)` against a plan-bound codebook. */
@@ -250,6 +302,43 @@ case class NearestCentroid(child: Expression, codebook: IvfCodebook)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `centroid_top2(v)` against a plan-bound codebook: struct(cell,
+  * cs1, cs2) — see [[IvfOps.top2]]. Codegen calls the same static
+  * helper (the row is a boxed struct either way, so the win is the
+  * single fused pass over the codebook, not primitive unboxing).
+  */
+case class CentroidTop2(child: Expression, codebook: IvfCodebook)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cs1", DoubleType),
+    org.apache.spark.sql.types.StructField("cs2", DoubleType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_top2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IvfOps.top2(input.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("ivfCodebook", codebook,
+      classOf[IvfCodebook].getName)
+    val cg = child.genCode(ctx)
+    val res = ctx.freshName("top2Res")
+    ev.copy(code = code"""
+      ${cg.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${cg.isNull}) {
+        InternalRow $res = graft.functions.IvfOps.top2(${cg.value}, $cb);
+        if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidTop2 =
     copy(child = newChild)
 }
 

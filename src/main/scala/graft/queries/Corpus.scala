@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VecSum
+import graft.functions.Portable.{dsum6, tokens}
 
 /** Corpus-preparation operators for training-data pipelines: whole-
   * vector centroid aggregation, deterministic training-order shuffle +
@@ -754,9 +755,156 @@ object Corpus {
         (s * 1000000) // n AS mean_e6
       FROM ps CROSS JOIN tot ORDER BY shard"""))
 
+  /** q192: ENCODING-NOISE (MOJIBAKE) AUDIT — the ingest-hygiene gate
+    * beside q166's quality thresholds: web-scale corpora arrive with a
+    * measurable fraction of double-encoded UTF-8 (bytes decoded as
+    * Latin-1 then re-encoded — the "Ã¡ for á" signature), control
+    * bytes, and replacement characters, and a training pipeline drops
+    * or re-decodes them BEFORE tokenization (mojibake shreds BPE
+    * merges into byte soup). The synthetic corpus is clean, so the
+    * query first plants the classic signature deterministically
+    * (doc_id % 7 == 0 docs get the Latin-1-mangled 'a'), then runs the
+    * detector the planting cannot see: count of the 'Ã' lead byte
+    * (the UTF-8-as-Latin-1 tell — legitimate Western text has it only
+    * in rare words, never dozens per document) and the
+    * non-printable-ASCII character share.
+    *
+    * 100 TB shape: injection, detection, and ratio are all codegen'd
+    * scan-stage string expressions; the only exchange is the final
+    * per-source rollup (sources ≪ partitions, map-side partials).
+    */
+  private val q192MojibakeAudit = Q(
+    "q192_mojibake_audit",
+    (s, d) => {
+      val corrupted = when(col("doc_id") % 7 === 0,
+        replace(col("text"), lit("a"), lit("Ã¡")))
+        .otherwise(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), corrupted.as("c"))
+        .select(col("doc_id"), col("source"),
+          (length(col("c")) -
+            length(replace(col("c"), lit("Ã"), lit("")))).as("moji_hits"),
+          round(length(regexp_replace(col("c"), "[ -~]", ""))
+            .cast("double") / length(col("c")), 6).as("nonprint_ratio"))
+      base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("moji_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("moji_hits").cast("long")).as("tot_moji"),
+        round(dsum6(col("nonprint_ratio")) / count(lit(1)), 6)
+          .as("mean_nonprint"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT doc_id, source,
+          CASE WHEN doc_id % 7 = 0
+               THEN replace(text, 'a', 'Ã¡') ELSE text END AS c
+        FROM documents),
+      m AS (SELECT doc_id, source,
+          length(c) - length(replace(c, 'Ã', '')) AS moji_hits,
+          round(CAST(length(regexp_replace(c, '[ -~]', '', 'g')) AS DOUBLE)
+            / length(c), 6) AS nonprint_ratio
+        FROM c)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (WHERE moji_hits > 0) AS BIGINT) AS n_flagged,
+        CAST(sum(moji_hits) AS BIGINT) AS tot_moji,
+        round(CAST(sum(CAST(nonprint_ratio AS DECIMAL(28,6))) AS DOUBLE)
+          / count(*), 6) AS mean_nonprint
+      FROM m GROUP BY 1 ORDER BY 1"""))
+
+  /** q193: READABILITY SCORING (Flesch reading ease over proxy
+    * counts) — the document-difficulty signal used both as a quality
+    * gate (near-zero readability flags tables/code/boilerplate
+    * mis-scraped as prose) and as the ordering key for curriculum
+    * schedules (q194). Sentences are punctuation runs `[.!?]+`
+    * (floored at 1), syllables are vowel-group runs `[aeiouy]+` of the
+    * lowercased text — the standard cheap proxies; the exact Flesch
+    * constants (206.835, 1.015, 84.6) over words/sentence and
+    * syllables/word, per-document rounded to 4.
+    *
+    * 100 TB shape: all three counts and the score are codegen'd
+    * scan-stage regex/array expressions (one pass over each doc); the
+    * per-source summary is the only exchange, with map-side partials
+    * reducing each task to |sources| rows.
+    */
+  private val q193Readability = Q(
+    "q193_readability",
+    (s, d) => {
+      val w = size(tokens(col("text"))).cast("double")
+      val sent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+        .cast("double")
+      val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("double")
+      val flesch = round(lit(206.835) - lit(1.015) * (w / sent) -
+        lit(84.6) * (syl / w), 4)
+      Tables.documents(s, d)
+        .select(col("source"), flesch.as("flesch"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          round(dsum6(col("flesch")) / count(lit(1)), 6).as("mean_flesch"),
+          min(col("flesch")).as("min_flesch"),
+          max(col("flesch")).as("max_flesch"))
+        .orderBy("source")
+    },
+    Some("""WITH f AS (SELECT source,
+          round(CAST(206.835 AS DOUBLE)
+            - CAST(1.015 AS DOUBLE) * (CAST(length(string_split(text, ' ')) AS DOUBLE)
+                / greatest(length(regexp_extract_all(text, '[.!?]+')), 1))
+            - CAST(84.6 AS DOUBLE) * (CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                / length(string_split(text, ' '))), 4) AS flesch
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        round(CAST(sum(CAST(flesch AS DECIMAL(28,6))) AS DOUBLE)
+          / count(*), 6) AS mean_flesch,
+        min(flesch) AS min_flesch, max(flesch) AS max_flesch
+      FROM f GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** q194: CURRICULUM PHASE ASSIGNMENT — order each language's docs
+    * by a difficulty key (average word length in exact e6 fixed-point,
+    * doc_id tiebreak) and cut them into 4 equal phases (ntile), the
+    * easy-to-hard schedule curriculum pretraining feeds batches from;
+    * emitted as the per-(lang, phase) manifest (doc count, token
+    * budget, difficulty range) a batch scheduler consumes.
+    *
+    * 100 TB shape: the q78 per-group-sort precedent — the rank is
+    * per-LANGUAGE (Window.partitionBy(lang)), so languages sort in
+    * parallel and no global order exists anywhere. One huge language
+    * still range-sorts within itself; the production composition is
+    * q159's sketch-driven range partitioner (split points from a
+    * LogDigest) or q133's quantile cutpoints replacing ntile with a
+    * broadcast-threshold map-side phase id. The manifest aggregate is
+    * 4·|langs| rows.
+    */
+  private val q194CurriculumPhases = Q(
+    "q194_curriculum_phases",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("nt"), col("n_chars"))
+        .withColumn("diff_e6", expr("(n_chars * 1000000) div nt"))
+      val w = Window.partitionBy("lang").orderBy(col("diff_e6"), col("doc_id"))
+      base.withColumn("phase", ntile(4).over(w))
+        .groupBy("lang", "phase").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("sum_tokens"),
+          min("diff_e6").as("min_diff_e6"),
+          max("diff_e6").as("max_diff_e6"))
+        .orderBy("lang", "phase")
+    },
+    Some("""WITH b AS (SELECT doc_id, lang,
+          CAST(length(string_split(text, ' ')) AS BIGINT) AS nt, n_chars
+        FROM documents),
+      p AS (SELECT lang, (n_chars * 1000000) // nt AS diff_e6, nt,
+          ntile(4) OVER (PARTITION BY lang
+            ORDER BY (n_chars * 1000000) // nt, doc_id) AS phase
+        FROM b)
+      SELECT lang, CAST(phase AS INT) AS phase,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        min(diff_e6) AS min_diff_e6, max(diff_e6) AS max_diff_e6
+      FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(
     q160VectorCentroids, q161GlobalShuffle, q162UserSequences,
     q163WordEntropy, q164HllDistinct, q165ContamFrac, q166QualityFunnel,
     q167Int8Quant, q176TfidfKeyterms, q177NgramNovelty, q179MinhashEstimate,
-    q182DatasetCard, q184PackingAblation, q187JackknifeReplicates)
+    q182DatasetCard, q184PackingAblation, q187JackknifeReplicates,
+    q192MojibakeAudit, q193Readability, q194CurriculumPhases)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Portable.{dot, h32s, norm2, toDouble}
+import graft.functions.Portable.{dot, dsum6, h32s, norm2, toDouble}
 
 /** Embedding-space operators for training-data pipelines: random-
   * projection dimensionality reduction, LSH-bucketed mutual-kNN graph
@@ -490,7 +490,126 @@ object Vectors {
         n_vecs * n_cells >= n_total * 2 AS hot
       FROM cells CROSS JOIN tot ORDER BY cell"""))
 
+  /** q190: LABEL-PROPAGATION COMMUNITY DETECTION on the mutual-kNN
+    * graph — the community refinement between q132's connected
+    * components (too coarse: one bridge merges clusters) and q170's
+    * triangle census (local only): three SYNCHRONOUS rounds of "adopt
+    * the most common neighbor label", deterministic by construction
+    * (ties break to the smallest label; every node starts labeled with
+    * its own id), the classic RAK/LPA semi-clustering used to group
+    * near-duplicate document families before picking per-community
+    * representatives.
+    *
+    * 100 TB shape: each round is ONE exchange — the neighbor-label
+    * join keys on the uniform node id (degree ≤ K by q169's mutual-kNN
+    * construction, so no hot rows), and the mode-of-neighbors is a
+    * TWO-LEVEL aggregate (count per (node, label), then max of the
+    * (count, -label) struct per node) whose first level partially
+    * aggregates map-side — no window, no N×deg shuffle beyond the
+    * join's. Labels localCheckpoint per round (the q149 iterative-
+    * lineage rule). Rounds are a fixed constant: synchronous LPA on a
+    * sparsifed graph converges in a few sweeps, and a fixed count is
+    * what keeps the oracle replayable.
+    */
+  private val q190LabelPropagation = Q(
+    "q190_label_propagation",
+    (s, d) => {
+      val e0 = mutualKnnEdges(s, d).select("src", "dst")
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to 3) {
+        labels = edges
+          .join(labels, edges("dst") === labels("id")).drop("id")
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy("src")
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.select(col("id").as("node_id"), col("lbl").as("community"))
+        .orderBy("node_id")
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""cr$r AS (SELECT e.src, l.lbl, count(*) AS cnt
+          FROM ebi e JOIN r${r - 1} l ON e.dst = l.id GROUP BY 1, 2),
+      r$r AS (SELECT src AS id, lbl FROM (
+          SELECT src, lbl, row_number() OVER (PARTITION BY src
+            ORDER BY cnt DESC, lbl) AS rn FROM cr$r) t WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH $knnEdgesCte,
+      ebi AS (SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut),
+      r0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ebi),
+      $rounds
+      SELECT id AS node_id, lbl AS community FROM r3 ORDER BY node_id"""
+    })
+
+  /** q191: CLUSTER-QUALITY AUDIT (simplified silhouette) of the IVF
+    * assignment — the companion to q186's cell-balance audit: balance
+    * says cells are evenly SIZED, silhouette says they are well
+    * SEPARATED (a ≈ 0.0 mean flags centroids that should be merged or
+    * re-trained (q77) before the index ships). Per vector, with
+    * cosine distance d = 1 − cos: a = distance to its own (nearest)
+    * centroid, b = distance to the second-nearest, s = (b − a) /
+    * max(a, b) — the Vendramin simplified silhouette, which needs
+    * only centroid distances, never pairwise members.
+    *
+    * 100 TB shape: THE point of the [[graft.functions.CentroidTop2]]
+    * expression — own and nearest-other centroid similarities come out
+    * of one fused codegen pass against the plan-bound codebook (the
+    * q47 nearest_centroid argument, extended to rank 2), so the audit
+    * is a pure scan-stage projection plus ONE C-row aggregate on the
+    * cell key. The window formulation this replaces shuffles the N×C
+    * similarity table; this shuffles N pre-aggregated partial rows.
+    */
+  private val q191Silhouette = Q(
+    "q191_silhouette",
+    (s, d) => {
+      val cb = graft.search.Ivf.codebook(Tables.embeddings(s, d), 25)
+      val ab = Tables.embeddings(s, d)
+        .select(graft.functions.IvfOps
+          .top2Col(toDouble(col("embedding")), cb).as("t"))
+        .select(col("t.cell").as("cell"),
+          (lit(1.0) - col("t.cs1")).as("a"), (lit(1.0) - col("t.cs2")).as("b"))
+      val sil = ab.withColumn("sil",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) /
+            greatest(col("a"), col("b")), 6)))
+      sil.groupBy("cell").agg(
+        count(lit(1)).as("n_members"),
+        round(dsum6(col("sil")) / count(col("sil")), 6).as("mean_sil"))
+        .orderBy("cell")
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+        FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+        FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      rk AS (SELECT vid, cid, cs, row_number() OVER (PARTITION BY vid
+          ORDER BY cs DESC, cid) AS rn FROM sims),
+      ab AS (SELECT vid,
+          max(CASE WHEN rn = 1 THEN cid END) AS cell,
+          max(CASE WHEN rn = 1 THEN 1 - cs END) AS a,
+          max(CASE WHEN rn = 2 THEN 1 - cs END) AS b
+        FROM rk WHERE rn <= 2 GROUP BY 1),
+      sil AS (SELECT vid, cell,
+          CASE WHEN greatest(a, b) = 0 THEN 0
+               ELSE round((b - a) / greatest(a, b), 6) END AS sil
+        FROM ab)
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        round(CAST(sum(CAST(sil AS DECIMAL(28,6))) AS DOUBLE)
+          / count(sil), 6) AS mean_sil
+      FROM sil GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
-    q183LateInteraction, q186IvfCellAudit)
+    q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
+    q191Silhouette)
 }

@@ -246,4 +246,64 @@ class CorpusSpec extends AnyFunSuite {
     assert(firstRow.getLong(1) == firstRow.getLong(2),
       "the earliest doc's shingles are all novel by definition")
   }
+
+  test("q192: the detector recovers exactly the planted mojibake") {
+    val out = run("q192_mojibake_audit").collect()
+    val docs = Tables.documents(spark, dir)
+    // planted docs that actually contain an 'a' are the only 'Ã' sources
+    val expectedFlagged = docs
+      .filter(col("doc_id") % 7 === 0 && col("text").contains("a")).count()
+    val expectedMoji = docs.filter(col("doc_id") % 7 === 0)
+      .select(sum(length(col("text")) -
+        length(regexp_replace(col("text"), "a", ""))).cast("long"))
+      .head.getLong(0)
+    assert(out.map(_.getLong(1)).sum == docs.count(), "all docs audited")
+    assert(out.map(_.getLong(2)).sum == expectedFlagged,
+      "flagged set == planted docs containing 'a'")
+    assert(out.map(_.getLong(3)).sum == expectedMoji,
+      "each planted 'a' contributes exactly one lead byte")
+    out.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("q193: readability summary bounds and one-doc recomputation") {
+    val out = run("q193_readability").collect()
+    assert(out.map(_.getLong(1)).sum == Tables.documents(spark, dir).count())
+    out.foreach { r =>
+      val (mean, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9,
+        "mean lies within [min, max]")
+    }
+    // recompute one document driver-side with the same proxies
+    val first = Tables.documents(spark, dir).orderBy("doc_id")
+      .select("text", "source").head
+    val (text, src) = (first.getString(0), first.getString(1))
+    val w = text.split(" ", -1).length.toDouble
+    val sent = math.max("[.!?]+".r.findAllIn(text).size, 1).toDouble
+    val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toDouble
+    val flesch = BigDecimal(206.835 - 1.015 * (w / sent) - 84.6 * (syl / w))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = out.find(_.getString(0) == src).get
+    assert(flesch >= row.getDouble(3) - 1e-9 && flesch <= row.getDouble(4) + 1e-9,
+      "a member doc's score lies inside its source's [min, max]")
+  }
+
+  test("q194: ntile phases are balanced, ordered, and conserve docs") {
+    val out = run("q194_curriculum_phases").collect()
+    val byLang = out.groupBy(_.getString(0))
+    val docTotal = Tables.documents(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum == docTotal, "every doc gets a phase")
+    byLang.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        "phases are 1..k contiguous")
+      val counts = sorted.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, "ntile balance within 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) <= b.getLong(4),
+            "difficulty ranges are non-overlapping in phase order")
+        case _ =>
+      }
+    }
+  }
 }

@@ -136,4 +136,39 @@ class VectorsSpec extends AnyFunSuite {
     assert(got == brute.toMap, "degree-oriented count must equal brute force")
     assert(got.values.sum % 3 == 0, "each triangle credits exactly 3 corners")
   }
+
+  test("q190: LPA matches a driver-side synchronous replay on the same graph") {
+    val edges = run("q169_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size).toMap
+        n -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    val got = run("q190_label_propagation").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == labels, "3 synchronous mode-of-neighbors rounds, min tie-break")
+    assert(got.values.toSet.subsetOf(got.keySet), "labels are node ids")
+  }
+
+  test("q191: top2 cell agrees with nearest_centroid; silhouette bounded") {
+    val rows = run("q191_silhouette").collect()
+    val assigned = graft.search.Ivf
+      .assignments(Tables.embeddings(spark, dir), 25)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == assigned,
+      "CentroidTop2's rank-1 cell must equal NearestCentroid's assignment")
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= -1.0 - 1e-6 && s <= 1.0 + 1e-6, "silhouette in [-1, 1]")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, dir).count(), "every vector is audited")
+  }
 }

@@ -105,13 +105,13 @@ object Curation {
     * score is rounded (6 dp). idf uses ln via each engine's libm —
     * value-identical on this data (verified at all three scales).
     */
-  private val bm25Terms = Seq("dup", "spark", "merge")
+  private[queries] val bm25Terms = Seq("dup", "spark", "merge")
 
   /** Every document BM25-scored against the fixed query (shared by
     * q83's top-10 report and q94's first retrieval stage): columns
     * (doc_id, tf_<term>..., dl, score).
     */
-  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
     val w = tokens(col("text"))
     val base = Tables.documents(s, d).select(
       (Seq(col("doc_id"), size(w).cast("long").as("dl")) ++
@@ -150,7 +150,7 @@ object Curation {
   /** DuckDB CTEs ending in `scored(doc_id, tf_*..., dl, score)` — the
     * oracle twin of [[bm25Scored]], shared by q83 and q94.
     */
-  private lazy val bm25ScoredCtes: String = {
+  private[queries] lazy val bm25ScoredCtes: String = {
     val tfDefs = bm25Terms.map(t =>
       s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
       .mkString(",\n          ")

@@ -1,0 +1,873 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable.{dsum6, h32, tokens}
+
+/** Statistical-evaluation operators over corpus and behavioral data:
+  * the measurement layer a curation pipeline needs AFTER filters and
+  * classifiers exist — is the quality signal discriminative (AUC),
+  * how do per-source distributions drift (KL, KS), what trends link
+  * size signals (OLS), and is the interaction graph degree-mixed
+  * (assortativity).
+  *
+  * Portability contract (same as [[Corpus]]/[[Pipeline]]): every sum
+  * that crosses an exchange is exact integer / DECIMAL arithmetic;
+  * doubles appear only in FINAL single-row (or per-group) ratios of
+  * already-exact integers, so DuckDB replays each result bit-for-bit
+  * regardless of partitioning. Counting moments use DECIMAL(38,0),
+  * not BIGINT: at 100 TB cross-products like n·Σxy overflow int64,
+  * and Spark's long sum wraps silently — the decimal lattice is the
+  * overflow-safe path on both engines (DuckDB sums BIGINT into
+  * HUGEINT natively; the explicit casts below pin the same widths).
+  */
+object Evaluate {
+
+  /** q195: DISTRIBUTED ROC-AUC via the rank-sum (Mann–Whitney U)
+    * identity — the discriminative-power audit for any quality score
+    * (here: does raw length separate English docs?). AUC =
+    * P(score⁺ > score⁻) + ½·P(tie); computing it from a global
+    * per-row rank window would sort 100 TB in one task. The histogram
+    * formulation used here compresses FIRST: group by score value
+    * (map-side combine → |distinct scores| rows, a bounded domain for
+    * any discretized signal), cumulate negatives over the sorted
+    * score histogram, then U·2 = Σ_s pos_s·(2·negBelow_s + neg_s) —
+    * doubled so ties stay integer-exact.
+    *
+    * 100 TB shape: ONE exchange on score value with partial
+    * aggregation; the window + final sum run over the histogram
+    * (thousands of rows), not the corpus. Moments are DECIMAL(38,0)
+    * (n⁺·n⁻ overflows int64 past ~3B rows a side); the only double is
+    * the final 1-row ratio of exact integers.
+    */
+  private val q195AucRank = Q(
+    "q195_auc_rank",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+        .groupBy("score")
+        .agg(sum("is_pos").as("p"), sum(lit(1L) - col("is_pos")).as("g"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("negBelow", sum("g").over(w) - col("g"))
+      cum.agg(
+          sum("p").cast("decimal(38,0)").as("np"),
+          sum("g").cast("decimal(38,0)").as("nn"),
+          sum((col("p") * (lit(2) * col("negBelow") + col("g")))
+            .cast("decimal(38,0)")).as("u2"))
+        .select(
+          col("np").cast("long").as("n_pos"),
+          col("nn").cast("long").as("n_neg"),
+          col("u2").cast("double").as("u2"),
+          round(col("u2").cast("double") /
+            (lit(2).cast("decimal(38,0)") * col("np") * col("nn"))
+              .cast("double"), 6).as("auc6"))
+    },
+    Some("""WITH h AS (SELECT n_chars AS score,
+          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS p,
+          CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS g
+        FROM documents GROUP BY 1),
+      c AS (SELECT score, p, g,
+          sum(g) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - g AS negBelow
+        FROM h)
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        CAST(sum(g) AS BIGINT) AS n_neg,
+        CAST(sum(CAST(p * (2 * negBelow + g) AS DECIMAL(38,0))) AS DOUBLE) AS u2,
+        round(CAST(sum(CAST(p * (2 * negBelow + g) AS DECIMAL(38,0))) AS DOUBLE)
+          / CAST(2 * sum(p) * sum(g) AS DOUBLE), 6) AS auc6
+      FROM c"""),
+    bench = true)
+
+  /** q196: PER-SOURCE OLS TREND (closed-form simple regression) —
+    * slope/intercept of doc length (chars) against token count per
+    * source, the "are this source's tokens getting longer" drift
+    * signal; the same moment kernel serves any (x, y) pair. Both
+    * coefficients are RATIONAL in the five raw moments — slope =
+    * (nΣxy − ΣxΣy)/(nΣxx − Σx²), intercept = (Σy·den − num·Σx)/
+    * (n·den) — so each engine divides the same exact integers and the
+    * round-6 doubles agree bit-for-bit; no iterative fitting, no
+    * float accumulation across rows.
+    *
+    * 100 TB shape: x, y and their products are scan-stage codegen;
+    * one exchange to |sources| rows with map-side partial moments in
+    * DECIMAL(38,0) (Σxy at trillions of rows overflows int64).
+    */
+  private val q196OlsTrend = Q(
+    "q196_ols_trend",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("x"),
+        col("n_chars").as("y"))
+      base.groupBy("source").agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").cast("decimal(38,0)").as("sx"),
+          sum("y").cast("decimal(38,0)").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("slope6"),
+          round((col("sy") * (col("n") * col("sxx") - col("sx") * col("sx")) -
+              (col("n") * col("sxy") - col("sx") * col("sy")) * col("sx"))
+              .cast("double") /
+            (col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+              .cast("double"), 6).as("intercept6"))
+        .orderBy("source")
+    },
+    Some("""WITH m AS (SELECT source,
+          CAST(count(*) AS DECIMAL(38,0)) AS n,
+          CAST(sum(CAST(length(string_split(text, ' ')) AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+          CAST(sum(n_chars) AS DECIMAL(38,0)) AS sy,
+          CAST(sum(CAST(CAST(length(string_split(text, ' ')) AS BIGINT) * n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+          CAST(sum(CAST(CAST(length(string_split(text, ' ')) AS BIGINT) * CAST(length(string_split(text, ' ')) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM documents GROUP BY 1)
+      SELECT source, CAST(n AS BIGINT) AS n_docs,
+        round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope6,
+        round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+          / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS intercept6
+      FROM m ORDER BY 1"""))
+
+  /** q197: PER-SOURCE KL DIVERGENCE of the unigram token distribution
+    * against the whole-corpus distribution — the data-mixing
+    * diagnostic (a source whose KL spikes is off-distribution and
+    * gets down-weighted in q107's temperature mix; ties to q156 DSIR,
+    * which importance-weights by the same ratio this query audits).
+    * KL(pₛ‖p) = Σ_t (c_st/Tₛ)·(ln c_st + ln T − ln Tₛ − ln c_t): each
+    * log's argument is an exact integer (q163's c·ln(c) precedent —
+    * both engines take libm ln of identical doubles), each term is
+    * rounded to DECIMAL(28,6) BEFORE the sum ([[dsum6]] discipline)
+    * so summation order cannot leak.
+    *
+    * 100 TB shape: token counts per (source, token) partial-aggregate
+    * map-side (one exchange, uniform token keys); the global token
+    * table derives from that same aggregate (second, smaller
+    * exchange); the join back is co-keyed on token; per-source totals
+    * are |sources| rows, broadcast. No per-row windows anywhere.
+    */
+  private val q197KlDivergence = Q(
+    "q197_kl_divergence",
+    (s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      val tot = st.groupBy("t").agg(sum("c_st").as("c_t"))
+      val srcTot = st.groupBy("source").agg(sum("c_st").as("t_s"))
+      val grand = srcTot.agg(sum("t_s").as("t_all"))
+      val term = st.join(tot, "t")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(grand))
+        .select(col("source"), col("t_s"),
+          ((col("c_st").cast("double") / col("t_s").cast("double")) *
+            (log(col("c_st").cast("double")) + log(col("t_all").cast("double")) -
+              log(col("t_s").cast("double")) - log(col("c_t").cast("double"))))
+            .cast("decimal(28,6)").as("term"))
+      term.groupBy("source").agg(
+          max("t_s").as("n_tokens"),
+          count(lit(1)).as("n_terms"),
+          sum("term").cast("double").as("kl_nats"))
+        .orderBy("source")
+    },
+    Some("""WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      g AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+        FROM st GROUP BY 1, 2),
+      tot AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM g GROUP BY 1),
+      srct AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM g GROUP BY 1),
+      term AS (SELECT g.source, srct.t_s,
+          CAST((CAST(g.c_st AS DOUBLE) / CAST(srct.t_s AS DOUBLE)) *
+            (ln(CAST(g.c_st AS DOUBLE)) + ln(CAST((SELECT sum(t_s) FROM srct) AS DOUBLE))
+             - ln(CAST(srct.t_s AS DOUBLE)) - ln(CAST(tot.c_t AS DOUBLE)))
+            AS DECIMAL(28,6)) AS term
+        FROM g JOIN tot ON g.t = tot.t JOIN srct ON g.source = srct.source)
+      SELECT source, max(t_s) AS n_tokens, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(term) AS DOUBLE) AS kl_nats
+      FROM term GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  /** q198: TWO-SAMPLE KOLMOGOROV–SMIRNOV distance between the 'en'
+    * and 'de' length distributions — the distribution-drift gate
+    * (release N vs N+1, source A vs B) that needs no binning choice:
+    * D = max_x |F₁(x) − F₂(x)|. Same histogram-first trick as q195:
+    * per-value counts per arm (map-side), cumulate over the sorted
+    * value histogram, and the max of |cum₁·n₂ − cum₂·n₁| stays
+    * integer (cross-multiplied; the division happens once, on the
+    * final row). Emits the statistic AND its argmax location.
+    *
+    * 100 TB shape: one exchange to |distinct values| rows; window +
+    * max over the histogram only. DECIMAL(38,0) cross-products
+    * (cum·n overflows int64 past ~3B rows a side).
+    */
+  private val q198KsTest = Q(
+    "q198_ks_test",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("n_chars").as("v")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("a"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("b"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("v"),
+        sum("a").over(w).as("ca"), sum("b").over(w).as("cb"))
+      val tot = cum.agg(max("ca").as("na"), max("cb").as("nb"))
+      val gap = cum.crossJoin(broadcast(tot))
+        .select(col("v"), col("na"), col("nb"),
+          abs((col("ca").cast("decimal(38,0)") * col("nb") -
+            col("cb").cast("decimal(38,0)") * col("na"))
+            .cast("decimal(38,0)")).as("gap"))
+      gap.orderBy(col("gap").desc, col("v")).limit(1)
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          col("v").as("argmax_v"),
+          round(col("gap").cast("double") /
+            (col("na").cast("decimal(38,0)") * col("nb")).cast("double"), 6)
+            .as("ks6"))
+    },
+    Some("""WITH h AS (SELECT n_chars AS v,
+          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS a,
+          CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS b
+        FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+      c AS (SELECT v,
+          sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+          sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM h),
+      t AS (SELECT max(ca) AS na, max(cb) AS nb FROM c),
+      g AS (SELECT c.v, t.na, t.nb,
+          abs(CAST(c.ca AS DECIMAL(38,0)) * t.nb
+            - CAST(c.cb AS DECIMAL(38,0)) * t.na) AS gap
+        FROM c, t)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        v AS argmax_v,
+        round(CAST(gap AS DOUBLE) / CAST(CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE), 6) AS ks6
+      FROM g ORDER BY gap DESC, v LIMIT 1"""))
+
+  /** q199: DEGREE ASSORTATIVITY of the q149 interaction graph — the
+    * Pearson correlation of endpoint degrees across edges, the
+    * one-number answer to "do heavy users touch popular event types
+    * or niche ones" (negative = hub-and-spoke, the expected shape for
+    * a bipartite user/event-type graph; a sign flip flags a data
+    * regression). Reuses q149's edge construction exactly (user ↔
+    * salted event-type node, weight = interaction count, both
+    * directions) so the two graph audits can never diverge on what
+    * "the graph" is.
+    *
+    * Moments n, Σx, Σy, Σxy, Σx², Σy² accumulate in DECIMAL(38,0)
+    * (degree products at billions of edges overflow int64); r =
+    * num/√(dx·dy) is computed ONCE from the exact moments — sqrt and
+    * divide of identical doubles are IEEE-deterministic on both
+    * engines.
+    *
+    * 100 TB shape: degrees are one exchange on node id (uniform —
+    * event-type nodes are salted by h32); the two deg joins are
+    * co-keyed shuffle joins (or broadcasts when |nodes| is small);
+    * the moment aggregate map-side-combines to a single row.
+    */
+  private val q199Assortativity = Q(
+    "q199_assortativity",
+    (s, d) => {
+      val ue = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          (lit(2000000000L) + h32(col("event_type")) % 1000000000L).as("tid"))
+        .agg(count(lit(1)).as("w"))
+      val edges = ue.select(col("user_id").as("src"), col("tid").as("dst"))
+        .union(ue.select(col("tid").as("src"), col("user_id").as("dst")))
+      val deg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val degX = deg.select(col("id").as("xid"), col("deg").as("x"))
+      val degY = deg.select(col("id").as("yid"), col("deg").as("y"))
+      val xy = edges
+        .join(degX, col("src") === col("xid")).drop("xid")
+        .join(degY, col("dst") === col("yid")).drop("yid")
+      val m = xy.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      m.select(col("n").cast("long").as("n_edges"),
+        col("sxy").cast("double").as("sxy"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("assort6"))
+    },
+    Some("""WITH ue AS (SELECT user_id,
+          2000000000 + CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT)
+            % 1000000000 AS tid
+        FROM events GROUP BY user_id, event_type),
+      edges AS (SELECT user_id AS src, tid AS dst FROM ue
+                UNION ALL SELECT tid, user_id FROM ue),
+      deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY 1),
+      xy AS (SELECT dx.deg AS x, dy.deg AS y
+        FROM edges e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id),
+      m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+          CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+          CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+          CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+          CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+          CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM xy)
+      SELECT CAST(n AS BIGINT) AS n_edges,
+        CAST(sxy AS DOUBLE) AS sxy,
+        round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assort6
+      FROM m"""))
+
+  /** q200: GINI CONCENTRATION of the token-frequency distribution —
+    * "how much of the corpus is a few words": the vocabulary-health
+    * companion to q163's per-doc entropy (a Gini drift between
+    * releases flags template/boilerplate flooding before any quality
+    * model sees it). The naive form ranks every vocabulary entry
+    * (a global sort of |V| rows); here the vocabulary compresses to
+    * its COUNT-OF-COUNTS histogram first — frequency f occurring m_f
+    * times — and the rank-weighted sum telescopes per block: a run of
+    * m equal values starting at rank s contributes f·(m·s + m(m−1)/2)
+    * exactly. Gini = 2·S/(n·T) − (n+1)/n from exact integers.
+    *
+    * 100 TB shape: token counts (one uniform exchange, map-side
+    * combine), count-of-counts (second exchange, output ≈ thousands
+    * of distinct frequencies), window over the tiny histogram only.
+    * S and n·T are DECIMAL(38,0) (rank·freq products overflow int64
+    * at web scale).
+    */
+  private val q200GiniTokens = Q(
+    "q200_gini_tokens",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+      val hist = counts.groupBy("f").agg(count(lit(1)).as("m"))
+      val w = Window.orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = hist.withColumn("srank", sum("m").over(w) - col("m") + 1)
+      ranked.agg(
+          sum("m").cast("decimal(38,0)").as("n"),
+          sum((col("f") * col("m")).cast("decimal(38,0)")).as("tt"),
+          sum(expr("CAST(f AS DECIMAL(38,0)) * " +
+            "(CAST(m AS DECIMAL(38,0)) * srank + (m * (m - 1)) div 2)"))
+            .cast("decimal(38,0)").as("srw"))
+        .select(col("n").cast("long").as("n_types"),
+          col("tt").cast("long").as("n_tokens"),
+          round(lit(2).cast("double") * col("srw").cast("double") /
+            (col("n") * col("tt")).cast("double") -
+            (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+            .as("gini6"))
+    },
+    Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1),
+      h AS (SELECT f, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+      r AS (SELECT f, m,
+          sum(m) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) - m + 1 AS srank
+        FROM h)
+      SELECT CAST(sum(m) AS BIGINT) AS n_types,
+        CAST(sum(f * m) AS BIGINT) AS n_tokens,
+        round(2.0 * CAST(sum(CAST(f AS DECIMAL(38,0))
+            * (CAST(m AS DECIMAL(38,0)) * srank + (m * (m - 1)) // 2)) AS DOUBLE)
+          / CAST(CAST(sum(m) AS DECIMAL(38,0)) * sum(f * m) AS DOUBLE)
+          - CAST(sum(m) + 1 AS DOUBLE) / CAST(sum(m) AS DOUBLE), 6) AS gini6
+      FROM r"""))
+
+  /** q201: GOOD–TURING FREQUENCY SMOOTHING — the adjusted-count table
+    * r* = (r+1)·N_{r+1}/N_r for the low-frequency band (the 10
+    * smallest observed frequencies — an absolute r ≤ 10 cut can be
+    * empty when the corpus has no rare tokens) plus
+    * the unseen-mass estimate p₀ = N₁/T, from the SAME count-of-counts
+    * histogram as q200 (the two vocabulary audits share their heavy
+    * pass by construction). This is what a language-model pipeline
+    * uses to discount singleton/doubleton token probabilities (q93's
+    * bigram LM and q174's backoff are the consumers). Everything is
+    * integer: rstar_e6 = (r+1)·N_{r+1}·1e6 div N_r.
+    *
+    * 100 TB shape: identical to q200 through the histogram; the
+    * adjacent-frequency lookup is a self-join of the ≤ thousands-row
+    * histogram on f+1 — broadcast, driver-invisible.
+    */
+  private val q201GoodTuring = Q(
+    "q201_good_turing",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("m"))
+      val tot = hist.agg(sum(expr("f * m")).as("tt"))
+      val nxt = hist.select(col("f").as("f1"), col("m").as("m1"))
+      hist.orderBy("f").limit(10)
+        .join(broadcast(nxt), col("f1") === col("f") + 1, "left")
+        .crossJoin(broadcast(tot))
+        .select(col("f").as("r"), col("m").as("n_r"),
+          expr("(f + 1) * coalesce(m1, CAST(0 AS BIGINT)) * 1000000 div m")
+            .as("rstar_e6"),
+          expr("(m * 1000000) div tt").as("share_e6"))
+        .orderBy("r")
+    },
+    Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1),
+      h AS (SELECT f, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+      t AS (SELECT CAST(sum(f * m) AS BIGINT) AS tt FROM h)
+      SELECT h.f AS r, h.m AS n_r,
+        (h.f + 1) * COALESCE(n.m, 0) * 1000000 // h.m AS rstar_e6,
+        (h.m * 1000000) // t.tt AS share_e6
+      FROM (SELECT * FROM h ORDER BY f LIMIT 10) h
+      LEFT JOIN h n ON n.f = h.f + 1, t
+      ORDER BY 1"""))
+
+  /** q202: CUPED VARIANCE REDUCTION — the experiment-measurement
+    * primitive: per-user post-period metric adjusted by the
+    * pre-period covariate (θ = cov(y,x)/var(x); adjusted variance
+    * shrinks by exactly ρ²). The time split is the midpoint of the
+    * observed span ((min+max) div 2 in epoch micros — exact integer,
+    * no calendar parsing); per-user sums quantize value to e6
+    * fixed-point BEFORE summing (floor(value·1e6) — double sums are
+    * merge-order-dependent, quantized longs are not).
+    *
+    * 100 TB shape: span bounds are one all-reduce row (broadcast
+    * back); per-user pre/post sums are ONE exchange on user_id with
+    * conditional map-side partials; the moment aggregate collapses to
+    * a single row. θ and ρ² are final rationals of DECIMAL(38,0)
+    * moments.
+    */
+  private val q202Cuped = Q(
+    "q202_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(1e6)).cast("long").as("v6"))
+      val span = ev.agg(
+        ((min("us") + max("us")) / 2).cast("long").as("cut"))
+      val per = ev.crossJoin(broadcast(span))
+        .groupBy("user_id")
+        .agg(sum(when(col("us") < col("cut"), col("v6")).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("cut"), col("v6")).otherwise(0L)).as("y"))
+      val m = per.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)")
+          .as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)")
+          .as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)")
+          .as("syy"))
+      // moments exceed the DECIMAL(38) product lattice (sxy² needs ~76
+      // digits); both engines therefore cast each EXACT moment to
+      // double once and do the final ratios in IEEE double — identical
+      // inputs, identical operations, identical rounding.
+      val (nD, sxD, syD) =
+        (col("n").cast("double"), col("sx").cast("double"),
+          col("sy").cast("double"))
+      val (sxyD, sxxD, syyD) =
+        (col("sxy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"))
+      val covN = nD * sxyD - sxD * syD
+      val varX = nD * sxxD - sxD * sxD
+      val varY = nD * syyD - syD * syD
+      m.select(col("n").cast("long").as("n_users"),
+        round(covN / varX, 6).as("theta6"),
+        round(covN * covN / (varX * varY), 6).as("var_reduction6"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+          CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events),
+      cut AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS cut FROM ev),
+      per AS (SELECT user_id,
+          CAST(sum(CASE WHEN us < cut THEN v6 ELSE 0 END) AS BIGINT) AS x,
+          CAST(sum(CASE WHEN us >= cut THEN v6 ELSE 0 END) AS BIGINT) AS y
+        FROM ev, cut GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+          CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+          CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+          CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+          CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+          CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+        FROM per)
+      SELECT CAST(n AS BIGINT) AS n_users,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta6,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          AS var_reduction6
+      FROM m"""))
+
+  /** q203: CROSS-SOURCE DUPLICATION MATRIX — q23's MinHash-LSH
+    * candidate pairs rolled up to (source, source) cells: the
+    * provenance view of near-duplication ("mirror sites", "same feed
+    * ingested twice") that decides which SOURCE to drop, where
+    * doc-level dedup (q67) only decides which DOC. Reuses
+    * [[graft.ops.Dedup]] band signatures + bucketed candidates
+    * verbatim, so the matrix can never disagree with the dedup run
+    * it summarizes; sources attach by joining `documents` twice on
+    * doc id; cells key on (least, greatest) so the matrix is
+    * symmetric-upper.
+    *
+    * 100 TB shape: everything up to pairs is q23's audited bucketed
+    * path (no all-pairs); the two source joins are co-keyed on doc id
+    * (broadcast when the pair set is small — the common case after
+    * banding); the final groupBy lands on |sources|² cells.
+    */
+  private val q203DupMatrix = Q(
+    "q203_dup_matrix",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      val pairs = graft.ops.Dedup.candidates(graft.ops.Dedup.bandSignatures(doc))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val sa = src.select(col("doc_id").as("a_id"), col("source").as("src_a"))
+      val sb = src.select(col("doc_id").as("b_id"), col("source").as("src_b"))
+      pairs.join(sa, "a_id").join(sb, "b_id")
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"),
+          col("n_bands"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"), sum("n_bands").as("sum_bands"))
+        .orderBy("src_lo", "src_hi")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                  CAST(count(*) AS BIGINT) AS n_bands
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+      SELECT least(da.source, db.source) AS src_lo,
+        greatest(da.source, db.source) AS src_hi,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(p.n_bands) AS BIGINT) AS sum_bands
+      FROM pairs p JOIN documents da ON p.a_id = da.doc_id
+        JOIN documents db ON p.b_id = db.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q204: PSI DISTRIBUTION DRIFT (population stability index) —
+    * the per-bin pre/post drift table over the event-value
+    * distribution, the monitoring gate between dataset releases
+    * (PSI > 0.2 is the classic "investigate" threshold). Same
+    * midpoint time split as q202 (exact integer micros); bins are
+    * floor(value); Laplace +1 smoothing keeps empty bins finite
+    * deterministically. Each bin's term (p−q)·ln(p/q) takes ln of a
+    * quotient of exact integers (q197 discipline) and is emitted
+    * per-bin (round-6) — the summary PSI is the dsum6 of the very
+    * table being audited.
+    *
+    * 100 TB shape: one exchange on bin id (bounded domain) with
+    * conditional map-side partials; bin-count and half-totals are a
+    * broadcast row; no windows, no joins on big sides.
+    */
+  private val q204PsiDrift = Q(
+    "q204_psi_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        unix_micros(col("ts")).as("us"),
+        floor(col("value")).cast("long").as("bin"))
+      val span = ev.agg(((min("us") + max("us")) / 2).cast("long").as("cut"))
+      val bins = ev.crossJoin(broadcast(span))
+        .groupBy("bin")
+        .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("c_pre"),
+          sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("c_post"))
+      val tot = bins.agg(sum("c_pre").as("n_pre"), sum("c_post").as("n_post"),
+        count(lit(1)).as("nb"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("c_pre"), col("c_post"),
+          round(((col("c_pre") + 1).cast("double") /
+              (col("n_pre") + col("nb")).cast("double") -
+            (col("c_post") + 1).cast("double") /
+              (col("n_post") + col("nb")).cast("double")) *
+            log(((col("c_pre") + 1) * (col("n_post") + col("nb"))).cast("double") /
+              ((col("c_post") + 1) * (col("n_pre") + col("nb"))).cast("double")),
+            6).as("term6"))
+        .orderBy("bin")
+    },
+    Some("""WITH ev AS (SELECT epoch_us(ts) AS us,
+          CAST(floor(value) AS BIGINT) AS bin FROM events),
+      cut AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS cut FROM ev),
+      b AS (SELECT bin,
+          CAST(count(*) FILTER (WHERE us < cut) AS BIGINT) AS c_pre,
+          CAST(count(*) FILTER (WHERE us >= cut) AS BIGINT) AS c_post
+        FROM ev, cut GROUP BY 1),
+      t AS (SELECT CAST(sum(c_pre) AS BIGINT) AS n_pre,
+          CAST(sum(c_post) AS BIGINT) AS n_post,
+          CAST(count(*) AS BIGINT) AS nb FROM b)
+      SELECT bin, c_pre, c_post,
+        round((CAST(c_pre + 1 AS DOUBLE) / CAST(n_pre + nb AS DOUBLE)
+          - CAST(c_post + 1 AS DOUBLE) / CAST(n_post + nb AS DOUBLE))
+          * ln(CAST((c_pre + 1) * (n_post + nb) AS DOUBLE)
+            / CAST((c_post + 1) * (n_pre + nb) AS DOUBLE)), 6) AS term6
+      FROM b, t ORDER BY bin"""))
+
+  /** q206: NDCG@10 RANKING QUALITY — the graded-relevance audit of
+    * the q83 BM25 ranker (completing the retrieval-metrics row that
+    * q181 opened with recall@10): planted deterministic relevance
+    * grades rel ∈ {0..3} = h32("rel:"+doc_id) % 4, gains (2^rel − 1),
+    * discounts 1/log₂(rank+1). DCG sums the actual top-10 (score
+    * desc, doc_id ties), IDCG the ideal top-10 (rel desc, doc_id
+    * ties); both are dsum6 of per-rank round-6 terms ([[dsum6]]
+    * discipline — log₂ of exact integers, q163/q197 precedent).
+    *
+    * 100 TB shape: both rankings are TakeOrdered(10) (bounded heap,
+    * no global sort), ranks attach with a 10-row window, the rest is
+    * driver-row arithmetic. The BM25 scoring pass itself is q83's
+    * audited map-side shape (corpus stats broadcast, no corpus
+    * shuffle).
+    */
+  private val q206Ndcg = Q(
+    "q206_ndcg",
+    (s, d) => {
+      val rel = h32(concat(lit("rel:"), col("doc_id").cast("string"))) % 4
+      val scored = Curation.bm25Scored(s, d)
+        .select(col("doc_id"), col("score"), rel.as("rel"))
+      // gain = 2^rel − 1 over rel ∈ {0..3}, as the same literal CASE
+      // in both engines (DuckDB's `**` returns DOUBLE with its own
+      // typing; a shared integer CASE cannot diverge)
+      val gain = expr(
+        "CAST(CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS DOUBLE)")
+      val wTop = Window.orderBy(col("score").desc, col("doc_id"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(wTop))
+      val wIdeal = Window.orderBy(col("rel").desc, col("doc_id"))
+      val ideal = scored.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(wIdeal))
+      def dcg(df: org.apache.spark.sql.DataFrame) = df.select(
+        round(gain / log2(col("rank").cast("double") + 1), 6)
+          .cast("decimal(28,6)").as("term"))
+        .agg(sum("term").as("s"))
+      dcg(top).crossJoin(dcg(ideal).withColumnRenamed("s", "si"))
+        .select(col("s").cast("double").as("dcg6"),
+          col("si").cast("double").as("idcg6"),
+          round(col("s").cast("double") / col("si").cast("double"), 6)
+            .as("ndcg6"))
+    },
+    Some(s"""WITH ${Curation.bm25ScoredCtes},
+      rel AS (SELECT doc_id, score,
+          CAST('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 4 AS rel
+        FROM scored),
+      top AS (SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id)
+            AS rank
+          FROM rel ORDER BY score DESC, doc_id LIMIT 10),
+      ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+            AS rank
+          FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+      d AS (SELECT CAST(sum(CAST(round(
+            CAST(CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS DOUBLE)
+            / log2(CAST(rank AS DOUBLE) + 1), 6) AS DECIMAL(28,6)))
+            AS DOUBLE) AS dcg6 FROM top),
+      i AS (SELECT CAST(sum(CAST(round(
+            CAST(CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS DOUBLE)
+            / log2(CAST(rank AS DOUBLE) + 1), 6) AS DECIMAL(28,6)))
+            AS DOUBLE) AS idcg6 FROM ideal)
+      SELECT d.dcg6, i.idcg6, round(d.dcg6 / i.idcg6, 6) AS ndcg6
+      FROM d, i"""))
+
+  /** q207: CALIBRATION / RELIABILITY TABLE for the q106 hashed-feature
+    * classifier — fixed-width margin bins vs the empirical positive
+    * rate per bin, the diagnostic that says whether a filter's scores
+    * can be thresholded by probability (and the input to Platt-style
+    * recalibration). Uses q106's EXACT weight function (same md5
+    * bucket hash, same milli-weights — restated verbatim so the two
+    * entries cannot drift), labels = lang='en' (the q195 convention).
+    * Everything integer: bin = margin div 5000, pos_e6 = n_pos·1e6
+    * div n.
+    *
+    * 100 TB shape: margin is q106's audited map-side fold (no
+    * explode, no shuffle); one exchange to the bounded bin domain
+    * with map-side partials.
+    */
+  private val q207Calibration = Q(
+    "q207_calibration",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      // q106's weight function, verbatim (Curation.scala q106)
+      val weight = (t: org.apache.spark.sql.Column) =>
+        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
+          lit(2001L)) - lit(1000L)
+      Tables.documents(s, d)
+        .select(
+          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("margin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(floor(col("margin").cast("double") / lit(5000.0))
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+          sum("margin").as("sum_margin"))
+        .select(col("bin"), col("n_docs"), col("n_pos"), col("sum_margin"),
+          expr("(n_pos * 1000000) div n_docs").as("pos_e6"))
+        .orderBy("bin")
+    },
+    Some("""WITH ws AS (SELECT doc_id, lang,
+              unnest(string_split(text, ' ')) AS t
+            FROM documents),
+      sc AS (SELECT doc_id, max(lang) AS lang,
+               CAST(sum(CAST('0x' || substr(md5('w:' ||
+                     CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000) AS BIGINT)
+                 AS margin
+             FROM ws GROUP BY doc_id),
+      b AS (SELECT CAST(floor(CAST(margin AS DOUBLE) / 5000.0) AS BIGINT) AS bin,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, margin FROM sc)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(pos) AS BIGINT) AS n_pos,
+        CAST(sum(margin) AS BIGINT) AS sum_margin,
+        CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS pos_e6
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
+  /** q208: k-CENTER GREEDY CORESET (farthest-point traversal) — the
+    * diversity-selection primitive for training-data subset choice
+    * ("pick 8 maximally-spread exemplars"): seed at the smallest
+    * vec_id, then 7 rounds of argmax-of-min-distance. Distances are
+    * EXACT integer squared-L2 over e6-quantized embeddings (diff ≤
+    * 4e6 → diff² ≤ 1.6e13 → ×64 dims ≤ ~1e15, inside int64), ties
+    * break on vec_id, so the trajectory is engine-exact — no float
+    * argmax flapping.
+    *
+    * 100 TB shape: each round is one scan-stage zip_with/aggregate
+    * projection against the NEWEST center (a plan literal — the
+    * N-side never shuffles, q47's rule) plus a TakeOrdered(1); dmin
+    * folds forward with least(), so round k costs one corpus pass and
+    * the driver holds only k rows. k is bounded (8); the oracle
+    * unrolls the same rounds as CTEs (q149 precedent).
+    */
+  private val q208KcenterCoreset = Q(
+    "q208_kcenter_coreset",
+    (s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+      def d2(center: Seq[Long]) = {
+        val c = typedLit(center)
+        aggregate(zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val seed = q.orderBy("vec_id").limit(1)
+        .collect().head
+      var picks = Seq((seed.getLong(0), 0L))
+      var state = q.withColumn("dmin",
+        d2(seed.getSeq[Long](1)))
+      for (_ <- 1 to 7) {
+        val next = state.filter(!col("vec_id").isInCollection(picks.map(_._1)))
+          .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .collect().head
+        picks = picks :+ (next.getLong(0), next.getAs[Long]("dmin"))
+        val cvec = next.getSeq[Long](1)
+        state = state.withColumn("dmin", least(col("dmin"), d2(cvec)))
+      }
+      val rows = picks.zipWithIndex.map { case ((id, dm), i) =>
+        (i.toLong, id, dm)
+      }
+      s.createDataFrame(rows).toDF("sel_order", "vec_id", "d2_at_pick")
+    },
+    Some {
+      val rounds = (1 to 7).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT a.vec_id,
+            least(d${k - 1}.dmin, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT))
+              AS dmin
+          FROM qe a JOIN qe b ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM p$k)
+          JOIN d${k - 1} ON a.vec_id = d${k - 1}.vec_id
+          GROUP BY a.vec_id, d${k - 1}.dmin),
+      p${k + 1} AS MATERIALIZED (SELECT vec_id, dmin FROM d$k
+          WHERE vec_id NOT IN (SELECT vec_id FROM picked${k})
+          ORDER BY dmin DESC, vec_id LIMIT 1),
+      picked${k + 1} AS MATERIALIZED (SELECT vec_id FROM picked$k
+          UNION ALL SELECT vec_id FROM p${k + 1})"""
+      }.mkString(",\n      ")
+      val sel = (1 to 8).map { k =>
+        s"SELECT CAST(${k - 1} AS BIGINT) AS sel_order, vec_id, " +
+          (if (k == 1) "CAST(0 AS BIGINT) AS d2_at_pick" else "dmin AS d2_at_pick") +
+          s" FROM p$k"
+      }.mkString("\n      UNION ALL ")
+      s"""WITH qe AS MATERIALIZED (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM embeddings),
+      p1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM embeddings),
+      picked1 AS MATERIALIZED (SELECT vec_id FROM p1),
+      d0 AS MATERIALIZED (SELECT a.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dmin
+        FROM qe a JOIN qe b ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM p1)
+        GROUP BY a.vec_id),
+      $rounds
+      SELECT * FROM ($sel) ORDER BY sel_order"""
+    })
+
+  /** q209: POISSON BOOTSTRAP REPLICATES — hash-deterministic
+    * uncertainty for any corpus statistic (here: mean doc length),
+    * the resampling complement to q187's jackknife: replicate b
+    * weights each row by a deterministic approximate Poisson(1) draw
+    * (u = h32("boot:"+id+":"+b) % 1e6 cut against the exact
+    * cumulative-Poisson e6 thresholds), so every engine — and every
+    * re-run — sees the same 16 resamples. Per-replicate mean =
+    * Σw·x·1e6 div Σw, integer end-to-end.
+    *
+    * 100 TB shape: the 16× explode is a bounded constant factor that
+    * partial-aggregates map-side to 16 rows before the one exchange;
+    * weights are pure row-local hash arithmetic (no state, no joins).
+    * This is the standard production trick precisely BECAUSE the
+    * classical resample-n-rows bootstrap cannot be computed in one
+    * pass at scale.
+    */
+  private val q209Bootstrap = Q(
+    "q209_bootstrap",
+    (s, d) => {
+      // cumulative Poisson(1) mass in e6 fixed-point: P(X<=k)·1e6
+      val cuts = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+        999406L, 999917L, 999990L)
+      val b = explode(sequence(lit(0), lit(15))).as("b")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), b)
+      val u = h32(concat(lit("boot:"), col("doc_id").cast("string"),
+        lit(":"), col("b").cast("string"))) % 1000000L
+      val w = cuts.zipWithIndex.foldRight(lit(8L): org.apache.spark.sql.Column) {
+        case ((cut, k), el) => when(u < cut, k.toLong).otherwise(el)
+      }
+      base.select(col("b"), col("n_chars"), w.as("w"))
+        .groupBy("b")
+        .agg(sum("w").as("n_eff"),
+          sum(expr("w * n_chars")).as("swx"))
+        .select(col("b"), col("n_eff"),
+          expr("(swx * 1000000) div n_eff").as("mean_e6"))
+        .orderBy("b")
+    },
+    Some {
+      val cuts = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+        999406L, 999917L, 999990L)
+      val caseExpr = cuts.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH base AS (SELECT doc_id, n_chars, b
+          FROM documents CROSS JOIN (SELECT unnest(range(16)) AS b)),
+      uw AS (SELECT b, n_chars,
+          CAST('0x' || substr(md5('boot:' || CAST(doc_id AS VARCHAR) || ':'
+            || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u
+        FROM base),
+      ww AS (SELECT b, n_chars, $caseExpr AS w FROM uw)
+      SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        CAST((CAST(sum(w * n_chars) AS BIGINT) * 1000000) // sum(w) AS BIGINT) AS mean_e6
+      FROM ww GROUP BY 1 ORDER BY 1"""
+    })
+
+  val queries: Seq[Q] = Seq(
+    q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
+    q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
+    q203DupMatrix, q204PsiDrift, q206Ndcg, q207Calibration,
+    q208KcenterCoreset, q209Bootstrap)
+}

@@ -84,7 +84,8 @@ object Registry {
       Coverage.queries ++ Sources.queries ++ Api.queries ++ EndToEnd.queries ++
       Sinks.queries ++ Training.queries ++ Analytics.queries ++
       Curation.queries ++ Linkage.queries ++ ScaleOps.queries ++
-      Corpus.queries ++ Vectors.queries ++ Temporal.queries ++ Govern.queries
+      Corpus.queries ++ Vectors.queries ++ Temporal.queries ++ Govern.queries ++
+      Evaluate.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

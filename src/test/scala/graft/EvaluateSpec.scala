@@ -1,0 +1,285 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Driver-side recomputation pins for the Evaluate family (q195–q199):
+  * each distributed histogram/moment formulation must equal the naive
+  * all-rows definition computed in plain Scala on the sf0.001 slice,
+  * plus the analytic range laws (AUC∈[0,1], KL≥0, KS∈[0,1],
+  * assortativity∈[−1,1]).
+  */
+class EvaluateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = Registry.byName(name).fn(spark, dir)
+
+  test("q195: histogram rank-sum AUC equals the naive pairwise AUC") {
+    val row = run("q195_auc_rank").collect().head
+    val docs = Tables.documents(spark, dir)
+      .select(col("n_chars"), (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val ps = docs.filter(_._2).map(_._1)
+    val ns = docs.filterNot(_._2).map(_._1)
+    // naive O(n_pos·n_neg): wins + half-ties, doubled to stay integer
+    val u2 = (for (p <- ps; n <- ns) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(row.getAs[Long]("n_pos") === ps.length.toLong)
+    assert(row.getAs[Long]("n_neg") === ns.length.toLong)
+    assert(row.getAs[Double]("u2") === u2.toDouble)
+    val auc = row.getAs[Double]("auc6")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(auc - u2.toDouble / (2.0 * ps.length * ns.length)) < 1e-6)
+  }
+
+  test("q196: closed-form slope/intercept equal naive least squares") {
+    val rows = run("q196_ols_trend").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("slope6"), r.getAs[Double]("intercept6"))).toMap
+    val pts = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("double"),
+        col("n_chars").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    for ((src, g) <- pts.groupBy(_._1) if g.length >= 2) {
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(p => p._2 * p._3).sum
+      val sxx = g.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val (s6, i6) = rows(src)
+      assert(math.abs(s6 - slope) < 1e-4, s"slope mismatch for $src")
+      assert(math.abs(i6 - icept) < 1e-3, s"intercept mismatch for $src")
+    }
+  }
+
+  test("q197: per-source KL vs corpus is nonnegative (Gibbs) and matches naive") {
+    val rows = run("q197_kl_divergence").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats")).toMap
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val global = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length }
+    val tot = toks.length.toDouble
+    for ((src, xs) <- toks.groupBy(_._1)) {
+      val ts = xs.length.toDouble
+      val naive = xs.groupBy(_._2).map { case (t, g) =>
+        val p = g.length / ts
+        val q = global(t) / tot
+        BigDecimal(p * math.log(p / q)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val got = rows(src)
+      assert(got >= -1e-6, s"KL must be nonnegative for $src, got $got")
+      assert(math.abs(got - naive.toDouble) < 1e-4, s"KL mismatch for $src")
+    }
+  }
+
+  test("q198: histogram KS equals the brute-force ECDF sweep") {
+    val row = run("q198_ks_test").collect().head
+    val vs = Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "de"))
+      .select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val as = vs.filter(_._1 == "en").map(_._2).sorted
+    val bs = vs.filter(_._1 == "de").map(_._2).sorted
+    val grid = (as ++ bs).distinct.sorted
+    val d = grid.map { x =>
+      math.abs(as.count(_ <= x).toDouble / as.length -
+        bs.count(_ <= x).toDouble / bs.length)
+    }.max
+    assert(row.getAs[Long]("n_a") === as.length.toLong)
+    assert(row.getAs[Long]("n_b") === bs.length.toLong)
+    val ks = row.getAs[Double]("ks6")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(math.abs(ks - d) < 1e-6, s"KS mismatch: got $ks want $d")
+  }
+
+  test("q200: count-of-counts Gini equals the naive sorted-rank form") {
+    val row = run("q200_gini_tokens").collect().head
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .collect().map(_.getLong(1)).sorted
+    val n = counts.length.toDouble
+    val tot = counts.sum.toDouble
+    val srw = counts.zipWithIndex.map { case (x, i) => (i + 1) * x.toDouble }.sum
+    val gini = 2.0 * srw / (n * tot) - (n + 1) / n
+    assert(row.getAs[Long]("n_types") === counts.length.toLong)
+    assert(row.getAs[Long]("n_tokens") === counts.sum)
+    val got = row.getAs[Double]("gini6")
+    assert(got >= 0.0 && got < 1.0)
+    assert(math.abs(got - gini) < 1e-6, s"gini mismatch: got $got want $gini")
+  }
+
+  test("q201: Good–Turing adjusted counts satisfy the r* identity") {
+    val rows = run("q201_good_turing").collect()
+    assert(rows.length === 10, "the 10 smallest frequencies must be present")
+    val hist = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tt = hist.map { case (f, m) => f * m }.sum
+    rows.foreach { r =>
+      val (rr, nr) = (r.getAs[Long]("r"), r.getAs[Long]("n_r"))
+      assert(hist(rr) === nr)
+      val want = (rr + 1) * hist.getOrElse(rr + 1, 0L) * 1000000L / nr
+      assert(r.getAs[Long]("rstar_e6") === want, s"r*=$rr")
+      assert(r.getAs[Long]("share_e6") === nr * 1000000L / tt)
+    }
+  }
+
+  test("q202: CUPED theta equals naive covariance ratio; reduction is rho^2 in [0,1]") {
+    val row = run("q202_cuped").collect().head
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(1e6)).cast("long").as("v6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val per = ev.groupBy(_._1).map { case (_, xs) =>
+      (xs.filter(_._2 < cut).map(_._3).sum.toDouble,
+        xs.filter(_._2 >= cut).map(_._3).sum.toDouble)
+    }.toSeq
+    val n = per.length.toDouble
+    val sx = per.map(_._1).sum; val sy = per.map(_._2).sum
+    val sxy = per.map(p => p._1 * p._2).sum
+    val sxx = per.map(p => p._1 * p._1).sum
+    val syy = per.map(p => p._2 * p._2).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val rho2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(row.getAs[Long]("n_users") === per.length.toLong)
+    assert(math.abs(row.getAs[Double]("theta6") - theta) < 1e-4)
+    val vr = row.getAs[Double]("var_reduction6")
+    assert(vr >= 0.0 && vr <= 1.0)
+    assert(math.abs(vr - rho2) < 1e-4)
+  }
+
+  test("q203: duplication matrix conserves q23's pair set") {
+    val matrix = run("q203_dup_matrix").collect()
+    val pairs = run("q23_minhash_lsh").count()
+    assert(matrix.map(_.getAs[Long]("n_pairs")).sum === pairs,
+      "matrix cells must partition the LSH candidate pairs")
+    matrix.foreach { r =>
+      assert(r.getAs[String]("src_lo") <= r.getAs[String]("src_hi"),
+        "matrix must be symmetric-upper")
+    }
+  }
+
+  test("q204: PSI terms are individually nonnegative and conserve event counts") {
+    val rows = run("q204_psi_drift").collect()
+    // (p−q)·ln(p/q) ≥ 0 for every bin — sign(p−q) = sign(ln(p/q))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("term6") >= -1e-9,
+        s"PSI term negative at bin ${r.getAs[Long]("bin")}")
+    }
+    val total = rows.map(r =>
+      r.getAs[Long]("c_pre") + r.getAs[Long]("c_post")).sum
+    assert(total === Tables.events(spark, dir).count(),
+      "pre+post bin counts must partition the events")
+  }
+
+  test("q206: NDCG is the DCG/IDCG ratio and IDCG dominates DCG") {
+    val row = run("q206_ndcg").collect().head
+    val (dcg, idcg, ndcg) = (row.getAs[Double]("dcg6"),
+      row.getAs[Double]("idcg6"), row.getAs[Double]("ndcg6"))
+    assert(idcg >= dcg, "ideal ranking must dominate the actual ranking")
+    assert(ndcg >= 0.0 && ndcg <= 1.0)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-6)
+    // driver recompute of IDCG from planted relevances over all docs
+    val rels = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (graft.functions.Portable.h32(
+          concat(lit("rel:"), col("doc_id").cast("string"))) % 4).as("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, rel) => (-rel, id) }.take(10)
+    val idcgNaive = rels.zipWithIndex.map { case ((_, rel), i) =>
+      BigDecimal(((1L << rel.toInt) - 1).toDouble /
+        (math.log(i + 2.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(idcg - idcgNaive) < 1e-6, s"IDCG: got $idcg want $idcgNaive")
+  }
+
+  test("q207: calibration bins conserve docs and bound their rates") {
+    val rows = run("q207_calibration").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val (n, p, e6) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("pos_e6"))
+      assert(p >= 0 && p <= n)
+      assert(e6 === p * 1000000L / n, "pos_e6 must be the exact floor ratio")
+    }
+  }
+
+  test("q208: greedy k-center trajectory equals the naive driver replay") {
+    val rows = run("q208_kcenter_coreset").collect()
+      .map(r => (r.getAs[Long]("sel_order"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("d2_at_pick"))).sortBy(_._1)
+    assert(rows.length === 8)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var picks = Seq(vecs.keys.min)
+    var dmin = vecs.map { case (id, v) => id -> d2(v, vecs(picks.head)) }
+    for (_ <- 1 to 7) {
+      val cand = dmin.filterNot { case (id, _) => picks.contains(id) }
+      val next = cand.toSeq.sortBy { case (id, dd) => (-dd, id) }.head._1
+      picks = picks :+ next
+      dmin = dmin.map { case (id, dd) =>
+        id -> math.min(dd, d2(vecs(id), vecs(next))) }
+    }
+    assert(rows.map(_._2).toSeq === picks,
+      "distributed trajectory must equal the naive greedy replay")
+  }
+
+  test("q209: bootstrap replicate means bracket the true mean") {
+    val rows = run("q209_bootstrap").collect()
+    assert(rows.length === 16)
+    val docs = Tables.documents(spark, dir).select("n_chars")
+      .collect().map(_.getLong(0))
+    val trueMean = docs.sum.toDouble / docs.length
+    val means = rows.map(_.getAs[Long]("mean_e6").toDouble / 1e6)
+    // Poisson(1) weights have mean 1: every replicate's effective n is
+    // within ±35% of n, and the replicate means straddle the truth
+    rows.foreach { r =>
+      val ne = r.getAs[Long]("n_eff").toDouble
+      assert(ne > docs.length * 0.65 && ne < docs.length * 1.35,
+        s"replicate ${r.getAs[Int]("b")} n_eff=$ne vs n=${docs.length}")
+    }
+    assert(means.min <= trueMean && trueMean <= means.max,
+      s"true mean $trueMean outside replicate range [${means.min}, ${means.max}]")
+  }
+
+  test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
+    val row = run("q199_assortativity").collect().head
+    val ue = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        (lit(2000000000L) +
+          graft.functions.Portable.h32(col("event_type")) % 1000000000L)
+          .as("tid"))
+      .agg(count(lit(1)))
+      .select("user_id", "tid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = ue.flatMap { case (u, t) => Seq((u, t), (t, u)) }
+    val deg = edges.groupBy(_._1).map { case (n, xs) => n -> xs.length.toDouble }
+    val pairs = edges.map { case (s, t) => (deg(s), deg(t)) }
+    val n = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val r = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(row.getAs[Long]("n_edges") === pairs.length.toLong)
+    val got = row.getAs[Double]("assort6")
+    assert(got >= -1.0 && got <= 1.0)
+    assert(math.abs(got - r) < 1e-5, s"assortativity mismatch: got $got want $r")
+  }
+}

@@ -1207,11 +1207,109 @@ object Cdc {
         OR f.last_type <> a.last_type OR f.last_value <> a.last_value
       ORDER BY user_id"""))
 
+  /** q205: STREAMING PSI DRIFT MONITOR — the online form of q204's
+    * batch PSI: the event span splits into exact integer-microsecond
+    * TERCILES; the first lands as the standing REFERENCE histogram,
+    * the two monitoring windows stream in as ordered micro-batches
+    * ([[Scratch.landFile]] mtime regime), and each batch emits one
+    * drift reading against the frozen baseline via
+    * [[graft.stream.StreamPsi.step]] (Overwrite-per-batch-id verdict
+    * subdirs — the q141/q175 exactly-once regime, so a retried batch
+    * rewrites its own reading). Arrival order matters only in that
+    * the reference must land first — which the mtime fixture pins —
+    * making this the drift monitor a release pipeline actually runs:
+    * baseline frozen once, every arriving window scored against it.
+    *
+    * 100 TB shape: the reference is an on-disk bounded-domain
+    * histogram (never state store, never driver memory); each window
+    * partial-aggregates map-side to the bin domain before a
+    * histogram-sized full-outer join; PSI arithmetic is q204's
+    * engine-exact formula. The oracle replays both windows closed-form.
+    */
+  private val q205StreamPsi = Q(
+    "q205_stream_psi",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-spsi-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val ev = Tables.events(s, d).select(unix_micros(col("ts")).as("us"),
+        floor(col("value")).cast("long").as("bin"))
+      val (lo, hi) = tsBoundsUs(Tables.events(s, d), "ts")
+      val t1 = lo + (hi - lo) / 3
+      val t2 = lo + (hi - lo) * 2 / 3
+      Seq(("1_ref", col("us") <= t1, 60000L),
+          ("2_w1", col("us") > t1 && col("us") <= t2, 120000L),
+          ("3_w2", col("us") > t2, 180000L)).foreach { case (n, p, mt) =>
+        Scratch.landFile(ev.filter(p).select("bin"), landing.toString,
+          s"$n.parquet", modTime = mt)
+      }
+      val refDir = s"$root/ref"
+      val verdictsDir = s"$root/verdicts"
+      val query = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("bin BIGINT"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.stream.StreamPsi.step(batch, id, refDir, verdictsDir)
+        }
+        .start()
+      query.awaitTermination()
+      Scratch.sealAndClean(
+        s.read.parquet(s"$verdictsDir/b1", s"$verdictsDir/b2")
+          .orderBy("window_id"),
+        root)
+    },
+    Some("""WITH ev AS (SELECT epoch_us(ts) AS us,
+          CAST(floor(value) AS BIGINT) AS bin FROM events),
+      sp AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+      t AS (SELECT lo + (hi - lo) // 3 AS t1,
+          lo + (hi - lo) * 2 // 3 AS t2 FROM sp),
+      refh AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+        FROM ev, t WHERE us <= t1 GROUP BY 1),
+      w1h AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+        FROM ev, t WHERE us > t1 AND us <= t2 GROUP BY 1),
+      w2h AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+        FROM ev, t WHERE us > t2 GROUP BY 1),
+      j1 AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+          COALESCE(r.c, 0) AS cr, COALESCE(c.c, 0) AS cc
+        FROM refh r FULL OUTER JOIN w1h c ON r.bin = c.bin),
+      s1 AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+          CAST(sum(cc) AS BIGINT) AS nc, CAST(count(*) AS BIGINT) AS nb
+        FROM j1),
+      j2 AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+          COALESCE(r.c, 0) AS cr, COALESCE(c.c, 0) AS cc
+        FROM refh r FULL OUTER JOIN w2h c ON r.bin = c.bin),
+      s2 AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+          CAST(sum(cc) AS BIGINT) AS nc, CAST(count(*) AS BIGINT) AS nb
+        FROM j2),
+      p1 AS (SELECT CAST(1 AS BIGINT) AS window_id, s1.nb AS n_bins,
+          s1.nr AS n_ref, s1.nc AS n_cur,
+          CAST(sum(CAST(round(
+            (CAST(cr + 1 AS DOUBLE) / CAST(nr + nb AS DOUBLE)
+              - CAST(cc + 1 AS DOUBLE) / CAST(nc + nb AS DOUBLE))
+            * ln(CAST((cr + 1) * (nc + nb) AS DOUBLE)
+              / CAST((cc + 1) * (nr + nb) AS DOUBLE)), 6)
+            AS DECIMAL(28,6))) AS DOUBLE) AS psi6
+        FROM j1, s1 GROUP BY 1, 2, 3, 4),
+      p2 AS (SELECT CAST(2 AS BIGINT) AS window_id, s2.nb AS n_bins,
+          s2.nr AS n_ref, s2.nc AS n_cur,
+          CAST(sum(CAST(round(
+            (CAST(cr + 1 AS DOUBLE) / CAST(nr + nb AS DOUBLE)
+              - CAST(cc + 1 AS DOUBLE) / CAST(nc + nb AS DOUBLE))
+            * ln(CAST((cr + 1) * (nc + nb) AS DOUBLE)
+              / CAST((cc + 1) * (nr + nb) AS DOUBLE)), 6)
+            AS DECIMAL(28,6))) AS DOUBLE) AS psi6
+        FROM j2, s2 GROUP BY 1, 2, 3, 4)
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY window_id"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
       q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin,
-      q139Compaction, q140StreamSessionize, q150VersionDiff)
+      q139Compaction, q140StreamSessionize, q150VersionDiff, q205StreamPsi)
 }

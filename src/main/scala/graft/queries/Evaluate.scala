@@ -865,9 +865,200 @@ object Evaluate {
       FROM ww GROUP BY 1 ORDER BY 1"""
     })
 
+  /** q211: PRECISION/RECALL/F1 THRESHOLD SWEEP over the q106
+    * classifier margin — the operating-point table that turns q195's
+    * single AUC number and q207's calibration bins into a deployable
+    * threshold choice: per candidate cutoff, the full confusion
+    * counts and F1 in exact integer millionths. Thresholds are fixed
+    * literals (the release-gate candidates), labels the q195/q207
+    * convention (lang='en').
+    *
+    * 100 TB shape: the margin is q106's map-side fold; the 5× explode
+    * against the threshold literals partial-aggregates to 5 rows
+    * before the single exchange (the q209 bounded-fan-out trick) —
+    * one corpus pass for the whole sweep, not one per threshold.
+    */
+  private val q211ThresholdSweep = Q(
+    "q211_threshold_sweep",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val weight = (t: org.apache.spark.sql.Column) =>
+        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
+          lit(2001L)) - lit(1000L)
+      val scored = Tables.documents(s, d)
+        .select(
+          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("margin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      scored
+        .select(col("margin"), col("pos"),
+          explode(typedLit(Seq(-10000L, -5000L, 0L, 5000L, 10000L)))
+            .as("thr"))
+        .groupBy("thr").agg(
+          sum(when(col("margin") >= col("thr"), col("pos")).otherwise(0L))
+            .as("tp"),
+          sum(when(col("margin") >= col("thr"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("margin") < col("thr"), col("pos")).otherwise(0L))
+            .as("fn"),
+          sum(when(col("margin") < col("thr"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("tn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_e6"))
+        .orderBy("thr")
+    },
+    Some("""WITH ws AS (SELECT doc_id, lang,
+              unnest(string_split(text, ' ')) AS t
+            FROM documents),
+      sc AS (SELECT doc_id, max(lang) AS lang,
+               CAST(sum(CAST('0x' || substr(md5('w:' ||
+                     CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000) AS BIGINT)
+                 AS margin
+             FROM ws GROUP BY doc_id),
+      lbl AS (SELECT margin,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM sc),
+      x AS (SELECT margin, pos, unnest([-10000, -5000, 0, 5000, 10000]) AS thr
+        FROM lbl)
+      SELECT CAST(thr AS BIGINT) AS thr,
+        CAST(sum(CASE WHEN margin >= thr THEN pos ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN margin >= thr THEN 1 - pos ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN margin < thr THEN pos ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN margin < thr THEN 1 - pos ELSE 0 END) AS BIGINT) AS tn,
+        CAST((2 * sum(CASE WHEN margin >= thr THEN pos ELSE 0 END) * 1000000)
+          // (2 * sum(CASE WHEN margin >= thr THEN pos ELSE 0 END)
+            + sum(CASE WHEN margin >= thr THEN 1 - pos ELSE 0 END)
+            + sum(CASE WHEN margin < thr THEN pos ELSE 0 END)) AS BIGINT) AS f1_e6
+      FROM x GROUP BY thr ORDER BY thr"""))
+
+  /** q212: WATER-FILLING TOKEN-BUDGET ALLOCATION — given a global
+    * token budget (60% of the corpus), derive the per-source uniform
+    * cap L and allocation min(Tₛ, L) that exactly exhausts it: small
+    * sources keep everything, large sources are capped at a SHARED
+    * level — the principled version of q73's fixed per-source cap,
+    * where the cap is an OUTPUT (solved from the budget), not an
+    * input. The breakpoint solves in closed form over the sorted
+    * source-size table: for sources sorted ascending, candidate level
+    * L_r = (B − cum_{r−1}) div (n − r + 1); the first r with
+    * L_r ≤ T_r is the cap (all-integer; if none, the budget covers
+    * the corpus and nothing is capped).
+    *
+    * 100 TB shape: per-source totals are one exchange to |sources|
+    * rows; the sort/window/breakpoint all run over that tiny table;
+    * applying the allocation downstream is a broadcast (source → cap)
+    * map-side filter, exactly q73's shape.
+    */
+  private val q212WaterFilling = Q(
+    "q212_water_filling",
+    (s, d) => {
+      val sizes = Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("t_s"))
+      val tot = sizes.agg(sum("t_s").as("tt"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("t_s"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = sizes.crossJoin(broadcast(tot))
+        .withColumn("r", row_number().over(Window.orderBy(col("t_s"), col("source"))))
+        .withColumn("cum", sum("t_s").over(w))
+        .withColumn("budget", expr("(tt * 6) div 10"))
+        .withColumn("lr", expr("(budget - (cum - t_s)) div (n - r + 1)"))
+      val cap = ranked.filter(col("lr") <= col("t_s"))
+        .agg(min(struct(col("r"), col("lr"))).as("brk"))
+        .select(coalesce(col("brk.lr"), lit(Long.MaxValue)).as("cap"))
+      ranked.crossJoin(broadcast(cap))
+        .select(col("source"), col("t_s"), col("budget"),
+          least(col("t_s"), col("cap")).as("allocated"),
+          (col("t_s") > col("cap")).as("capped"))
+        .orderBy("source")
+    },
+    Some("""WITH sizes AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_s
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS tt,
+          CAST(count(*) AS BIGINT) AS n FROM sizes),
+      ranked AS (SELECT source, t_s, tt, n,
+          CAST(row_number() OVER (ORDER BY t_s, source) AS BIGINT) AS r,
+          sum(t_s) OVER (ORDER BY t_s, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          (tt * 6) // 10 AS budget
+        FROM sizes, tot),
+      lv AS (SELECT *, (budget - (cum - t_s)) // (n - r + 1) AS lr FROM ranked),
+      cap AS (SELECT COALESCE(arg_min(lr, r), 9223372036854775807) AS cap
+        FROM lv WHERE lr <= t_s)
+      SELECT source, t_s, budget, CAST(least(t_s, cap) AS BIGINT) AS allocated,
+        t_s > cap AS capped
+      FROM lv, cap ORDER BY source"""))
+
+  /** q213: MINHASH CONTAINMENT CONFIRM — ASYMMETRIC near-duplication
+    * over the q23 candidate pairs: exact shingle containment
+    * |A∩B|/|A| and |A∩B|/|B|, the signal that separates "B quotes
+    * all of A" (drop A, keep B) from symmetric near-dups (q67 keeps
+    * one representative). Jaccard alone cannot see subset inclusion —
+    * a short doc fully contained in a long one has low Jaccard but
+    * containment 1.0. Reuses [[graft.ops.Dedup]]'s banded candidates
+    * verbatim (no all-pairs anywhere) and confirms only those.
+    *
+    * 100 TB shape: candidates are the audited bucketed path; the
+    * intersection attaches by joining the candidate pair list to the
+    * distinct (doc, shingle-hash) table twice on uniform keys —
+    * pair×shingle work is bounded by |candidates|·shingles-per-doc;
+    * set sizes broadcast back from the per-doc count table. Ratios
+    * are exact integer millionths.
+    */
+  private val q213ContainmentConfirm = Q(
+    "q213_containment_confirm",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      val pairs = graft.ops.Dedup.candidates(graft.ops.Dedup.bandSignatures(doc))
+        .select("a_id", "b_id")
+      val sh = doc.select(col("doc_id"), explode(col("hs")).as("h")).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      // intersection: shingles of a that b also has — h-keyed join
+      val aSh = pairs.join(sh.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      val ints = aSh
+        .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_int"))
+      pairs.join(ints, Seq("a_id", "b_id"), "left")
+        .na.fill(0L, Seq("n_int"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_int"), col("n_a"), col("n_b"),
+          expr("(n_int * 1000000) div n_a").as("cont_ab_e6"),
+          expr("(n_int * 1000000) div n_b").as("cont_ba_e6"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        FROM th GROUP BY 1),
+      ints AS (SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS n_int
+        FROM pairs p JOIN th a ON p.a_id = a.doc_id
+        JOIN th b ON p.b_id = b.doc_id AND a.h = b.h
+        GROUP BY 1, 2)
+      SELECT p.a_id, p.b_id, COALESCE(i.n_int, 0) AS n_int,
+        sa.n_sh AS n_a, sb.n_sh AS n_b,
+        (COALESCE(i.n_int, 0) * 1000000) // sa.n_sh AS cont_ab_e6,
+        (COALESCE(i.n_int, 0) * 1000000) // sb.n_sh AS cont_ba_e6
+      FROM pairs p LEFT JOIN ints i ON p.a_id = i.a_id AND p.b_id = i.b_id
+      JOIN sizes sa ON p.a_id = sa.doc_id
+      JOIN sizes sb ON p.b_id = sb.doc_id
+      ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
     q203DupMatrix, q204PsiDrift, q206Ndcg, q207Calibration,
-    q208KcenterCoreset, q209Bootstrap)
+    q208KcenterCoreset, q209Bootstrap, q211ThresholdSweep,
+    q212WaterFilling, q213ContainmentConfirm)
 }

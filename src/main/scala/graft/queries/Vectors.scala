@@ -608,8 +608,102 @@ object Vectors {
       FROM sil GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  /** q210: CLUSTER PURITY + NMI — EXTERNAL validation of the q47 IVF
+    * clustering against the ground-truth `label` column, completing
+    * the cluster-quality pair with q191 (silhouette is INTERNAL
+    * validation; purity/NMI judge against labels when you have them).
+    * Purity = Σ_cell max_label n(cell,label) / N — exact integer
+    * millionths; MI and the entropies take ln of exact-integer
+    * arguments only (N·n_cl / (n_c·n_l) decomposes into four ln's of
+    * counts — q197's discipline), each term round-6 before the
+    * DECIMAL(28,6) sum; NMI = MI/√(H_cell·H_label) as the one final
+    * double ratio.
+    *
+    * 100 TB shape: the assignment is [[graft.search.Ivf]]'s codegen
+    * NearestCentroid projection (codebook rides the plan; the N side
+    * never shuffles); the contingency table is ONE exchange on the
+    * bounded (cell, label) domain with map-side partials; marginals
+    * derive from the contingency rows (cells·labels ≪ N), broadcast
+    * back.
+    */
+  private val q210ClusterPurity = Q(
+    "q210_cluster_purity",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val assign = graft.search.Ivf.assignments(e, 25)
+      val ct = assign
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("n_cl"))
+      val cm = ct.groupBy("cell").agg(sum("n_cl").as("n_c"),
+        max("n_cl").as("max_cl"))
+      val lm = ct.groupBy("label").agg(sum("n_cl").as("n_l"))
+      val tot = cm.agg(sum("n_c").as("nn"), sum("max_cl").as("sum_max"),
+        count(lit(1)).as("n_cells"))
+      val hCell = cm.crossJoin(broadcast(tot))
+        .select(round((col("n_c").cast("double") / col("nn").cast("double")) *
+          (log(col("nn").cast("double")) - log(col("n_c").cast("double"))), 6)
+          .cast("decimal(28,6)").as("t"))
+        .agg(sum("t").cast("double").as("h_cell"))
+      val hLab = lm.crossJoin(broadcast(tot))
+        .select(round((col("n_l").cast("double") / col("nn").cast("double")) *
+          (log(col("nn").cast("double")) - log(col("n_l").cast("double"))), 6)
+          .cast("decimal(28,6)").as("t"))
+        .agg(sum("t").cast("double").as("h_label"))
+      val mi = ct.join(broadcast(cm.select("cell", "n_c")), "cell")
+        .join(broadcast(lm), "label")
+        .crossJoin(broadcast(tot))
+        .select(round((col("n_cl").cast("double") / col("nn").cast("double")) *
+          (log(col("nn").cast("double")) + log(col("n_cl").cast("double")) -
+            log(col("n_c").cast("double")) - log(col("n_l").cast("double"))), 6)
+          .cast("decimal(28,6)").as("t"))
+        .agg(sum("t").cast("double").as("mi"))
+      tot.crossJoin(hCell).crossJoin(hLab).crossJoin(mi)
+        .select(col("n_cells"), col("nn").as("n_vecs"),
+          expr("(sum_max * 1000000) div nn").as("purity_e6"),
+          col("mi").as("mi6"),
+          round(col("mi") / sqrt(col("h_cell") * col("h_label")), 6)
+            .as("nmi6"))
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+        FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+        FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn FROM sims) t WHERE rn = 1),
+      ct AS (SELECT a.cell, e.label, CAST(count(*) AS BIGINT) AS n_cl
+        FROM assign a JOIN embeddings e ON a.vid = e.vec_id GROUP BY 1, 2),
+      cm AS (SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n_c,
+          CAST(max(n_cl) AS BIGINT) AS max_cl FROM ct GROUP BY 1),
+      lm AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM ct GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS nn,
+          CAST(sum(max_cl) AS BIGINT) AS sum_max,
+          CAST(count(*) AS BIGINT) AS n_cells FROM cm),
+      hc AS (SELECT CAST(sum(CAST(round(
+          (CAST(n_c AS DOUBLE) / nn) * (ln(CAST(nn AS DOUBLE)) - ln(CAST(n_c AS DOUBLE))), 6)
+          AS DECIMAL(28,6))) AS DOUBLE) AS h_cell FROM cm, tot),
+      hl AS (SELECT CAST(sum(CAST(round(
+          (CAST(n_l AS DOUBLE) / nn) * (ln(CAST(nn AS DOUBLE)) - ln(CAST(n_l AS DOUBLE))), 6)
+          AS DECIMAL(28,6))) AS DOUBLE) AS h_label FROM lm, tot),
+      mi AS (SELECT CAST(sum(CAST(round(
+          (CAST(n_cl AS DOUBLE) / nn) *
+          (ln(CAST(nn AS DOUBLE)) + ln(CAST(n_cl AS DOUBLE))
+            - ln(CAST(cm.n_c AS DOUBLE)) - ln(CAST(lm.n_l AS DOUBLE))), 6)
+          AS DECIMAL(28,6))) AS DOUBLE) AS mi
+        FROM ct JOIN cm USING (cell) JOIN lm USING (label), tot)
+      SELECT tot.n_cells, tot.nn AS n_vecs,
+        (tot.sum_max * 1000000) // tot.nn AS purity_e6,
+        mi.mi AS mi6,
+        round(mi.mi / sqrt(hc.h_cell * hl.h_label), 6) AS nmi6
+      FROM tot, hc, hl, mi"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
     q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
-    q191Silhouette)
+    q191Silhouette, q210ClusterPurity)
 }

@@ -257,6 +257,80 @@ class EvaluateSpec extends AnyFunSuite {
       s"true mean $trueMean outside replicate range [${means.min}, ${means.max}]")
   }
 
+  test("q210: purity equals the contingency recompute; NMI bounded") {
+    val row = run("q210_cluster_purity").collect().head
+    val e = Tables.embeddings(spark, dir)
+    val ct = graft.search.Ivf.assignments(e, 25)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label").count()
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+    val n = ct.map(_._2).sum
+    val sumMax = ct.groupBy(_._1._1).map(_._2.map(_._2).max).sum
+    assert(row.getAs[Long]("n_vecs") === n)
+    assert(row.getAs[Long]("purity_e6") === sumMax * 1000000L / n)
+    val nmi = row.getAs[Double]("nmi6")
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9, s"NMI out of range: $nmi")
+    assert(row.getAs[Double]("mi6") >= -1e-6, "MI must be nonnegative")
+  }
+
+  test("q211: sweep counts are monotone in the threshold and conserve labels") {
+    val rows = run("q211_threshold_sweep").collect()
+      .sortBy(_.getAs[Long]("thr"))
+    assert(rows.length === 5)
+    val nPos = rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fn")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") === nPos)
+      val f1 = r.getAs[Long]("f1_e6")
+      assert(f1 >= 0L && f1 <= 1000000L)
+    }
+    val tps = rows.map(_.getAs[Long]("tp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b },
+      "raising the threshold cannot admit more true positives")
+    val tns = rows.map(_.getAs[Long]("tn"))
+    assert(tns.zip(tns.tail).forall { case (a, b) => a <= b },
+      "raising the threshold cannot lose true negatives")
+  }
+
+  test("q212: water-filling exhausts the budget with a uniform cap") {
+    val rows = run("q212_water_filling").collect()
+    val budget = rows.head.getAs[Long]("budget")
+    val allocated = rows.map(_.getAs[Long]("allocated")).sum
+    assert(allocated <= budget, s"allocation $allocated exceeds budget $budget")
+    val capped = rows.filter(_.getAs[Boolean]("capped"))
+    capped.foreach(r =>
+      assert(r.getAs[Long]("allocated") === capped.head.getAs[Long]("allocated"),
+        "every capped source must share one level"))
+    rows.filterNot(_.getAs[Boolean]("capped")).foreach(r =>
+      assert(r.getAs[Long]("allocated") === r.getAs[Long]("t_s"),
+        "uncapped sources keep everything"))
+    if (capped.nonEmpty)
+      assert(budget - allocated < capped.length.toLong,
+        "raising the cap by 1 token must overshoot — else the level is not maximal")
+  }
+
+  test("q213: containment is bounded by set sizes and matches a naive pair") {
+    val rows = run("q213_containment_confirm").collect()
+    assert(rows.nonEmpty, "the LSH candidates must produce confirm rows")
+    rows.foreach { r =>
+      val (ni, na, nb) = (r.getAs[Long]("n_int"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(ni <= math.min(na, nb), "intersection cannot exceed either set")
+      assert(r.getAs[Long]("cont_ab_e6") === ni * 1000000L / na)
+      assert(r.getAs[Long]("cont_ba_e6") === ni * 1000000L / nb)
+    }
+    // naive recompute of the first pair's intersection from shingle sets
+    val first = rows.head
+    val sh = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"),
+        explode(graft.functions.Hash32.shingleHashes(col("text"))).as("h"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val (a, b) = (first.getAs[Long]("a_id"), first.getAs[Long]("b_id"))
+    assert(first.getAs[Long]("n_int") === (sh(a) & sh(b)).size.toLong)
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -470,8 +470,87 @@ object ScaleOps {
       SELECT part, count(*) AS n, min(x) AS x_min, max(x) AS x_max
       FROM pa GROUP BY 1 ORDER BY 1"""))
 
+  /** q214: PERCEPTUAL-HASH MEDIA DEDUP — near-duplicate detection
+    * over the OPAQUE binary payload (the multimodal column of
+    * q48/q49): a 60-bit locality-sensitive signature whose bit i is a
+    * hash parity of payload BLOCK i (equal slices), so a local edit
+    * perturbs only the blocks it touches — the average-hash/pHash
+    * property, with the pixel-mean threshold stubbed by the
+    * deterministic block-hash parity (the q49 stub discipline: a real
+    * pHash drops its per-block bits into the same signature layout).
+    * The fixture PLANTS shadow copies (doc_id%13 docs, first
+    * character mutated → ≤ 2 block bits flip) and the operator finds
+    * them blind.
+    *
+    * 100 TB shape: q152's exact machinery one size up — signatures
+    * are scan-stage expressions; candidates come from
+    * [[graft.ops.Dedup.bucketPairs]] on the 4×15-bit signature
+    * blocks (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 block identical — NEVER
+    * all-pairs); exact Hamming confirms via two co-keyed joins on
+    * the bounded candidate set.
+    */
+  private val q214MediaPhashDedup = Q(
+    "q214_media_phash_dedup",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val shadows = base.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("Z"), substring(col("text"), 2, 1000000)).as("text"))
+      val all = base.union(shadows)
+      val sigExpr = expr("""
+        aggregate(
+          transform(sequence(0, 59), i ->
+            shiftleft(
+              CAST(conv(substring(md5(substring(text,
+                CAST(1 + i * greatest(length(text) div 60, 1) AS INT),
+                CAST(greatest(length(text) div 60, 1) AS INT))), 1, 8),
+                16, 10) AS BIGINT) % 2,
+              i)),
+          CAST(0 AS BIGINT), (a, x) -> a + x)""")
+      val sigs = all.select(col("doc_id"), sigExpr.as("sig"))
+      val blocks = sigs.select(col("doc_id"),
+          posexplode(array((0 to 3).map(j =>
+            shiftright(col("sig"), 15 * j).bitwiseAND(lit(32767L))): _*)))
+        .toDF("doc_id", "blk", "bv")
+      val pairs = graft.ops.Dedup.bucketPairs(blocks, "doc_id", Seq("blk", "bv"))
+        .distinct()
+      val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
+      val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
+      pairs.join(sa, "a_id").join(sb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH shadows AS (SELECT doc_id + 10000000 AS doc_id,
+          'Z' || substr(text, 2) AS text
+        FROM documents WHERE doc_id % 13 = 0),
+      al AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id, text FROM shadows),
+      bl AS (SELECT doc_id, text,
+          greatest(length(text) // 60, 1) AS L,
+          unnest(range(60)) AS i FROM al),
+      sigs AS (SELECT doc_id,
+          CAST(sum((CAST('0x' || substr(md5(substr(text,
+              CAST(1 + i * L AS INT), CAST(L AS INT))), 1, 8) AS BIGINT) % 2)
+            * (CAST(1 AS BIGINT) << CAST(i AS INT))) AS BIGINT) AS sig
+        FROM bl GROUP BY 1),
+      blocks AS (SELECT doc_id, j AS blk,
+          (sig >> CAST(15 * j AS INT)) & 32767 AS bv
+        FROM sigs, (SELECT unnest(range(4)) AS j)),
+      pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM blocks x JOIN blocks y
+          ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT p.a_id, p.b_id,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM pairs p JOIN sigs a ON p.a_id = a.doc_id
+      JOIN sigs b ON p.b_id = b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,
     q156DsirWeights, q157PartitionPruning, q158MediaFrames,
-    q159SketchRangePartition)
+    q159SketchRangePartition, q214MediaPhashDedup)
 }

@@ -180,6 +180,50 @@ object Temporal {
       FROM c JOIN m USING (from_type)
       ORDER BY from_type, to_type"""))
 
+  /** q215: SEASONAL-NAIVE FORECAST BACKTEST — the baseline every
+    * forecasting pipeline must beat, evaluated the way production
+    * monitors do: predict each (event_type, day)'s total value as the
+    * SAME weekday one week earlier, score MAE over all days that have
+    * a 7-day-old counterpart. Daily totals quantize value to e6
+    * fixed-point BEFORE summing (q202's rule — double sums are
+    * merge-order-dependent), so actual, forecast, and every absolute
+    * error are exact integers; MAE = Σ|err| div n.
+    *
+    * 100 TB shape: ONE exchange to the (event_type, day) panel with
+    * map-side partials; the forecast attaches by a self-join of that
+    * small panel co-keyed on (event_type, day−7); the scorecard is
+    * |event_types| rows.
+    */
+  private val q215SeasonalBacktest = Q(
+    "q215_seasonal_backtest",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * lit(1e6)).cast("long").as("v6"))
+        .groupBy("event_type", "day").agg(sum("v6").as("actual"))
+      val fc = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("actual").as("forecast"))
+      daily.join(fc, Seq("event_type", "day"))
+        .select(col("event_type"),
+          abs(col("actual") - col("forecast")).as("abs_err"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("abs_err").as("sum_abs_err"))
+        .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+          expr("sum_abs_err div n_days").as("mae_v6"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS actual
+        FROM events GROUP BY 1, 2),
+      fc AS (SELECT event_type, day + 7 AS day, actual AS forecast
+        FROM daily)
+      SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(abs(d.actual - f.forecast)) AS BIGINT) AS sum_abs_err,
+        CAST(sum(abs(d.actual - f.forecast)) AS BIGINT) // count(*) AS mae_v6
+      FROM daily d JOIN fc f ON d.event_type = f.event_type AND d.day = f.day
+      GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(q171ResampleFfill, q172MadOutliers,
-    q178MarkovTransitions)
+    q178MarkovTransitions, q215SeasonalBacktest)
 }

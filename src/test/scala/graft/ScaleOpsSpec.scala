@@ -170,4 +170,21 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"partition $p holds $n rows vs ideal $ideal — splits degenerated")
     }
   }
+  test("q214: every planted shadow copy is recovered with tiny Hamming distance") {
+    val rows = run("q214_media_phash_dedup").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming")))
+    val planted = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val hit = rows.find(p => p._1 == id && p._2 == id + 10000000L)
+      assert(hit.isDefined, s"planted shadow of $id not recovered")
+      // the mutation touches only payload block 0 -> at most 1 bit,
+      // plus 1 slack for the block-boundary edge
+      assert(hit.get._3 <= 2, s"shadow of $id drifted: hamming ${hit.get._3}")
+    }
+    rows.foreach(p => assert(p._3 <= 3, "confirm filter must cap hamming"))
+  }
 }

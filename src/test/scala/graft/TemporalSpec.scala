@@ -106,4 +106,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.filter(col("n_oov") === col("n_tri") && col("lp").isNotNull)
       .isEmpty, "all-OOV docs must yield NULL lp (empty sum), as in q93")
   }
+  test("q215: seasonal-naive backtest matches a driver recompute") {
+    val rows = run("q215_seasonal_backtest").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("sum_abs_err"),
+          r.getAs[Long]("mae_v6"))).toMap
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(1e6)).cast("long").as("v6"))
+      .groupBy("event_type", "day").agg(sum("v6").as("a"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        r.getLong(2))).toMap
+    for ((et, (nDays, sumErr, mae)) <- rows) {
+      val errs = daily.collect {
+        case ((e, day), a) if e == et && daily.contains((e, day.minusDays(7))) =>
+          math.abs(a - daily((e, day.minusDays(7))))
+      }
+      assert(errs.size.toLong === nDays, s"$et day count")
+      assert(errs.sum === sumErr, s"$et error sum")
+      assert(mae === errs.sum / errs.size, s"$et MAE")
+    }
+  }
 }

@@ -1055,10 +1055,131 @@ object Evaluate {
       JOIN sizes sb ON p.b_id = sb.doc_id
       ORDER BY 1, 2"""))
 
+  /** q216: PARETO FRONTIER SELECTION — the multi-objective data-
+    * selection primitive: documents that are undominated on
+    * (length ↓, classifier margin ↑), i.e. no other doc is both
+    * shorter and better-scored — the skyline a budgeted curation run
+    * picks from when quality and cost trade off. The naive skyline is
+    * an all-pairs domination test; here the frontier collapses to a
+    * HISTOGRAM sweep: per length value, the best margin (one bounded
+    * exchange, map-side partials); a prefix-max window over the sorted
+    * length histogram keeps exactly the strictly-improving steps.
+    * Representatives tie-break deterministically (min doc_id among the
+    * per-length argmax rows — a join, not max_by, whose tie order is
+    * engine-defined).
+    *
+    * 100 TB shape: one exchange to the bounded length domain, window
+    * over that histogram only, representative join co-keyed on
+    * (length, margin). No all-pairs, no global row sort.
+    */
+  private val q216ParetoFrontier = Q(
+    "q216_pareto_frontier",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val weight = (t: org.apache.spark.sql.Column) =>
+        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
+          lit(2001L)) - lit(1000L)
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("x"),
+          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("y"))
+      val g = rows.groupBy("x").agg(max("y").as("ymax"))
+        .select(col("x").as("gx"), col("ymax"))
+      val rep = rows
+        .join(g, col("x") === col("gx") && col("y") === col("ymax"))
+        .groupBy("x", "ymax").agg(min("doc_id").as("doc_id"))
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rep.withColumn("prefmax", max("ymax").over(w))
+        .filter(col("prefmax").isNull || col("ymax") > col("prefmax"))
+        .select(col("x").as("n_chars"), col("ymax").as("margin"),
+          col("doc_id"))
+        .orderBy("n_chars")
+    },
+    Some("""WITH ws AS (SELECT doc_id, n_chars,
+              unnest(string_split(text, ' ')) AS t
+            FROM documents),
+      sc AS (SELECT doc_id, max(n_chars) AS x,
+               CAST(sum(CAST('0x' || substr(md5('w:' ||
+                     CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000) AS BIGINT)
+                 AS y
+             FROM ws GROUP BY doc_id),
+      g AS (SELECT x, max(y) AS ymax FROM sc GROUP BY 1),
+      rep AS (SELECT s.x, g.ymax, min(s.doc_id) AS doc_id
+        FROM sc s JOIN g ON s.x = g.x AND s.y = g.ymax GROUP BY 1, 2),
+      f AS (SELECT x, ymax, doc_id,
+          max(ymax) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefmax
+        FROM rep)
+      SELECT x AS n_chars, ymax AS margin, doc_id
+      FROM f WHERE prefmax IS NULL OR ymax > prefmax
+      ORDER BY 1"""))
+
+  /** q217: SEQUENTIAL A/B TEST (SPRT trajectory) — the day-by-day
+    * log-likelihood-ratio path of Wald's sequential probability ratio
+    * test over the treatment arm's conversion rate (H₀ p=0.19 vs H₁
+    * p=0.21, α=β=0.05 ⇒ decision walls ±ln 19): the experiment
+    * monitor that says WHEN a test can stop, not just whether it
+    * passed — the sequential complement to q202's fixed-horizon CUPED.
+    * Each day's term c·ln(p₁/p₀) + (n−c)·ln(q₁/q₀) takes ln of
+    * literal-ratio doubles (identical on both engines), rounds to 6,
+    * and cumulates through a DECIMAL(28,6) window sum, so the
+    * trajectory — and the day the boundary is crossed — is
+    * engine-exact.
+    *
+    * 100 TB shape: one exchange to the day panel with conditional
+    * map-side partials; the cumulative window runs over |days| rows.
+    */
+  private val q217SprtTrajectory = Q(
+    "q217_sprt_trajectory",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(pmod(col("user_id"), lit(2)) === 1)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"))
+      val llr = round(
+        col("c").cast("double") * log(lit(0.21) / lit(0.19)) +
+          (col("n") - col("c")).cast("double") * log(lit(0.79) / lit(0.81)),
+        6).cast("decimal(28,6)")
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("llr_day", llr)
+        .withColumn("cum", sum("llr_day").over(w))
+        .select(col("day"), col("n"), col("c"),
+          col("llr_day").cast("double").as("llr_day6"),
+          col("cum").cast("double").as("cum_llr6"),
+          when(col("cum").cast("double") >= math.log(19.0), "accept_h1")
+            .when(col("cum").cast("double") <= -math.log(19.0), "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c
+        FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+      t AS (SELECT day, n, c,
+          CAST(round(CAST(c AS DOUBLE) * ln(0.21 / 0.19)
+            + CAST(n - c AS DOUBLE) * ln(0.79 / 0.81), 6)
+            AS DECIMAL(28,6)) AS llr_day
+        FROM daily),
+      cu AS (SELECT day, n, c, llr_day,
+          sum(llr_day) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT day, n, c, CAST(llr_day AS DOUBLE) AS llr_day6,
+        CAST(cum AS DOUBLE) AS cum_llr6,
+        CASE WHEN CAST(cum AS DOUBLE) >= ln(19.0) THEN 'accept_h1'
+             WHEN CAST(cum AS DOUBLE) <= -ln(19.0) THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+      FROM cu ORDER BY day"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
     q203DupMatrix, q204PsiDrift, q206Ndcg, q207Calibration,
     q208KcenterCoreset, q209Bootstrap, q211ThresholdSweep,
-    q212WaterFilling, q213ContainmentConfirm)
+    q212WaterFilling, q213ContainmentConfirm, q216ParetoFrontier,
+    q217SprtTrajectory)
 }

@@ -331,6 +331,51 @@ class EvaluateSpec extends AnyFunSuite {
     assert(first.getAs[Long]("n_int") === (sh(a) & sh(b)).size.toLong)
   }
 
+  test("q216: frontier equals the naive all-pairs skyline") {
+    val rows = run("q216_pareto_frontier").collect()
+      .map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("margin"),
+        r.getAs[Long]("doc_id"))).sortBy(_._1)
+    val toks = split(col("text"), " ")
+    val weight = (t: org.apache.spark.sql.Column) =>
+      pmod(graft.functions.Portable.h32(concat(lit("w:"),
+        pmod(graft.functions.Portable.h32(t), lit(4096L)).cast("string"))),
+        lit(2001L)) - lit(1000L)
+    val pts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive skyline: (x, ymax-at-x) pairs where no smaller x does >= as well
+    val byX = pts.groupBy(_._2).map { case (x, g) =>
+      val ymax = g.map(_._3).max
+      (x, ymax, g.filter(_._3 == ymax).map(_._1).min)
+    }.toSeq.sortBy(_._1)
+    val naive = byX.filter { case (x, y, _) =>
+      !byX.exists { case (x2, y2, _) => x2 < x && y2 >= y } }
+    assert(rows.toSeq === naive,
+      "histogram-sweep frontier must equal the all-pairs skyline")
+    // frontier margins strictly increase with length
+    rows.sliding(2).foreach {
+      case Array((_, y1, _), (_, y2, _)) => assert(y2 > y1)
+      case _ =>
+    }
+  }
+
+  test("q217: SPRT trajectory cumulates exactly and decisions match walls") {
+    val rows = run("q217_sprt_trajectory").collect()
+    assert(rows.nonEmpty)
+    var cum = BigDecimal(0)
+    rows.foreach { r =>
+      cum += BigDecimal(r.getAs[Double]("llr_day6"))
+      assert(math.abs(cum.toDouble - r.getAs[Double]("cum_llr6")) < 1e-9,
+        s"cumulative drift at ${r.getAs[java.sql.Date]("day")}")
+      val want =
+        if (r.getAs[Double]("cum_llr6") >= math.log(19.0)) "accept_h1"
+        else if (r.getAs[Double]("cum_llr6") <= -math.log(19.0)) "accept_h0"
+        else "continue"
+      assert(r.getAs[String]("decision") === want)
+    }
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -559,7 +559,8 @@ object Evaluate {
         CAST(sum(p.n_bands) AS BIGINT) AS sum_bands
       FROM pairs p JOIN documents da ON p.a_id = da.doc_id
         JOIN documents db ON p.b_id = db.doc_id
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
 
   /** q204: PSI DISTRIBUTION DRIFT (population stability index) —
     * the per-bin pre/post drift table over the event-value
@@ -863,7 +864,8 @@ object Evaluate {
       SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
         CAST((CAST(sum(w * n_chars) AS BIGINT) * 1000000) // sum(w) AS BIGINT) AS mean_e6
       FROM ww GROUP BY 1 ORDER BY 1"""
-    })
+    },
+    bench = true)
 
   /** q211: PRECISION/RECALL/F1 THRESHOLD SWEEP over the q106
     * classifier margin — the operating-point table that turns q195's
@@ -1053,7 +1055,8 @@ object Evaluate {
       FROM pairs p LEFT JOIN ints i ON p.a_id = i.a_id AND p.b_id = i.b_id
       JOIN sizes sa ON p.a_id = sa.doc_id
       JOIN sizes sb ON p.b_id = sb.doc_id
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2"""),
+    bench = true)
 
   /** q216: PARETO FRONTIER SELECTION — the multi-objective data-
     * selection primitive: documents that are undominated on
@@ -1175,11 +1178,120 @@ object Evaluate {
              ELSE 'continue' END AS decision
       FROM cu ORDER BY day"""))
 
+  /** q218: PER-SLICE AUC — q195's rank-sum AUC computed per subgroup
+    * (source), the fairness/robustness audit that catches a filter
+    * which discriminates well overall but fails on one slice (the
+    * aggregate AUC hides it; the slice table can't). Same histogram
+    * formulation with the window PARTITIONED by slice, so the per-
+    * value compression and the cumulate both stay slice-local — the
+    * grouped generalization is literally one `partitionBy` away,
+    * which is the point of the histogram design.
+    *
+    * 100 TB shape: one exchange on (slice, score) with map-side
+    * partials; windows run per-slice over bounded histograms in
+    * parallel (no single-partition window — q195's only local-mode
+    * concession disappears in the grouped form).
+    */
+  private val q218SlicedAuc = Q(
+    "q218_sliced_auc",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+        .groupBy("source", "score")
+        .agg(sum("is_pos").as("p"), sum(lit(1L) - col("is_pos")).as("g"))
+      val w = Window.partitionBy("source").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("negBelow", sum("g").over(w) - col("g"))
+      cum.groupBy("source").agg(
+          sum("p").as("np"), sum("g").as("nn"),
+          sum((col("p") * (lit(2) * col("negBelow") + col("g")))
+            .cast("decimal(38,0)")).as("u2"))
+        .filter(col("np") > 0 && col("nn") > 0)
+        .select(col("source"), col("np").as("n_pos"), col("nn").as("n_neg"),
+          round(col("u2").cast("double") /
+            (lit(2).cast("decimal(38,0)") * col("np") * col("nn"))
+              .cast("double"), 6).as("auc6"))
+        .orderBy("source")
+    },
+    Some("""WITH h AS (SELECT source, n_chars AS score,
+          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS p,
+          CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS g
+        FROM documents GROUP BY 1, 2),
+      c AS (SELECT source, score, p, g,
+          sum(g) OVER (PARTITION BY source ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - g AS negBelow
+        FROM h),
+      a AS (SELECT source, CAST(sum(p) AS BIGINT) AS np,
+          CAST(sum(g) AS BIGINT) AS nn,
+          CAST(sum(CAST(p * (2 * negBelow + g) AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS u2
+        FROM c GROUP BY 1)
+      SELECT source, np AS n_pos, nn AS n_neg,
+        round(CAST(u2 AS DOUBLE)
+          / CAST(2 * CAST(np AS DECIMAL(38,0)) * nn AS DOUBLE), 6) AS auc6
+      FROM a WHERE np > 0 AND nn > 0 ORDER BY 1"""))
+
+  /** q219: EXACT TRIMMED MEAN per source — the robust location
+    * estimate (drop the k = ⌊5%·n⌋ smallest and largest lengths,
+    * average the rest) computed WITHOUT any per-row rank: the per-
+    * source value HISTOGRAM cumulates once, and each value's kept
+    * multiplicity is the exact overlap of its rank interval
+    * [cum−m, cum) with the kept band [k, n−k) — boundary values
+    * contribute PARTIALLY, which integer interval arithmetic handles
+    * exactly where a filter-on-rank formulation would drop whole
+    * ties. Mean is integer millionths.
+    *
+    * 100 TB shape: one exchange to the (source, value) histogram
+    * with map-side partials; windows run per-source over bounded
+    * histograms; no global sort, no row-level window.
+    */
+  private val q219TrimmedMean = Q(
+    "q219_trimmed_mean",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("m").over(w))
+      val tot = cum.groupBy("source").agg(max("cum").as("n"))
+        .withColumn("k", expr("(n * 5) div 100"))
+      cum.join(broadcast(tot), "source")
+        .withColumn("kept", expr(
+          "greatest(CAST(0 AS BIGINT), least(cum, n - k) - greatest(cum - m, k))"))
+        .groupBy("source").agg(
+          max("n").as("n_docs"), max("k").as("k_trim"),
+          sum(expr("kept * v")).as("kept_sum"),
+          sum("kept").as("kept_n"))
+        .select(col("source"), col("n_docs"), col("k_trim"),
+          expr("(kept_sum * 1000000) div kept_n").as("trimmed_mean_e6"))
+        .orderBy("source")
+    },
+    Some("""WITH h AS (SELECT source, n_chars AS v,
+          CAST(count(*) AS BIGINT) AS m
+        FROM documents GROUP BY 1, 2),
+      c AS (SELECT source, v, m,
+          sum(m) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM h),
+      t AS (SELECT source, max(cum) AS n, (max(cum) * 5) // 100 AS k
+        FROM c GROUP BY 1),
+      kp AS (SELECT c.source, c.v,
+          greatest(0, least(c.cum, t.n - t.k) - greatest(c.cum - c.m, t.k))
+            AS kept, t.n, t.k
+        FROM c JOIN t ON c.source = t.source)
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        CAST(max(k) AS BIGINT) AS k_trim,
+        CAST((sum(kept * v) * 1000000) // sum(kept) AS BIGINT)
+          AS trimmed_mean_e6
+      FROM kp GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
     q203DupMatrix, q204PsiDrift, q206Ndcg, q207Calibration,
     q208KcenterCoreset, q209Bootstrap, q211ThresholdSweep,
     q212WaterFilling, q213ContainmentConfirm, q216ParetoFrontier,
-    q217SprtTrajectory)
+    q217SprtTrajectory, q218SlicedAuc, q219TrimmedMean)
 }

@@ -547,7 +547,8 @@ object ScaleOps {
       FROM pairs p JOIN sigs a ON p.a_id = a.doc_id
       JOIN sigs b ON p.b_id = b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 3
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2"""),
+    bench = true)
 
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,

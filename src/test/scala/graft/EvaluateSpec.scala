@@ -376,6 +376,48 @@ class EvaluateSpec extends AnyFunSuite {
     }
   }
 
+  test("q218: per-slice AUC equals naive pairwise AUC within each slice") {
+    val rows = run("q218_sliced_auc").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("auc6"))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    for ((src, g) <- docs.groupBy(_._1)) {
+      val ps = g.filter(_._3).map(_._2)
+      val ns = g.filterNot(_._3).map(_._2)
+      if (ps.nonEmpty && ns.nonEmpty) {
+        val u2 = (for (p <- ps; n <- ns) yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val (np, nn, auc) = rows(src)
+        assert(np === ps.length.toLong && nn === ns.length.toLong)
+        assert(math.abs(auc - u2.toDouble / (2.0 * ps.length * ns.length)) < 1e-6,
+          s"slice $src AUC mismatch")
+      } else assert(!rows.contains(src),
+        s"single-class slice $src must be excluded, not scored")
+    }
+  }
+
+  test("q219: interval-arithmetic trimmed mean equals the naive sorted trim") {
+    val rows = run("q219_trimmed_mean").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("k_trim"),
+          r.getAs[Long]("trimmed_mean_e6"))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((src, g) <- docs.groupBy(_._1)) {
+      val sorted = g.map(_._2).sorted
+      val k = sorted.length * 5 / 100
+      val kept = sorted.slice(k, sorted.length - k)
+      val want = kept.sum * 1000000L / kept.length
+      val (n, kt, mean) = rows(src)
+      assert(n === sorted.length.toLong && kt === k.toLong)
+      assert(mean === want, s"trimmed mean mismatch for $src")
+    }
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

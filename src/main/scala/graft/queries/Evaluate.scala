@@ -1287,11 +1287,125 @@ object Evaluate {
           AS trimmed_mean_e6
       FROM kp GROUP BY 1 ORDER BY 1"""))
 
+  /** q220: PREFERENCE-PAIR CONSTRUCTION — the DPO/RLHF data-prep
+    * primitive: within each prompt group (source stands in for the
+    * prompt cluster), pair the best-scored document (chosen) against
+    * the worst (rejected) and keep pairs whose margin gap clears a
+    * floor — the contrastive training table distilled from a scalar
+    * quality signal. Argmax/argmin tie-break deterministically via
+    * the q216 join construction (min doc_id among extremum rows),
+    * never an engine-defined max_by.
+    *
+    * 100 TB shape: extrema are one exchange to |groups| rows with
+    * map-side partials; representative joins are co-keyed on
+    * (group, extremum value); the pair table is |groups| rows.
+    */
+  private val q220PreferencePairs = Q(
+    "q220_preference_pairs",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val weight = (t: org.apache.spark.sql.Column) =>
+        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
+          lit(2001L)) - lit(1000L)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("m"))
+      val ext = scored.groupBy("source")
+        .agg(max("m").as("mhi"), min("m").as("mlo"))
+      val hi = scored.join(ext.select(col("source"), col("mhi")),
+          Seq("source")).filter(col("m") === col("mhi"))
+        .groupBy("source", "mhi").agg(min("doc_id").as("chosen_id"))
+      val lo = scored.join(ext.select(col("source"), col("mlo")),
+          Seq("source")).filter(col("m") === col("mlo"))
+        .groupBy("source", "mlo").agg(min("doc_id").as("rejected_id"))
+      hi.join(lo, "source")
+        .select(col("source"), col("chosen_id"), col("mhi").as("chosen_m"),
+          col("rejected_id"), col("mlo").as("rejected_m"),
+          (col("mhi") - col("mlo")).as("gap"))
+        .filter(col("gap") >= 500)
+        .orderBy("source")
+    },
+    Some("""WITH ws AS (SELECT doc_id, source,
+              unnest(string_split(text, ' ')) AS t
+            FROM documents),
+      sc AS (SELECT doc_id, max(source) AS source,
+               CAST(sum(CAST('0x' || substr(md5('w:' ||
+                     CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000) AS BIGINT)
+                 AS m
+             FROM ws GROUP BY doc_id),
+      ext AS (SELECT source, max(m) AS mhi, min(m) AS mlo
+        FROM sc GROUP BY 1),
+      hi AS (SELECT s.source, e.mhi, min(s.doc_id) AS chosen_id
+        FROM sc s JOIN ext e ON s.source = e.source AND s.m = e.mhi
+        GROUP BY 1, 2),
+      lo AS (SELECT s.source, e.mlo, min(s.doc_id) AS rejected_id
+        FROM sc s JOIN ext e ON s.source = e.source AND s.m = e.mlo
+        GROUP BY 1, 2)
+      SELECT h.source, h.chosen_id, h.mhi AS chosen_m,
+        l.rejected_id, l.mlo AS rejected_m, h.mhi - l.mlo AS gap
+      FROM hi h JOIN lo l ON h.source = l.source
+      WHERE h.mhi - l.mlo >= 500
+      ORDER BY 1"""))
+
+  /** q221: k-ANONYMITY GENERALIZATION LADDER — q173 told you WHETHER
+    * a release passes at one quasi-identifier granularity; this finds
+    * the MINIMAL generalization that does: the same audit at hour /
+    * day / week time buckets in ONE corpus pass (the q209/q211
+    * bounded-fan-out trick: each event explodes into its 3 ladder
+    * keys, one exchange on the composite (level, type, bucket)
+    * domain), reporting per level the class floor and the
+    * re-identifiable row count, with the pass flag a release gate
+    * reads off directly.
+    *
+    * 100 TB shape: 3× bounded fan-out, map-side partials to the
+    * bucket domain, then a 3-row rollup. No joins.
+    */
+  private val q221GeneralizationLadder = Q(
+    "q221_generalization_ladder",
+    (s, d) => {
+      val base = Tables.events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val leveled = base.select(col("event_type"), col("us"),
+          explode(typedLit(Seq(0, 1, 2))).as("level"))
+        .withColumn("bucket", expr("""CASE level
+          WHEN 0 THEN us div 3600000000
+          WHEN 1 THEN us div 86400000000
+          ELSE us div 604800000000 END"""))
+      val classes = leveled.groupBy("level", "event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+      classes.groupBy("level").agg(
+          count(lit(1)).as("n_classes"),
+          min("n").as("min_class"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("n_violating_rows"))
+        .withColumn("passes", col("n_violating_rows") === 0L)
+        .orderBy("level")
+    },
+    Some("""WITH lv AS (SELECT event_type, epoch_us(ts) AS us,
+          unnest([0, 1, 2]) AS level FROM events),
+      b AS (SELECT level, event_type,
+          CASE level WHEN 0 THEN us // 3600000000
+            WHEN 1 THEN us // 86400000000
+            ELSE us // 604800000000 END AS bucket
+        FROM lv),
+      cl AS (SELECT level, event_type, bucket,
+          CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2, 3)
+      SELECT CAST(level AS INT) AS level,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(min(n) AS BIGINT) AS min_class,
+        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+          AS n_violating_rows,
+        sum(CASE WHEN n < 5 THEN n ELSE 0 END) = 0 AS passes
+      FROM cl GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
     q203DupMatrix, q204PsiDrift, q206Ndcg, q207Calibration,
     q208KcenterCoreset, q209Bootstrap, q211ThresholdSweep,
     q212WaterFilling, q213ContainmentConfirm, q216ParetoFrontier,
-    q217SprtTrajectory, q218SlicedAuc, q219TrimmedMean)
+    q217SprtTrajectory, q218SlicedAuc, q219TrimmedMean,
+    q220PreferencePairs, q221GeneralizationLadder)
 }

@@ -702,8 +702,81 @@ object Vectors {
         round(mi.mi / sqrt(hc.h_cell * hl.h_label), 6) AS nmi6
       FROM tot, hc, hl, mi"""))
 
+  /** q222: PERSISTED-INDEX ROUNDTRIP PROBE — the serving-path proof:
+    * build the q47 IVF index, WRITE it out as plain parquet tables
+    * (assignments keyed by cell, centroid vectors, payload vectors),
+    * read everything back, and answer the probe ONLY from the
+    * persisted tables (centroid ranking via join, candidate fetch via
+    * cell join, exact re-rank) — the result must equal the in-memory
+    * expression path bit-for-bit, which is exactly what the oracle
+    * (q47's SQL, verbatim shape) checks. This is the operator a
+    * serving tier runs: the index is a TABLE, not session state.
+    *
+    * 100 TB shape: the persisted assignment table is bucketed by
+    * cell, so a probe reads only its nprobe cells (partition
+    * pruning); the centroid table is broadcast-sized by the codebook
+    * cap; the re-rank joins candidates (bounded) to the payload
+    * co-keyed on vec_id.
+    */
+  private val q222IndexRoundtrip = Q(
+    "q222_index_roundtrip",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-idx-").toString
+      val e = Tables.embeddings(s, d)
+      // build + persist the index as plain tables
+      graft.search.Ivf.assignments(e, 25)
+        .write.mode("overwrite").parquet(s"$root/assign")
+      e.filter(col("vec_id") % 25 === 1)
+        .select(col("vec_id").as("cid"), toDouble(col("embedding")).as("cv"))
+        .write.mode("overwrite").parquet(s"$root/cent")
+      e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .write.mode("overwrite").parquet(s"$root/payload")
+      // probe purely from the persisted tables
+      val assign = s.read.parquet(s"$root/assign")
+      val cent = s.read.parquet(s"$root/cent")
+      val payload = s.read.parquet(s"$root/payload")
+      val q = payload.filter(col("vec_id") === 0L)
+        .select(col("v").as("qv"))
+      def cos6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round(dot(a, b) / sqrt(norm2(a) * norm2(b)), 6)
+      val probed = cent.crossJoin(broadcast(q))
+        .select(col("cid"), cos6(col("cv"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("cid")).limit(4)
+        .select(col("cid").as("cell"))
+      val cand = assign.join(broadcast(probed), "cell")
+        .filter(col("vec_id") =!= 0L)
+      cand.join(payload, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"), cos6(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .transform(df => Scratch.sealAndClean(df, root))
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+               FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+               FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+          FROM sims) t WHERE rn = 1),
+      qprobe AS (SELECT cid AS cell FROM (
+          SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
+          FROM sims WHERE vid = 0) t WHERE rn <= 4),
+      cand AS (SELECT vid FROM assign JOIN qprobe USING (cell) WHERE vid <> 0),
+      qel AS (SELECT i, x FROM el WHERE vec_id = 0),
+      qn AS (SELECT n2 AS qn2 FROM nrm WHERE vec_id = 0),
+      dp AS (SELECT el.vec_id AS vid, sum(el.x * qel.x) AS dp
+             FROM el JOIN qel ON el.i = qel.i JOIN cand c ON el.vec_id = c.vid
+             GROUP BY 1)
+      SELECT vid AS vec_id, round(dp / sqrt(n.n2 * qn2), 6) AS cos_sim
+      FROM dp JOIN nrm n ON vid = n.vec_id CROSS JOIN qn
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
     q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
-    q191Silhouette, q210ClusterPurity)
+    q191Silhouette, q210ClusterPurity, q222IndexRoundtrip)
 }

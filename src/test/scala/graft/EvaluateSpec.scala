@@ -418,6 +418,59 @@ class EvaluateSpec extends AnyFunSuite {
     }
   }
 
+  test("q220: preference pairs are true per-group extrema with the gap floor") {
+    val rows = run("q220_preference_pairs").collect()
+    assert(rows.nonEmpty)
+    val toks = split(col("text"), " ")
+    val weight = (t: org.apache.spark.sql.Column) =>
+      pmod(graft.functions.Portable.h32(concat(lit("w:"),
+        pmod(graft.functions.Portable.h32(t), lit(4096L)).cast("string"))),
+        lit(2001L)) - lit(1000L)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = scored.groupBy(_._2)
+    rows.foreach { r =>
+      val g = bySrc(r.getAs[String]("source"))
+      val (mhi, mlo) = (g.map(_._3).max, g.map(_._3).min)
+      assert(r.getAs[Long]("chosen_m") === mhi)
+      assert(r.getAs[Long]("rejected_m") === mlo)
+      assert(r.getAs[Long]("gap") === mhi - mlo && mhi - mlo >= 500)
+      assert(r.getAs[Long]("chosen_id") ===
+        g.filter(_._3 == mhi).map(_._1).min)
+      assert(r.getAs[Long]("rejected_id") ===
+        g.filter(_._3 == mlo).map(_._1).min)
+    }
+  }
+
+  test("q221: ladder levels nest — class floor grows, violations shrink") {
+    val rows = run("q221_generalization_ladder").collect()
+      .sortBy(_.getAs[Int]("level"))
+    assert(rows.length === 3)
+    rows.sliding(2).foreach {
+      case Array(fine, coarse) =>
+        assert(coarse.getAs[Long]("n_classes") <= fine.getAs[Long]("n_classes"),
+          "coarsening cannot create classes")
+        assert(coarse.getAs[Long]("min_class") >= fine.getAs[Long]("min_class"),
+          "every coarse class contains a fine class, so the floor can only rise")
+        assert(coarse.getAs[Long]("n_violating_rows") <=
+          fine.getAs[Long]("n_violating_rows"),
+          "coarsening can only absolve re-identifiable rows")
+      case _ =>
+    }
+  }
+
+  test("q222: persisted-index probe equals the in-memory expression path") {
+    val roundtrip = run("q222_index_roundtrip")
+    val direct = graft.search.Ivf.search(spark,
+      Tables.embeddings(spark, dir), queryId = 0L, centroidMod = 25,
+      nprobe = 4, k = 10)
+    assert(roundtrip.exceptAll(direct).isEmpty &&
+      direct.exceptAll(roundtrip).isEmpty,
+      "serving from parquet tables must reproduce the expression path")
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -550,8 +550,67 @@ object ScaleOps {
       ORDER BY 1, 2"""),
     bench = true)
 
+  /** q223: JOIN-SKEW AUDIT + SALT SIZING — the shuffle-health table
+    * that DECIDES when q154's salting is needed and with how many
+    * salts, instead of leaving both to folklore: per-key frequency
+    * histogram (one exchange), then the skew diagnostics — hottest
+    * key's share, hot/mean ratio, p99 frequency (from the count-of-
+    * counts cumsum, q200's trick — no per-key rank), and the
+    * recommended salt count ⌈max_freq / (4·mean)⌉ that caps any salted
+    * sub-key at ~4× the mean. All integer millionths.
+    *
+    * 100 TB shape: key frequencies partial-aggregate map-side; the
+    * count-of-counts histogram is tiny; the audit is one row. This is
+    * exactly the statistics pass a production job runs BEFORE choosing
+    * the q154 plan.
+    */
+  private val q223JoinSkewAudit = Q(
+    "q223_join_skew_audit",
+    (s, d) => {
+      val freq = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("f"))
+      val hist = freq.groupBy("f").agg(count(lit(1)).as("m"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("f").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("cumdesc", sum("m").over(w))
+        .withColumn("nk", sum("m").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      cum.agg(
+          sum("m").as("n_keys"),
+          sum(expr("f * m")).as("total"),
+          max("f").as("max_freq"),
+          min(when(col("cumdesc") * 100 >= col("nk"), col("f")))
+            .as("p99_freq"))
+        .select(col("n_keys"), col("total"), col("max_freq"), col("p99_freq"),
+          expr("(max_freq * 1000000) div total").as("top_share_e6"),
+          expr("(max_freq * n_keys * 1000000) div total").as("skew_x_e6"),
+          expr("""CASE WHEN max_freq * n_keys <= 4 * total THEN 1
+            ELSE (max_freq * n_keys + 4 * total - 1) div (4 * total) END""")
+            .as("salt_n"))
+    },
+    Some("""WITH freq AS (SELECT user_id, CAST(count(*) AS BIGINT) AS f
+        FROM events GROUP BY 1),
+      h AS (SELECT f, CAST(count(*) AS BIGINT) AS m FROM freq GROUP BY 1),
+      c AS (SELECT f, m,
+          sum(m) OVER (ORDER BY f DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumdesc,
+          sum(m) OVER () AS nk
+        FROM h)
+      SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+        CAST(sum(f * m) AS BIGINT) AS total,
+        CAST(max(f) AS BIGINT) AS max_freq,
+        CAST(min(CASE WHEN cumdesc * 100 >= nk * 1 THEN f END) AS BIGINT)
+          AS p99_freq,
+        CAST((max(f) * 1000000) // sum(f * m) AS BIGINT) AS top_share_e6,
+        CAST((max(f) * sum(m) * 1000000) // sum(f * m) AS BIGINT) AS skew_x_e6,
+        CAST(CASE WHEN max(f) * sum(m) <= 4 * sum(f * m) THEN 1
+          ELSE (max(f) * sum(m) + 4 * sum(f * m) - 1) // (4 * sum(f * m)) END
+          AS BIGINT) AS salt_n
+      FROM c"""))
+
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,
     q156DsirWeights, q157PartitionPruning, q158MediaFrames,
-    q159SketchRangePartition, q214MediaPhashDedup)
+    q159SketchRangePartition, q214MediaPhashDedup, q223JoinSkewAudit)
 }

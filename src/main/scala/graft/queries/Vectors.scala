@@ -775,8 +775,59 @@ object Vectors {
       FROM dp JOIN nrm n ON vid = n.vec_id CROSS JOIN qn
       ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
+  /** q224: WHITENING PARAMETERS per embedding dimension — the
+    * shift/scale table (mean, variance per dim) that embedding
+    * post-processing applies before indexing (whitening materially
+    * improves ANN recall on anisotropic embeddings; this is the
+    * statistics pass that feeds it, and the drift audit that catches
+    * a dimension collapsing between model versions). Embeddings
+    * quantize to e6 longs FIRST, moments accumulate in DECIMAL(38,0)
+    * (Σq² at billions of vectors overflows int64), and mean/var are
+    * final rounded double ratios of exact moments (negative means
+    * make integer div engine-divergent — truncation vs floor — so
+    * the exact-input double path is the portable one).
+    *
+    * 100 TB shape: posexplode fans out × dim but partial-aggregates
+    * map-side to the 64-row dim domain before the one exchange —
+    * the same bounded-fan-out argument as q209/q221.
+    */
+  private val q224WhiteningParams = Q(
+    "q224_whitening_params",
+    (s, d) => {
+      val el = Tables.embeddings(s, d).select(
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long"))))
+        .toDF("dim", "q")
+      el.groupBy(col("dim").cast("int").as("dim"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("q").cast("decimal(38,0)").as("s1"),
+          sum(col("q").cast("decimal(38,0)") * col("q"))
+            .cast("decimal(38,0)").as("s2"))
+        .select(col("dim"), col("n").cast("long").as("n_vecs"),
+          round(col("s1").cast("double") / col("n").cast("double"), 6)
+            .as("mean_q6"),
+          round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * col("n")).cast("double"), 6).as("var_q6"))
+        .orderBy("dim")
+    },
+    Some("""WITH el AS (SELECT
+          CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+            AS q
+        FROM embeddings),
+      m AS (SELECT dim, CAST(count(*) AS DECIMAL(38,0)) AS n,
+          CAST(sum(q) AS DECIMAL(38,0)) AS s1,
+          CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS s2
+        FROM el GROUP BY 1)
+      SELECT dim, CAST(n AS BIGINT) AS n_vecs,
+        round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q6,
+        round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+          / CAST(n * n AS DOUBLE), 6) AS var_q6
+      FROM m ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
     q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
-    q191Silhouette, q210ClusterPurity, q222IndexRoundtrip)
+    q191Silhouette, q210ClusterPurity, q222IndexRoundtrip,
+    q224WhiteningParams)
 }

@@ -187,4 +187,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     rows.foreach(p => assert(p._3 <= 3, "confirm filter must cap hamming"))
   }
+  test("q223: skew audit matches the naive frequency recompute and sizes salt") {
+    val row = run("q223_join_skew_audit").collect().head
+    val freqs = Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(_.getLong(1)).sorted
+    val (nk, tot, mx) = (freqs.length.toLong, freqs.sum, freqs.max)
+    assert(row.getAs[Long]("n_keys") === nk)
+    assert(row.getAs[Long]("total") === tot)
+    assert(row.getAs[Long]("max_freq") === mx)
+    // p99: smallest f with >= 1% of keys at or above it
+    val p99 = freqs.reverse.filter(f =>
+      freqs.count(_ >= f) * 100L >= nk).lastOption.getOrElse(mx)
+    assert(row.getAs[Long]("p99_freq") === p99)
+    assert(row.getAs[Long]("top_share_e6") === mx * 1000000L / tot)
+    val saltN = row.getAs[Long]("salt_n")
+    assert(saltN >= 1L)
+    // the recommendation caps any salted sub-key at ~4x the mean
+    assert(mx / saltN <= 4 * (tot / nk) + saltN,
+      s"salt_n=$saltN leaves sub-keys above the 4x-mean target")
+  }
 }

@@ -171,4 +171,24 @@ class VectorsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum ==
       Tables.embeddings(spark, dir).count(), "every vector is audited")
   }
+  test("q224: whitening params equal naive per-dimension moments") {
+    val rows = run("q224_whitening_params").collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_q6"),
+          r.getAs[Double]("var_q6"))).toMap
+    assert(rows.size === 64)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    for (dim <- 0 until 64) {
+      val xs = vecs.map(_(dim).toDouble)
+      val mean = xs.sum / xs.length
+      val varr = xs.map(x => x * x).sum / xs.length - mean * mean
+      val (n, m6, v6) = rows(dim)
+      assert(n === vecs.length.toLong)
+      assert(math.abs(m6 - mean) < 1e-3, s"dim $dim mean")
+      assert(math.abs(v6 - varr) < math.abs(varr) * 1e-6 + 1e-2, s"dim $dim var")
+    }
+  }
 }

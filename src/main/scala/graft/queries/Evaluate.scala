@@ -1400,6 +1400,147 @@ object Evaluate {
         sum(CASE WHEN n < 5 THEN n ELSE 0 END) = 0 AS passes
       FROM cl GROUP BY 1 ORDER BY 1"""))
 
+  /** q225: FREQUENT TOKEN-PAIR MINING (distributed Apriori, level 2)
+    * — co-occurrence ANYWHERE in a document (q113's collocations see
+    * only ADJACENT bigrams): L1 = tokens whose document frequency
+    * clears the support floor; candidate pairs are generated per
+    * document from its L1-filtered DISTINCT tokens only (the Apriori
+    * prune — a pair of infrequent tokens cannot be frequent, so the
+    * per-doc self-join is bounded by |L1 ∩ doc|², not |doc|²); L2 =
+    * pairs clearing the same floor, with lift in integer millionths.
+    *
+    * 100 TB shape: L1 is one uniform-key exchange and broadcasts
+    * back as a semi-join filter in the scan stage; pair generation is
+    * per-doc local (explode of the bounded filtered token set);
+    * support counts partial-aggregate on uniform pair keys. The
+    * classic SON/Apriori production shape.
+    */
+  private val q225FrequentPairs = Q(
+    "q225_frequent_pairs",
+    (s, d) => {
+      val minsup = 40L
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+          .as("t"))
+      val l1 = dt.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minsup)
+      val ft = dt.join(broadcast(l1.select("t")), "t")
+      val fa = ft.select(col("doc_id"), col("t").as("a"))
+      val fb = ft.select(col("doc_id"), col("t").as("b"))
+      val pairs = fa.join(fb, "doc_id").filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minsup)
+      val tot = Tables.documents(s, d).count()
+      val dfA = l1.select(col("t").as("a"), col("df").as("df_a"))
+      val dfB = l1.select(col("t").as("b"), col("df").as("df_b"))
+      pairs.join(broadcast(dfA), "a").join(broadcast(dfB), "b")
+        .select(col("a"), col("b"), col("support"), col("df_a"), col("df_b"),
+          expr(s"(support * $tot * 1000000) div (df_a * df_b)")
+            .as("lift_e6"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH dt AS (SELECT DISTINCT doc_id,
+          unnest(string_split(text, ' ')) AS t FROM documents),
+      l1 AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt
+        GROUP BY 1 HAVING count(*) >= 40),
+      ft AS (SELECT dt.doc_id, dt.t FROM dt JOIN l1 ON dt.t = l1.t),
+      p AS (SELECT x.t AS a, y.t AS b, CAST(count(*) AS BIGINT) AS support
+        FROM ft x JOIN ft y ON x.doc_id = y.doc_id AND x.t < y.t
+        GROUP BY 1, 2 HAVING count(*) >= 40),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM documents)
+      SELECT p.a, p.b, p.support, da.df AS df_a, db.df AS df_b,
+        CAST((p.support * n.tot * 1000000) // (da.df * db.df) AS BIGINT)
+          AS lift_e6
+      FROM p JOIN l1 da ON p.a = da.t JOIN l1 db ON p.b = db.t, n
+      ORDER BY 1, 2"""))
+
+  /** q226: EXPERIMENT POWER ANALYSIS — required sample size per arm
+    * to detect each candidate effect size at α=0.05, β=0.2 (the
+    * classic n = (z_α/2 + z_β)²·2p̂(1−p̂)/δ² two-proportion formula),
+    * with the baseline rate p̂ measured from the control arm — the
+    * BEFORE-the-experiment table that q217's SPRT and q202's CUPED
+    * assume someone computed. The z constants are literals; p̂ is a
+    * ratio of exact counts; per-δ math is one final double chain.
+    *
+    * 100 TB shape: one all-reduce row for p̂, then a 4-row literal
+    * fan-out — driver-invisible.
+    */
+  private val q226PowerAnalysis = Q(
+    "q226_power_analysis",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .filter(pmod(col("user_id"), lit(2)) === 0)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"))
+      base.select(col("n"), col("c"),
+          explode(typedLit(Seq(5000L, 10000L, 20000L, 50000L))).as("delta_e6"))
+        .select(col("n").as("n_control"), col("c").as("n_conv"),
+          col("delta_e6"),
+          round((pow(lit(1.959964) + lit(0.841621), 2) * lit(2.0) *
+            (col("c").cast("double") / col("n").cast("double")) *
+            (lit(1.0) - col("c").cast("double") / col("n").cast("double"))) /
+            pow(col("delta_e6").cast("double") / lit(1e6), 2), 0)
+            .cast("long").as("n_required"))
+        .orderBy("delta_e6")
+    },
+    Some("""WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c
+        FROM events WHERE user_id % 2 = 0),
+      g AS (SELECT n, c, unnest([5000, 10000, 20000, 50000]) AS delta_e6
+        FROM b)
+      SELECT n AS n_control, c AS n_conv, CAST(delta_e6 AS BIGINT) AS delta_e6,
+        CAST(round((pow(1.959964 + 0.841621, 2) * 2.0
+            * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+          / pow(CAST(delta_e6 AS DOUBLE) / 1e6, 2), 0) AS BIGINT)
+          AS n_required
+      FROM g ORDER BY delta_e6"""))
+
+  /** q227: FEATURE-HASH COLLISION AUDIT — how much signal the q106
+    * classifier's 4096-bucket hashing destroys: per-bucket distinct-
+    * token load from the REAL vocabulary, the occupancy histogram
+    * (count-of-counts again), and the collision rate (tokens sharing
+    * a bucket with another token) — read against the birthday-problem
+    * expectation to decide when to widen the table. One row.
+    *
+    * 100 TB shape: vocabulary → bucket is a uniform-key exchange of
+    * |V| rows; everything after runs on the ≤4096-row bucket table.
+    */
+  private val q227HashCollisionAudit = Q(
+    "q227_hash_collision_audit",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(array_distinct(tokens(col("text")))).as("t"))
+        .distinct()
+      val buckets = vocab
+        .select(pmod(h32(col("t")), lit(4096L)).as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("load"))
+      buckets.agg(
+          sum("load").as("n_tokens"),
+          count(lit(1)).as("n_used_buckets"),
+          max("load").as("max_load"),
+          sum(when(col("load") > 1, col("load")).otherwise(0L))
+            .as("n_colliding_tokens"))
+        .select(col("n_tokens"), col("n_used_buckets"), col("max_load"),
+          col("n_colliding_tokens"),
+          expr("(n_colliding_tokens * 1000000) div n_tokens")
+            .as("collision_rate_e6"))
+    },
+    Some("""WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      b AS (SELECT CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 AS bkt,
+          CAST(count(*) AS BIGINT) AS load
+        FROM v GROUP BY 1)
+      SELECT CAST(sum(load) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_used_buckets,
+        CAST(max(load) AS BIGINT) AS max_load,
+        CAST(sum(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT)
+          AS n_colliding_tokens,
+        CAST((sum(CASE WHEN load > 1 THEN load ELSE 0 END) * 1000000)
+          // sum(load) AS BIGINT) AS collision_rate_e6
+      FROM b"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -1407,5 +1548,6 @@ object Evaluate {
     q208KcenterCoreset, q209Bootstrap, q211ThresholdSweep,
     q212WaterFilling, q213ContainmentConfirm, q216ParetoFrontier,
     q217SprtTrajectory, q218SlicedAuc, q219TrimmedMean,
-    q220PreferencePairs, q221GeneralizationLadder)
+    q220PreferencePairs, q221GeneralizationLadder, q225FrequentPairs,
+    q226PowerAnalysis, q227HashCollisionAudit)
 }

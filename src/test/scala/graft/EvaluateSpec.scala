@@ -471,6 +471,62 @@ class EvaluateSpec extends AnyFunSuite {
       "serving from parquet tables must reproduce the expression path")
   }
 
+  test("q225: Apriori pairs satisfy support laws and match a naive recount") {
+    val rows = run("q225_frequent_pairs").collect()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+      .collect().map(r => r.getSeq[String](1).toSet)
+    // sf0.001 has 50 docs; the floor of 40 still yields pairs because
+    // the synthetic vocabulary is tiny and dense
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      assert(a < b, "pairs must be canonically ordered")
+      val support = docs.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(r.getAs[Long]("support") === support, s"support of ($a,$b)")
+      assert(support >= 40L)
+      assert(r.getAs[Long]("support") <= math.min(
+        r.getAs[Long]("df_a"), r.getAs[Long]("df_b")),
+        "pair support cannot exceed either singleton df")
+    }
+  }
+
+  test("q226: required n shrinks quadratically as the detectable effect grows") {
+    val rows = run("q226_power_analysis").collect()
+      .sortBy(_.getAs[Long]("delta_e6"))
+    assert(rows.length === 4)
+    rows.sliding(2).foreach {
+      case Array(small, big) =>
+        assert(small.getAs[Long]("n_required") > big.getAs[Long]("n_required"),
+          "a bigger effect needs fewer samples")
+      case _ =>
+    }
+    // doubling delta divides n by ~4 (the formula is 1/delta^2)
+    val n0 = rows(0).getAs[Long]("n_required").toDouble
+    val n1 = rows(1).getAs[Long]("n_required").toDouble
+    assert(math.abs(n0 / n1 - 4.0) < 0.01, s"quadratic law violated: ${n0 / n1}")
+  }
+
+  test("q227: collision audit conserves the vocabulary") {
+    val row = run("q227_hash_collision_audit").collect().head
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .distinct().count()
+    assert(row.getAs[Long]("n_tokens") === vocab)
+    assert(row.getAs[Long]("n_used_buckets") <= math.min(vocab, 4096L))
+    // driver recompute of the bucket loads from the same hash
+    val loads = Tables.documents(spark, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .distinct()
+      .select(pmod(graft.functions.Portable.h32(col("t")), lit(4096L)).as("b"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map(_._2.length)
+    assert(row.getAs[Long]("max_load") === loads.max.toLong)
+    assert(row.getAs[Long]("n_colliding_tokens") ===
+      loads.filter(_ > 1).sum.toLong)
+    assert(row.getAs[Long]("collision_rate_e6") ===
+      row.getAs[Long]("n_colliding_tokens") * 1000000L / vocab)
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -780,10 +780,12 @@ object Evaluate {
     },
     Some {
       val rounds = (1 to 7).map { k =>
-        s"""d$k AS MATERIALIZED (SELECT a.vec_id,
+        s"""c$k AS MATERIALIZED (SELECT i, q FROM qe
+          WHERE vec_id = (SELECT vec_id FROM p$k)),
+      d$k AS MATERIALIZED (SELECT a.vec_id,
             least(d${k - 1}.dmin, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT))
               AS dmin
-          FROM qe a JOIN qe b ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM p$k)
+          FROM qe a JOIN c$k b ON a.i = b.i
           JOIN d${k - 1} ON a.vec_id = d${k - 1}.vec_id
           GROUP BY a.vec_id, d${k - 1}.dmin),
       p${k + 1} AS MATERIALIZED (SELECT vec_id, dmin FROM d$k
@@ -803,8 +805,10 @@ object Evaluate {
         FROM embeddings),
       p1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM embeddings),
       picked1 AS MATERIALIZED (SELECT vec_id FROM p1),
+      c0 AS MATERIALIZED (SELECT i, q FROM qe
+        WHERE vec_id = (SELECT vec_id FROM p1)),
       d0 AS MATERIALIZED (SELECT a.vec_id, CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dmin
-        FROM qe a JOIN qe b ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM p1)
+        FROM qe a JOIN c0 b ON a.i = b.i
         GROUP BY a.vec_id),
       $rounds
       SELECT * FROM ($sel) ORDER BY sel_order"""

@@ -224,6 +224,56 @@ object Temporal {
       FROM daily d JOIN fc f ON d.event_type = f.event_type AND d.day = f.day
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q228: CUSUM CHANGEPOINT DETECTION — the classic one-sided
+    * cumulative-sum monitor over the daily metric, in its CLOSED
+    * FORM: the textbook recursion S_t = max(0, S_{t−1} + (x_t − μ −
+    * slack)) looks inherently sequential, but it equals C_t − min(0, min_{i
+    * ≤ t} C_i) for the plain cumulative sum C (the 0 is the implicit
+    * empty-prefix C₀ — dropping it was caught by the recursion-replay spec) — so the whole monitor
+    * is two windows over the day panel, no recursion, no UDF, and
+    * every value is an exact integer in e6 units (μ and the slack
+    * are integer divisions of exact totals). Alarm when S clears
+    * μ/2 — the upward-shift detector q204/q205 (distribution drift)
+    * complement for LEVEL drift.
+    *
+    * 100 TB shape: one exchange to the day panel with map-side
+    * partials; both windows run over |days| rows.
+    */
+  private val q228CusumChangepoint = Q(
+    "q228_cusum_changepoint",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+      val tot = daily.agg(sum("x").as("sx"), count(lit(1)).as("nd"))
+        .select(expr("sx div nd").as("mu"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("dev", expr("x - mu - (mu div 20)"))
+        .withColumn("c", sum("dev").over(wc))
+        .withColumn("s", col("c") - least(lit(0L), min("c").over(wc)))
+        .select(col("day"), col("x").as("x_v6"), col("s").as("s_v6"),
+          (col("s") > expr("mu div 2")).as("alarm"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu FROM daily),
+      c AS (SELECT day, x, x - mu - (mu // 20) AS dev, mu FROM daily, t),
+      cs AS (SELECT day, x, mu,
+          sum(dev) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM c),
+      ss AS (SELECT day, x, mu, cum,
+          cum - least(0, min(cum) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM cs)
+      SELECT day, x AS x_v6, CAST(s AS BIGINT) AS s_v6,
+        s > mu // 2 AS alarm
+      FROM ss ORDER BY day"""))
+
   val queries: Seq[Q] = Seq(q171ResampleFfill, q172MadOutliers,
-    q178MarkovTransitions, q215SeasonalBacktest)
+    q178MarkovTransitions, q215SeasonalBacktest, q228CusumChangepoint)
 }

@@ -825,9 +825,77 @@ object Vectors {
           / CAST(n * n AS DOUBLE), 6) AS var_q6
       FROM m ORDER BY 1"""))
 
+  /** q229: k-CORE PEELING (3 synchronous rounds, k=3) over the q169
+    * mutual-kNN graph — the density layer the existing graph suite
+    * lacks: CC (q132) finds components, LPA (q190) communities,
+    * triangles (q170) local density; the k-core strips weakly-
+    * attached periphery nodes (degree < k) so near-dup cluster
+    * representatives come from the STABLE core, not a dangling
+    * satellite. Synchronous peel: each round recomputes degrees on
+    * the surviving subgraph and drops all sub-k nodes at once —
+    * deterministic by construction (no order dependence); three
+    * rounds are exact on bounded-degree mutual-kNN graphs (degree ≤
+    * K bounds cascade depth), with q132's escalation pattern as the
+    * production path for unbounded graphs. Emits the per-round audit
+    * (survivor/edge counts, survivor checksum) a pipeline gates on.
+    *
+    * 100 TB shape: each round is one degree exchange on uniform node
+    * ids plus two co-keyed semi-joins filtering the edge list; edges
+    * localCheckpoint between rounds (q149's iterative-lineage rule).
+    */
+  private val q229KcorePeel = Q(
+    "q229_kcore_peel",
+    (s, d) => {
+      val mut = mutualKnnEdges(s, d)
+      var ed = mut.select(col("src"), col("dst"))
+        .union(mut.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      for (r <- 1 to 3) {
+        val alive = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3)
+          .select(col("src").as("id"))
+        ed = ed
+          .join(alive.select(col("id").as("src")), "src")
+          .join(alive.select(col("id").as("dst")), "dst")
+          .select("src", "dst")
+          .localCheckpoint(true)
+        val stats = ed.agg(
+          count_distinct(col("src")).as("n_alive"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"),
+          coalesce(sum_distinct(col("src")), lit(0L)).as("id_sum")).head()
+        out += ((r.toLong, stats.getLong(0), stats.getLong(1), stats.getLong(2)))
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("round", "n_alive", "n_edges", "id_sum")
+    },
+    Some(s"""WITH $knnEdgesCte,
+      e0 AS (SELECT src, dst FROM mut
+             UNION ALL SELECT dst, src FROM mut),
+      a1 AS (SELECT src AS id FROM e0 GROUP BY 1 HAVING count(*) >= 3),
+      e1 AS (SELECT e.src, e.dst FROM e0 e
+             JOIN a1 x ON e.src = x.id JOIN a1 y ON e.dst = y.id),
+      a2 AS (SELECT src AS id FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+      e2 AS (SELECT e.src, e.dst FROM e1 e
+             JOIN a2 x ON e.src = x.id JOIN a2 y ON e.dst = y.id),
+      a3 AS (SELECT src AS id FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+      e3 AS (SELECT e.src, e.dst FROM e2 e
+             JOIN a3 x ON e.src = x.id JOIN a3 y ON e.dst = y.id)
+      SELECT CAST(1 AS BIGINT) AS round,
+        CAST(count(DISTINCT src) AS BIGINT) AS n_alive,
+        CAST(count(*) // 2 AS BIGINT) AS n_edges,
+        CAST(COALESCE(sum(DISTINCT src), 0) AS BIGINT) AS id_sum FROM e1
+      UNION ALL SELECT 2, CAST(count(DISTINCT src) AS BIGINT),
+        CAST(count(*) // 2 AS BIGINT),
+        CAST(COALESCE(sum(DISTINCT src), 0) AS BIGINT) FROM e2
+      UNION ALL SELECT 3, CAST(count(DISTINCT src) AS BIGINT),
+        CAST(count(*) // 2 AS BIGINT),
+        CAST(COALESCE(sum(DISTINCT src), 0) AS BIGINT) FROM e3
+      ORDER BY round"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
     q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
     q191Silhouette, q210ClusterPurity, q222IndexRoundtrip,
-    q224WhiteningParams)
+    q224WhiteningParams, q229KcorePeel)
 }

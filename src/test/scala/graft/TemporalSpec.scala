@@ -128,4 +128,25 @@ class TemporalSpec extends AnyFunSuite {
       assert(mae === errs.sum / errs.size, s"$et MAE")
     }
   }
+
+  test("q228: prefix-min closed form equals the textbook CUSUM recursion") {
+    val rows = run("q228_cusum_changepoint").collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val mu = daily.map(_._2).sum / daily.length
+    val slack = mu / 20
+    var s = 0L
+    val want = daily.map { case (_, x) =>
+      s = math.max(0L, s + (x - mu - slack)); s
+    }
+    val got = rows.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+      .map(_.getAs[Long]("s_v6")).toSeq
+    assert(got === want.toSeq,
+      "window closed form must replay the sequential recursion exactly")
+    rows.foreach(r => assert(r.getAs[Long]("s_v6") >= 0L))
+  }
 }

@@ -191,4 +191,31 @@ class VectorsSpec extends AnyFunSuite {
       assert(math.abs(v6 - varr) < math.abs(varr) * 1e-6 + 1e-2, s"dim $dim var")
     }
   }
+
+  test("q229: synchronous peel equals the naive driver-side k-core rounds") {
+    val rows = run("q229_kcore_peel").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_alive"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("id_sum"))).sortBy(_._1)
+    assert(rows.length === 3)
+    var edges = run("q169_knn_graph")
+      .select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, (e._2, e._1))).toSet
+    for (r <- 1 to 3) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val alive = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+      val ids = edges.map(_._1)
+      val (_, na, ne, sm) = rows(r - 1)
+      assert(na === ids.size.toLong, s"round $r alive")
+      assert(ne === edges.size.toLong / 2, s"round $r edges")
+      assert(sm === ids.toSeq.sum, s"round $r checksum")
+    }
+    // peeling is monotone: each round can only shrink the core
+    rows.sliding(2).foreach {
+      case Array((_, a1, e1, _), (_, a2, e2, _)) =>
+        assert(a2 <= a1 && e2 <= e1)
+      case _ =>
+    }
+  }
 }

@@ -1545,6 +1545,130 @@ object Evaluate {
           // sum(load) AS BIGINT) AS collision_rate_e6
       FROM b"""))
 
+  /** q230: IPF RAKING (iterative proportional fitting, 3 unrolled
+    * rounds) — the survey-weighting / data-mixing solver: find cell
+    * weights over the (source, lang) contingency table whose row
+    * margins hit a TARGET (equal share per source) while column
+    * margins stay at the observed language totals. Each round scales
+    * rows then columns by exact-rational factors in e6 fixed point
+    * (round-to-nearest via (2·num + den) div (2·den) — one rounding
+    * per scale, so both engines walk the identical trajectory); three
+    * rounds on a dense table converge to sub-percent margin error,
+    * and the emitted margin-error columns PROVE the convergence
+    * instead of asserting it.
+    *
+    * 100 TB shape: the contingency table is one corpus exchange;
+    * every round is arithmetic over |sources|·|langs| cells with
+    * broadcast margins. The q149/q208 unrolled-iteration oracle
+    * pattern.
+    */
+  private val q230IpfRaking = Q(
+    "q230_ipf_raking",
+    (s, d) => {
+      val ct = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val tot = ct.agg(sum("n").as("tt"),
+        count_distinct(col("source")).as("ns"))
+      var w = ct.crossJoin(broadcast(tot))
+        .withColumn("w", col("n") * lit(1000000L))
+        .withColumn("row_target", expr("(tt * 1000000) div ns"))
+      val colTarget = ct.groupBy("lang")
+        .agg((sum("n") * lit(1000000L)).as("col_target"))
+      for (_ <- 1 to 3) {
+        val rowSum = w.groupBy("source").agg(sum("w").as("rs"))
+        w = w.join(broadcast(rowSum), "source")
+          .withColumn("w",
+            expr("(2 * w * row_target + rs) div (2 * rs)"))
+        val colSum = w.groupBy("lang").agg(sum("w").as("cs"))
+        w = w.join(broadcast(colSum), "lang")
+          .join(broadcast(colTarget), "lang")
+          .withColumn("w", expr("(2 * w * col_target + cs) div (2 * cs)"))
+          .drop("rs", "cs", "col_target")
+      }
+      val rowErr = w.groupBy("source")
+        .agg(max("row_target").as("rt"), sum("w").as("rs"))
+        .select(max(abs(col("rs") - col("rt"))).as("max_row_err"))
+      w.select(col("source"), col("lang"), col("n"), col("w").as("w_e6"))
+        .crossJoin(broadcast(rowErr))
+        .orderBy("source", "lang")
+    },
+    Some {
+      val rounds = (1 to 3).map { k =>
+        s"""rs$k AS (SELECT source, CAST(sum(w) AS BIGINT) AS rs
+          FROM w${k - 1} GROUP BY 1),
+      wr$k AS (SELECT w.source, w.lang, w.n, w.row_target,
+          (2 * w.w * w.row_target + r.rs) // (2 * r.rs) AS w
+        FROM w${k - 1} w JOIN rs$k r ON w.source = r.source),
+      cs$k AS (SELECT lang, CAST(sum(w) AS BIGINT) AS cs
+          FROM wr$k GROUP BY 1),
+      w$k AS (SELECT w.source, w.lang, w.n, w.row_target,
+          (2 * w.w * ct.col_target + c.cs) // (2 * c.cs) AS w
+        FROM wr$k w JOIN cs$k c ON w.lang = c.lang
+        JOIN coltarget ct ON w.lang = ct.lang)"""
+      }.mkString(",\n      ")
+      s"""WITH ct AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+          CAST(count(DISTINCT source) AS BIGINT) AS ns FROM ct),
+      coltarget AS (SELECT lang, CAST(sum(n) * 1000000 AS BIGINT)
+          AS col_target FROM ct GROUP BY 1),
+      w0 AS (SELECT source, lang, n, n * 1000000 AS w,
+          (tt * 1000000) // ns AS row_target FROM ct, tot),
+      $rounds,
+      re AS (SELECT CAST(max(abs(rs - rt)) AS BIGINT) AS max_row_err
+        FROM (SELECT source, max(row_target) AS rt, sum(w) AS rs
+          FROM w3 GROUP BY 1) t)
+      SELECT source, lang, n, CAST(w AS BIGINT) AS w_e6, re.max_row_err
+      FROM w3, re ORDER BY 1, 2"""
+    })
+
+  /** q231: SELF-NORMALIZED IPS (off-policy evaluation) — estimate a
+    * TARGET policy's value from logged interactions weighted by
+    * inverse propensities: the counterfactual-measurement primitive
+    * behind every "would the new ranker have done better" question
+    * answered without an A/B test. Logged propensities are
+    * deterministic per-user rationals (h32-derived, e6 fixed point);
+    * weights 1e9 div p_e6 (scaled to keep Σw·r inside int64) and rewards (quantized value for
+    * purchases) stay exact integers; SNIPS = Σw·r / Σw per action is
+    * the single final double ratio — the self-normalized form, which
+    * kills the raw-IPS variance blowup on small propensities.
+    *
+    * 100 TB shape: weights are scan-stage hash arithmetic; one
+    * exchange to the |actions| domain with map-side partials.
+    */
+  private val q231SnipsOffPolicy = Q(
+    "q231_snips_off_policy",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (lit(100000L) + h32(concat(lit("prop:"),
+          col("user_id").cast("string"))) % 800000L).as("p_e6"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * lit(1e6)).cast("long")).otherwise(0L)
+          .as("r_v6"))
+      ev.withColumn("w", expr("1000000000 div p_e6"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("w").as("sum_w"),
+          sum(expr("w * r_v6")).as("sum_wr"))
+        .select(col("event_type"), col("n"), col("sum_w"), col("sum_wr"),
+          round(col("sum_wr").cast("double") / col("sum_w").cast("double"), 6)
+            .as("snips_v6"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type,
+          100000 + CAST('0x' || substr(md5('prop:'
+            || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 800000 AS p_e6,
+          CASE WHEN event_type = 'purchase'
+            THEN CAST(floor(value * 1e6) AS BIGINT) ELSE 0 END AS r_v6
+        FROM events),
+      w AS (SELECT event_type, 1000000000 // p_e6 AS w, r_v6 FROM ev)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(w) AS BIGINT) AS sum_w,
+        CAST(sum(w * r_v6) AS BIGINT) AS sum_wr,
+        round(CAST(sum(w * r_v6) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+          AS snips_v6
+      FROM w GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -1553,5 +1677,6 @@ object Evaluate {
     q212WaterFilling, q213ContainmentConfirm, q216ParetoFrontier,
     q217SprtTrajectory, q218SlicedAuc, q219TrimmedMean,
     q220PreferencePairs, q221GeneralizationLadder, q225FrequentPairs,
-    q226PowerAnalysis, q227HashCollisionAudit)
+    q226PowerAnalysis, q227HashCollisionAudit, q230IpfRaking,
+    q231SnipsOffPolicy)
 }

@@ -527,6 +527,53 @@ class EvaluateSpec extends AnyFunSuite {
       row.getAs[Long]("n_colliding_tokens") * 1000000L / vocab)
   }
 
+  test("q230: raking converges row margins toward the equal-share target") {
+    val rows = run("q230_ipf_raking").collect()
+    assert(rows.nonEmpty)
+    val rowTarget = {
+      val bySrc = rows.groupBy(_.getAs[String]("source"))
+      val tt = rows.map(_.getAs[Long]("n")).sum
+      tt * 1000000L / bySrc.size
+    }
+    val maxErr = rows.head.getAs[Long]("max_row_err")
+    // initial margins differ from the target by far more than the
+    // post-raking error — 3 rounds must have actually moved them
+    val worstInitial = rows.groupBy(_.getAs[String]("source"))
+      .map { case (_, g) =>
+        math.abs(g.map(_.getAs[Long]("n")).sum * 1000000L - rowTarget) }
+      .max
+    if (worstInitial == 0L)
+      assert(maxErr <= rows.groupBy(_.getAs[String]("source")).size.toLong,
+        "already-balanced margins must stay balanced (mod per-cell rounding)")
+    else
+      assert(maxErr < worstInitial / 10,
+        s"raking barely converged: err $maxErr vs initial $worstInitial")
+    rows.foreach(r => assert(r.getAs[Long]("w_e6") > 0L))
+  }
+
+  test("q231: SNIPS equals the naive weighted estimate and bounds raw IPS") {
+    val rows = run("q231_snips_off_policy").collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * lit(1e6)).cast("long")).otherwise(0L)
+          .as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { row =>
+      val et = row.getAs[String]("event_type")
+      val g = ev.filter(_._1 == et)
+      val ws = g.map { case (_, u, r) =>
+        val p = 100000L + graft.functions.Portable.h32s(s"prop:$u") % 800000L
+        (1000000000L / p, r)
+      }
+      assert(row.getAs[Long]("n") === g.length.toLong)
+      assert(row.getAs[Long]("sum_w") === ws.map(_._1).sum)
+      assert(row.getAs[Long]("sum_wr") === ws.map(p => p._1 * p._2).sum)
+      val want = ws.map(p => p._1 * p._2).sum.toDouble / ws.map(_._1).sum
+      assert(math.abs(row.getAs[Double]("snips_v6") - want) < 1e-4)
+    }
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -1305,11 +1305,90 @@ object Cdc {
         FROM j2, s2 GROUP BY 1, 2, 3, 4)
       SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY window_id"""))
 
+  /** q232: STREAMING CUSUM MONITOR — q228's level-shift detector in
+    * its production regime: the event span splits at exact integer-
+    * microsecond terciles; the FIRST window is the calibration batch
+    * that fixes μ and the slack ([[graft.stream.StreamCusum]] state
+    * b0), and each monitoring batch continues the cumulative walk
+    * from the carried two-integer state, emitting (day, S, alarm)
+    * rows — with partial days at window boundaries kept as separate
+    * readings, exactly as a real monitor sees them. State and
+    * verdicts follow the b&lt;id&gt; Overwrite subdir regime (q141/
+    * q175/q205), so retried batches replay identically.
+    *
+    * 100 TB shape: per-batch work is one day-panel aggregate plus
+    * windows over that panel; standing state is two integers + μ,
+    * never a growing table. The oracle replays both monitoring
+    * windows closed-form with the same tercile split and
+    * calibration μ.
+    */
+  private val q232StreamCusum = Q(
+    "q232_stream_cusum",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-scsm-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val ev = Tables.events(s, d).select(
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(1e6)).cast("long").as("v6"))
+      val (lo, hi) = tsBoundsUs(Tables.events(s, d), "ts")
+      val t1 = lo + (hi - lo) / 3
+      val t2 = lo + (hi - lo) * 2 / 3
+      Seq(("1_cal", col("us") <= t1, 60000L),
+          ("2_w1", col("us") > t1 && col("us") <= t2, 120000L),
+          ("3_w2", col("us") > t2, 180000L)).foreach { case (n, p, mt) =>
+        Scratch.landFile(ev.filter(p).select("day", "v6"), landing.toString,
+          s"$n.parquet", modTime = mt)
+      }
+      val stateDir = s"$root/state"
+      val verdictsDir = s"$root/verdicts"
+      val query = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "day DATE, v6 BIGINT"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.stream.StreamCusum.step(batch, id, stateDir, verdictsDir)
+        }
+        .start()
+      query.awaitTermination()
+      Scratch.sealAndClean(
+        s.read.parquet(s"$verdictsDir/b1", s"$verdictsDir/b2")
+          .orderBy("window_id", "day"),
+        root)
+    },
+    Some("""WITH ev AS (SELECT epoch_us(ts) AS us, CAST(ts AS DATE) AS day,
+          CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events),
+      sp AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+      t AS (SELECT lo + (hi - lo) // 3 AS t1,
+          lo + (hi - lo) * 2 // 3 AS t2 FROM sp),
+      cal AS (SELECT day, CAST(sum(v6) AS BIGINT) AS x
+        FROM ev, t WHERE us <= t1 GROUP BY 1),
+      mu AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu FROM cal),
+      mon AS (SELECT CASE WHEN us <= t2 THEN 1 ELSE 2 END AS window_id,
+          day, CAST(sum(v6) AS BIGINT) AS x
+        FROM ev, t WHERE us > t1 GROUP BY 1, 2),
+      walk AS (SELECT window_id, day, x, mu,
+          sum(x - mu - (mu // 20)) OVER (ORDER BY window_id, day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM mon, mu),
+      ss AS (SELECT window_id, day, x, mu, c,
+          c - least(0, min(c) OVER (ORDER BY window_id, day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM walk)
+      SELECT CAST(window_id AS BIGINT) AS window_id, day, x AS x_v6,
+        CAST(s AS BIGINT) AS s_v6, s > mu // 2 AS alarm
+      FROM ss ORDER BY 1, 2"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
       q117SchemaEvolution, q120StreamFunnel, q129StreamScd2,
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
       q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin,
-      q139Compaction, q140StreamSessionize, q150VersionDiff, q205StreamPsi)
+      q139Compaction, q140StreamSessionize, q150VersionDiff, q205StreamPsi,
+      q232StreamCusum)
 }

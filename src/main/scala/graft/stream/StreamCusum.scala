@@ -1,0 +1,54 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One micro-batch of the STREAMING CUSUM MONITOR (q232's foreachBatch
+  * body): batch 0 is the CALIBRATION window — it fixes the mean μ and
+  * slack the detector runs with — and every later batch continues the
+  * cumulative walk from standing state, emitting one (day, S, alarm)
+  * row per monitored day. The walk uses q228's closed form WITHIN a
+  * batch (cumsum − running min) seeded by the carried state, so the
+  * streamed trajectory equals the batch closed form over the whole
+  * monitored span exactly.
+  *
+  * State regime (the [[StreamNeardup]]/[[StreamDecontam]] subdir
+  * contract): batch k READS state/b(k−1) and WRITES state/b(k) with
+  * Overwrite — a retried batch re-reads the same input state and
+  * rewrites the same outputs, so the step is idempotent without a
+  * transaction log. State is two integers (last C, last running min)
+  * plus the calibration row — never a growing table.
+  */
+object StreamCusum {
+
+  def step(batch: DataFrame, batchId: Long, stateDir: String,
+      verdictsDir: String): Unit = {
+    val ss = batch.sparkSession
+    val daily = batch.groupBy("day").agg(sum("v6").as("x"))
+    if (batchId == 0L) {
+      val cal = daily.agg(sum("x").as("sx"), count(lit(1)).as("nd"))
+        .select(expr("sx div nd").as("mu"),
+          lit(0L).as("c"), lit(0L).as("m"))
+      cal.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/b0")
+    } else {
+      val st = ss.read.parquet(s"$stateDir/b${batchId - 1}").head()
+      val (mu, c0, m0) = (st.getAs[Long]("mu"), st.getAs[Long]("c"),
+        st.getAs[Long]("m"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walked = daily
+        .withColumn("dev", col("x") - lit(mu) - lit(mu / 20))
+        .withColumn("c", lit(c0) + sum("dev").over(wc))
+        .withColumn("m", least(lit(m0), min(col("c")).over(wc)))
+        .withColumn("s", col("c") - least(lit(0L), col("m")))
+      walked.select(lit(batchId).as("window_id"), col("day"),
+          col("x").as("x_v6"), col("s").as("s_v6"),
+          (col("s") > lit(mu / 2)).as("alarm"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$verdictsDir/b$batchId")
+      walked.orderBy(col("day").desc).limit(1)
+        .select(lit(mu).as("mu"), col("c"), col("m"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+    }
+  }
+}

@@ -1669,6 +1669,132 @@ object Evaluate {
           AS snips_v6
       FROM w GROUP BY 1 ORDER BY 1"""))
 
+  /** q233: QUANTILE NORMALIZATION across sources — map each source's
+    * length distribution onto the GLOBAL distribution (the
+    * cross-source score-calibration op: after it, "length 300 in
+    * src3" and "length 300 in src9" mean the same percentile), the
+    * batch sibling of q78/q95's quantile work. For each (source,
+    * value): its within-source cumulative fraction looks up the
+    * smallest global value whose global fraction reaches it —
+    * integer-exact via cross-multiplied fractions (cumS·nG ≤ cumG·nS
+    * avoids any division), the q195/q198 histogram discipline.
+    *
+    * 100 TB shape: both cumulative tables are histogram-sized (value
+    * domain × sources); the lookup is a min-over-qualifying-rows
+    * aggregation on the joined bounded histograms — at an unbounded
+    * value domain this becomes q159's sketch split points or q80's
+    * range join; the audit emits per (source, value) rows.
+    */
+  private val q233QuantileNorm = Q(
+    "q233_quantile_norm",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("m"))
+      val ws = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumS = hist.withColumn("cums", sum("m").over(ws))
+        .withColumn("ns", sum("m").over(Window.partitionBy("source")))
+      val ghist = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("gv")).agg(count(lit(1)).as("gm"))
+      val wg = Window.orderBy("gv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumG = ghist.withColumn("cumg", sum("gm").over(wg))
+        .withColumn("ng", sum("gm").over(Window.partitionBy()))
+      cumS.join(cumG, col("cums") * col("ng") <= col("cumg") * col("ns"))
+        .groupBy("source", "v", "cums", "ns")
+        .agg(min("gv").as("v_norm"))
+        .select(col("source"), col("v"), col("cums"), col("ns"),
+          col("v_norm"))
+        .orderBy("source", "v")
+    },
+    Some("""WITH h AS (SELECT source, n_chars AS v,
+          CAST(count(*) AS BIGINT) AS m FROM documents GROUP BY 1, 2),
+      cs AS (SELECT source, v, m,
+          sum(m) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+          sum(m) OVER (PARTITION BY source) AS ns
+        FROM h),
+      g AS (SELECT n_chars AS gv, CAST(count(*) AS BIGINT) AS gm
+        FROM documents GROUP BY 1),
+      cg AS (SELECT gv,
+          sum(gm) OVER (ORDER BY gv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+          sum(gm) OVER () AS ng
+        FROM g)
+      SELECT cs.source, cs.v, CAST(cs.cums AS BIGINT) AS cums,
+        CAST(cs.ns AS BIGINT) AS ns, CAST(min(cg.gv) AS BIGINT) AS v_norm
+      FROM cs JOIN cg ON cs.cums * cg.ng <= cg.cumg * cs.ns
+      GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"""))
+
+  /** q234: RENDEZVOUS-HASH REBALANCE AUDIT — what fraction of the
+    * corpus MOVES when the shard count grows from 8 to 9, mod-hash vs
+    * rendezvous (highest-random-weight) placement: the partitioner
+    * choice audit for any growing storage/serving tier. Rendezvous
+    * shard = argmax over shards of h32(key:shard) (greatest-of-9
+    * scan-stage expressions, ties impossible on distinct hash
+    * inputs); mod shard = h32 % n. The law the audit demonstrates:
+    * HRW moves ≈ 1/9 of keys (only those whose new shard's hash tops
+    * their old max), mod moves ≈ 8/9 — the output row carries both
+    * fractions in integer millionths.
+    *
+    * 100 TB shape: every placement is row-local hash arithmetic in
+    * the scan stage; ONE single-row aggregate. Nothing shuffles but
+    * the final count.
+    */
+  private val q234RendezvousRebalance = Q(
+    "q234_rendezvous_rebalance",
+    (s, d) => {
+      def hrw(n: Int): org.apache.spark.sql.Column = {
+        val weighted = (0 until n).map { sh =>
+          struct(h32(concat(lit(s"shard:$sh:"),
+            col("doc_id").cast("string"))).as("w"), lit(sh.toLong).as("sh"))
+        }
+        greatest(weighted: _*).getField("sh")
+      }
+      val placed = Tables.documents(s, d).select(col("doc_id"),
+        hrw(8).as("hrw8"), hrw(9).as("hrw9"),
+        (h32(concat(lit("mod:"), col("doc_id").cast("string"))) % 8)
+          .as("mod8"),
+        (h32(concat(lit("mod:"), col("doc_id").cast("string"))) % 9)
+          .as("mod9"))
+      placed.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("hrw8") =!= col("hrw9"), 1L).otherwise(0L))
+            .as("hrw_moved"),
+          sum(when(col("mod8") =!= col("mod9"), 1L).otherwise(0L))
+            .as("mod_moved"))
+        .select(col("n_docs"), col("hrw_moved"), col("mod_moved"),
+          expr("(hrw_moved * 1000000) div n_docs").as("hrw_moved_e6"),
+          expr("(mod_moved * 1000000) div n_docs").as("mod_moved_e6"))
+    },
+    Some {
+      // DuckDB formulation: greatest-of-structs via list_max over
+      // (weight, shard) pairs — struct comparison is lexicographic in
+      // both engines
+      val mk = (n: Int) => (0 until n).map { sh =>
+        s"{'w': CAST('0x' || substr(md5('shard:$sh:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), 'sh': CAST($sh AS BIGINT)}"
+      }.mkString("[", ", ", "]")
+      s"""WITH placed AS (SELECT doc_id,
+          list_max(${mk(8)})['sh'] AS hrw8,
+          list_max(${mk(9)})['sh'] AS hrw9,
+          CAST('0x' || substr(md5('mod:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 8 AS mod8,
+          CAST('0x' || substr(md5('mod:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 9 AS mod9
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT)
+          AS hrw_moved,
+        CAST(sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT)
+          AS mod_moved,
+        CAST((sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) * 1000000)
+          // count(*) AS BIGINT) AS hrw_moved_e6,
+        CAST((sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1000000)
+          // count(*) AS BIGINT) AS mod_moved_e6
+      FROM placed"""
+    })
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -1678,5 +1804,5 @@ object Evaluate {
     q217SprtTrajectory, q218SlicedAuc, q219TrimmedMean,
     q220PreferencePairs, q221GeneralizationLadder, q225FrequentPairs,
     q226PowerAnalysis, q227HashCollisionAudit, q230IpfRaking,
-    q231SnipsOffPolicy)
+    q231SnipsOffPolicy, q233QuantileNorm, q234RendezvousRebalance)
 }

@@ -574,6 +574,49 @@ class EvaluateSpec extends AnyFunSuite {
     }
   }
 
+  test("q233: normalized values are the exact global quantile lookups") {
+    val rows = run("q233_quantile_norm").collect()
+    assert(rows.nonEmpty)
+    val all = Tables.documents(spark, dir).select("n_chars")
+      .collect().map(_.getLong(0)).sorted
+    val ng = all.length.toLong
+    rows.foreach { r =>
+      val (cums, ns, vn) = (r.getAs[Long]("cums"), r.getAs[Long]("ns"),
+        r.getAs[Long]("v_norm"))
+      // v_norm must be the smallest global value whose cumulative
+      // count reaches the source fraction (cross-multiplied)
+      val want = all.find(g => all.count(_ <= g).toLong * ns >= cums * ng
+        || all.count(_ <= g).toLong * ns * 1 >= cums * ng).get
+      // recompute exactly as the query: first g with cums*ng <= cumg*ns
+      val want2 = all.distinct.find(g =>
+        cums * ng <= all.count(_ <= g).toLong * ns).get
+      assert(vn === want2, s"lookup mismatch at ${r.getAs[String]("source")}/" +
+        s"${r.getAs[Long]("v")}: got $vn want $want2 (sanity $want)")
+    }
+    // normalization is monotone within each source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("v")).map(_.getAs[Long]("v_norm"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q234: rendezvous moves ~1/9 of keys where mod moves ~8/9") {
+    val row = run("q234_rendezvous_rebalance").collect().head
+    val n = row.getAs[Long]("n_docs")
+    val hrw = row.getAs[Long]("hrw_moved").toDouble / n
+    val mod = row.getAs[Long]("mod_moved").toDouble / n
+    assert(hrw > 0.02 && hrw < 0.25, s"HRW moved fraction $hrw implausible")
+    assert(mod > 0.7, s"mod-hash moved fraction $mod implausible")
+    assert(mod > 4 * hrw, "rendezvous must move far fewer keys than mod")
+    // driver recompute of the HRW placements
+    val ids = Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    def place(id: Long, ns: Int): Int = (0 until ns).maxBy(sh =>
+      (graft.functions.Portable.h32s(s"shard:$sh:$id"), sh))
+    val moved = ids.count(id => place(id, 8) != place(id, 9)).toLong
+    assert(row.getAs[Long]("hrw_moved") === moved)
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -1795,6 +1795,156 @@ object Evaluate {
       FROM placed"""
     })
 
+  /** q235: SLIDING-WINDOW HLL DISTINCT — trailing-7-day distinct
+    * users per day through MERGEABLE register tables, the composition
+    * q164 (grouped HLL) and q114 (stream windows) point at but
+    * neither performs: per-day registers are a plain (day, idx,
+    * max-rho) table — built RELATIONALLY (groupBy max), no custom
+    * aggregate needed, which is exactly why HLL wins at scale: the
+    * window merge is just another max over the 7-day offset fan-out,
+    * never a re-scan of raw events. The exact distinct rides along
+    * for the audit (q164's convention); production drops it — THAT
+    * is the point of the sketch.
+    *
+    * 100 TB shape: raw events compress to ≤512 register rows per day
+    * map-side; the 7× offset explode fans out register rows (bounded:
+    * 512·days), not events; estimates use the shared [[Hll]]
+    * estimator formula (identical on both engines).
+    */
+  private val q235SlidingHll = Q(
+    "q235_sliding_hll",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
+        h32(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      val reg = ev.select(col("day"), (col("h") % 512).as("idx"),
+          expr("""CASE WHEN h div 512 = 0 THEN 24
+            ELSE bit_count(((h div 512) & -(h div 512)) - 1) + 1 END""")
+            .as("rho"))
+        .groupBy("day", "idx").agg(max("rho").as("mx"))
+      val fan = reg.select(col("day"), col("idx"), col("mx"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(date_add(col("day"), col("off")).as("wday"),
+          col("idx"), col("mx"))
+      val days = reg.select("day").distinct()
+      val merged = fan.join(days, fan("wday") === days("day")).drop("day")
+        .groupBy("wday", "idx").agg(max("mx").as("mx"))
+      val agg = merged.groupBy("wday").agg(
+          count(lit(1)).as("n_used"),
+          sum(expr("CAST(1 AS BIGINT) << (24 - mx)")).as("t_used"))
+        .select(col("wday").as("day"),
+          (lit(512L) - col("n_used")).as("v_zero"),
+          (col("t_used") + (lit(512L) - col("n_used")) * lit(16777216L))
+            .as("t_total"))
+        .withColumn("est",
+          expr(graft.functions.Hll.estimateSql("v_zero", "t_total")))
+      val exact = Tables.events(s, d)
+        .select(to_date(col("ts")).as("eday"), col("user_id"))
+        .withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select(date_add(col("eday"), col("off")).as("day"), col("user_id"))
+        .join(days.withColumnRenamed("day", "dday"),
+          col("day") === col("dday")).drop("dday")
+        .groupBy("day").agg(count_distinct(col("user_id")).as("exact_distinct"))
+      agg.join(exact, "day").orderBy("day")
+    },
+    Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+          CAST('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS h
+        FROM events),
+      reg AS (SELECT day, h % 512 AS idx,
+          max(CASE WHEN h // 512 = 0 THEN 24
+            ELSE bit_count(((h // 512) & -(h // 512)) - 1) + 1 END) AS mx
+        FROM ev GROUP BY 1, 2),
+      days AS (SELECT DISTINCT day FROM reg),
+      fan AS (SELECT r.day + CAST(o.off AS INT) AS wday, r.idx, r.mx
+        FROM reg r, (SELECT unnest(range(7)) AS off) o),
+      merged AS (SELECT f.wday, f.idx, max(f.mx) AS mx
+        FROM fan f JOIN days d ON f.wday = d.day GROUP BY 1, 2),
+      agg AS (SELECT wday AS day,
+          512 - count(*) AS v_zero,
+          CAST(sum(CAST(1 AS BIGINT) << (24 - mx))
+            + (512 - count(*)) * 16777216 AS BIGINT) AS t_total
+        FROM merged GROUP BY 1),
+      ex AS (SELECT e.day + CAST(o.off AS INT) AS day,
+          count(DISTINCT CASE WHEN TRUE THEN e.user_id END) AS exact_distinct
+        FROM (SELECT CAST(ts AS DATE) AS day, user_id FROM events) e,
+          (SELECT unnest(range(7)) AS off) o
+        WHERE e.day + CAST(o.off AS INT) IN (SELECT day FROM days)
+        GROUP BY 1)
+      SELECT a.day, CAST(a.v_zero AS BIGINT) AS v_zero, a.t_total,
+        """ + graft.functions.Hll.estimateSql("a.v_zero", "a.t_total") +
+      """ AS est,
+        CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+      FROM agg a JOIN ex ON a.day = ex.day ORDER BY 1"""),
+    bench = true)
+
+  /** q236: VECTOR OUTLIER FLAGGING — per-cell z-test on the own-
+    * centroid cosine: vectors far below their cell's mean similarity
+    * are garbage/poisoning candidates (the index-hygiene gate between
+    * q186's cell-balance audit and q191's cluster-quality score).
+    * The z > 2 predicate is evaluated in PURE INTEGERS by squaring
+    * the cross-multiplied form — (S1 − n·x)² > 4·(n·S2 − S1²) with a
+    * positivity guard — so no square root, no float threshold, and
+    * the flags replay exactly (DECIMAL(38,0) squares for the 100 TB
+    * cell sizes). The FULL per-vector flag table is emitted (not just
+    * the flagged tail) so the oracle verifies real content even when
+    * a slice has no outliers.
+    *
+    * 100 TB shape: own-centroid cosine is the scan-stage codegen
+    * assignment pass (plan-bound codebook); per-cell moments are one
+    * bounded exchange; flags evaluate in a second scan joined to the
+    * broadcast cell-stats table.
+    */
+  private val q236VectorOutliers = Q(
+    "q236_vector_outliers",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = graft.search.Ivf.codebook(e, 25)
+      import graft.functions.Portable.toDouble
+      val top = graft.functions.IvfOps.top2Col(
+        toDouble(col("embedding")), cb)
+      val scored = e.select(col("vec_id"),
+          top.getField("cell").as("cell"),
+          round(top.getField("cs1") * 1e6, 0).cast("long").as("x"))
+        .filter(col("cell").isNotNull)
+      val stats = scored.groupBy("cell").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").cast("decimal(38,0)").as("s1"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)")
+          .as("s2"))
+      scored.join(broadcast(stats), "cell")
+        .withColumn("dev", col("s1") - col("n") * col("x"))
+        .withColumn("flag", col("dev") > 0 &&
+          col("dev") * col("dev") > lit(4) *
+            (col("n") * col("s2") - col("s1") * col("s1")))
+        .select(col("vec_id"), col("cell"), col("x").as("cos_e6"),
+          col("n").cast("long").as("cell_n"), col("flag"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+        FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+        FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell, cs FROM (
+          SELECT vid, cid, cs, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn FROM sims) t WHERE rn = 1),
+      scored AS (SELECT vid AS vec_id, cell,
+          CAST(round(cs * 1e6, 0) AS BIGINT) AS x FROM assign),
+      st AS (SELECT cell, CAST(count(*) AS DECIMAL(38,0)) AS n,
+          CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+          CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2
+        FROM scored GROUP BY 1)
+      SELECT s.vec_id, s.cell, s.x AS cos_e6, CAST(st.n AS BIGINT) AS cell_n,
+        (st.s1 - st.n * s.x > 0
+          AND (st.s1 - st.n * s.x) * (st.s1 - st.n * s.x)
+            > 4 * (st.n * st.s2 - st.s1 * st.s1)) AS flag
+      FROM scored s JOIN st ON s.cell = st.cell
+      ORDER BY s.vec_id"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -1804,5 +1954,6 @@ object Evaluate {
     q217SprtTrajectory, q218SlicedAuc, q219TrimmedMean,
     q220PreferencePairs, q221GeneralizationLadder, q225FrequentPairs,
     q226PowerAnalysis, q227HashCollisionAudit, q230IpfRaking,
-    q231SnipsOffPolicy, q233QuantileNorm, q234RendezvousRebalance)
+    q231SnipsOffPolicy, q233QuantileNorm, q234RendezvousRebalance,
+    q235SlidingHll, q236VectorOutliers)
 }

@@ -617,6 +617,48 @@ class EvaluateSpec extends AnyFunSuite {
     assert(row.getAs[Long]("hrw_moved") === moved)
   }
 
+  test("q235: sliding HLL estimate tracks the exact sliding distinct") {
+    val rows = run("q235_sliding_hll").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Double]("est"),
+        r.getAs[Long]("exact_distinct"))
+      // 512 registers -> ~4.6% relative error; allow 4 sigma
+      assert(math.abs(est - exact) <= math.max(5.0, 0.2 * exact),
+        s"day ${r.getAs[java.sql.Date]("day")}: est $est vs exact $exact")
+      assert(r.getAs[Long]("v_zero") >= 0L && r.getAs[Long]("v_zero") <= 512L)
+    }
+    // windows only grow the distinct count vs the single day
+    val singleDay = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("d1"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day")
+      assert(r.getAs[Long]("exact_distinct") >= singleDay(day),
+        "a trailing window cannot see fewer users than its last day")
+    }
+  }
+
+  test("q236: flag predicate equals the naive z>2 test per cell") {
+    val rows = run("q236_vector_outliers").collect()
+    assert(rows.length ===
+      Tables.embeddings(spark, dir).count().toInt)
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (_, g) =>
+      val xs = g.map(_.getAs[Long]("cos_e6").toDouble)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+      g.foreach { r =>
+        val x = r.getAs[Long]("cos_e6").toDouble
+        val want = sd > 0 && (mean - x) / sd > 2.0
+        assert(r.getAs[Boolean]("flag") === want,
+          s"vec ${r.getAs[Long]("vec_id")}: z=${(mean - x) / sd}")
+      }
+    }
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

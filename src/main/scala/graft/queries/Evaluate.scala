@@ -1945,6 +1945,230 @@ object Evaluate {
       FROM scored s JOIN st ON s.cell = st.cell
       ORDER BY s.vec_id"""))
 
+  /** q237: DEDUP PRECISION/RECALL vs PLANTED TRUTH — close the loop
+    * on the near-dup stack: plant one-token-mutated shadow copies
+    * (doc_id%11, +2e7 ids), run the EXACT q23 machinery over the
+    * augmented corpus, and score candidate pairs against the planted
+    * truth at every band threshold — the threshold-selection table a
+    * dedup rollout reads (q179 estimated pair QUALITY; this measures
+    * RETRIEVAL of known duplicates). Natural near-dups count as false
+    * positives uniformly across thresholds, so the CURVE shape is
+    * unbiased even though absolute precision is a lower bound —
+    * stated here because silently conflating the two is how dedup
+    * evals lie.
+    *
+    * 100 TB shape: q23's audited banded path over the augmented
+    * corpus; the threshold sweep is a 4× bounded fan-out over the
+    * candidate pair table (q209/q211 trick), one corpus pass total.
+    */
+  private val q237DedupPrEval = Q(
+    "q237_dedup_pr_eval",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"), col("text"))
+      val shadows = base.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          expr("concat('zzzq', substr(text, instr(text, ' ')))").as("text"))
+      val nTruth = shadows.count()
+      val aug = base.union(shadows)
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+      val pairs = graft.ops.Dedup.candidates(graft.ops.Dedup.bandSignatures(aug))
+        .withColumn("planted",
+          col("b_id") === col("a_id") + 20000000L &&
+            pmod(col("a_id"), lit(11)) === 0)
+      pairs.select(col("n_bands"), col("planted"),
+          explode(typedLit(Seq(1L, 2L, 3L, 4L))).as("t"))
+        .filter(col("n_bands") >= col("t"))
+        .groupBy("t").agg(
+          count(lit(1)).as("n_pred"),
+          sum(when(col("planted"), 1L).otherwise(0L)).as("tp"))
+        .select(col("t"), col("n_pred"), col("tp"),
+          (col("n_pred") - col("tp")).as("fp"),
+          (lit(nTruth) - col("tp")).as("fn"),
+          expr("(tp * 1000000) div n_pred").as("precision_e6"),
+          expr(s"(tp * 1000000) div $nTruth").as("recall_e6"))
+        .orderBy("t")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 4),
+      shadows AS (SELECT doc_id + 20000000 AS doc_id,
+          'zzzq' || substr(text, instr(text, ' ')) AS text
+        FROM base WHERE doc_id % 11 = 0),
+      aug AS (SELECT * FROM base UNION ALL SELECT * FROM shadows),
+      ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+      sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS s FROM ws),
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                  CAST(count(*) AS BIGINT) AS n_bands,
+                  (y.doc_id = x.doc_id + 20000000 AND x.doc_id % 11 = 0)
+                    AS planted
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+                GROUP BY 1, 2, 4),
+      truth AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM shadows),
+      sweep AS (SELECT p.n_bands, p.planted, t.t
+        FROM pairs p, (SELECT unnest([1, 2, 3, 4]) AS t) t
+        WHERE p.n_bands >= t.t)
+      SELECT CAST(t AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n_pred,
+        CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(count(*) - sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+          AS fp,
+        CAST(truth.nt - sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+          AS fn,
+        CAST((sum(CASE WHEN planted THEN 1 ELSE 0 END) * 1000000)
+          // count(*) AS BIGINT) AS precision_e6,
+        CAST((sum(CASE WHEN planted THEN 1 ELSE 0 END) * 1000000)
+          // truth.nt AS BIGINT) AS recall_e6
+      FROM sweep, truth GROUP BY t, truth.nt ORDER BY t"""))
+
+  /** q238: VOCABULARY COVERAGE CURVE — what share of token
+    * OCCURRENCES the top-k types cover, for a grid of k: the
+    * tokenizer/vocab-sizing table (pairs with q200's Gini and q201's
+    * tail mass; this is the head view). A per-type rank would sort
+    * |V| rows; the count-of-counts histogram + q219's interval
+    * arithmetic instead takes whole frequency blocks while they fit
+    * in k and a PARTIAL block at the boundary — exact at every k with
+    * no per-type window anywhere.
+    *
+    * 100 TB shape: vocabulary → count-of-counts (two bounded
+    * exchanges), 3× k fan-out over the tiny histogram.
+    */
+  private val q238VocabCoverage = Q(
+    "q238_vocab_coverage",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(col("f").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("ct", sum("m").over(w))
+        .withColumn("tot", sum(expr("f * m")).over(Window.partitionBy()))
+      cum.select(col("f"), col("m"), col("ct"), col("tot"),
+          explode(typedLit(Seq(10L, 100L, 1000L))).as("k"))
+        .withColumn("take",
+          expr("greatest(CAST(0 AS BIGINT), least(m, k - (ct - m)))"))
+        .groupBy("k").agg(
+          max("tot").as("n_tokens"),
+          sum(expr("take * f")).as("covered"),
+          sum("take").as("n_types_used"))
+        .select(col("k"), col("n_types_used"), col("covered"), col("n_tokens"),
+          expr("(covered * 1000000) div n_tokens").as("share_e6"))
+        .orderBy("k")
+    },
+    Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1),
+      h AS (SELECT f, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+      cu AS (SELECT f, m,
+          sum(m) OVER (ORDER BY f DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+          sum(f * m) OVER () AS tot
+        FROM h),
+      sw AS (SELECT f, m, ct, tot, k,
+          greatest(0, least(m, k - (ct - m))) AS take
+        FROM cu, (SELECT unnest([10, 100, 1000]) AS k) ks)
+      SELECT CAST(k AS BIGINT) AS k,
+        CAST(sum(take) AS BIGINT) AS n_types_used,
+        CAST(sum(take * f) AS BIGINT) AS covered,
+        CAST(max(tot) AS BIGINT) AS n_tokens,
+        CAST((sum(take * f) * 1000000) // max(tot) AS BIGINT) AS share_e6
+      FROM sw GROUP BY k ORDER BY k"""))
+
+  /** q239: HARD-NEGATIVE MINING — the contrastive-retrieval training
+    * table: each q23 near-dup pair is an (anchor, positive); hard
+    * negatives come from the anchor's COARSE SIMHASH BUCKET
+    * (top-6-bit prefix — textually close but not duplicate), ranked
+    * by a deterministic per-(anchor, candidate) hash and capped at 2.
+    * In-batch random negatives are free at train time; the hard ones
+    * are what the miner must precompute — this is that precompute,
+    * with q220 (preference pairs) as the pointwise sibling.
+    *
+    * 100 TB shape: the bucket join keys on the uniform coarse prefix
+    * (64 buckets here; width scales with the corpus — the q214
+    * block-signature family); the per-anchor top-2 is a bounded
+    * window over bucket-local candidates, and everything upstream is
+    * q23's audited path.
+    */
+  private val q239HardNegatives = Q(
+    "q239_hard_negatives",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("text")).as("hs"),
+          shiftright(graft.functions.Hash32.simhashCol(col("text")), 26)
+            .as("bkt"))
+      val pairs = graft.ops.Dedup
+        .candidates(graft.ops.Dedup.bandSignatures(doc.select("doc_id", "hs")))
+        .select(col("a_id").as("anchor_id"), col("b_id").as("pos_id"))
+      val buckets = doc.select(col("doc_id").as("cand_id"), col("bkt"))
+      val anchorBkt = doc.select(col("doc_id").as("anchor_id"), col("bkt"))
+      val cands = pairs.join(anchorBkt, "anchor_id")
+        .join(buckets, "bkt")
+        .filter(col("cand_id") =!= col("anchor_id") &&
+          col("cand_id") =!= col("pos_id"))
+        .withColumn("hk", h32(concat(lit("neg:"),
+          col("anchor_id").cast("string"), lit(":"),
+          col("cand_id").cast("string"))))
+      val w = Window.partitionBy("anchor_id", "pos_id")
+        .orderBy(col("hk"), col("cand_id"))
+      cands.withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= 2)
+        .select(col("anchor_id"), col("pos_id"),
+          col("neg_rank").cast("long").as("neg_rank"),
+          col("cand_id").as("neg_id"))
+        .orderBy("anchor_id", "pos_id", "neg_rank")
+    },
+    Some(s"""WITH ${Pipeline.shingleCte},
+      th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES ${Pipeline.mhParamsSqlValues}),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS (SELECT doc_id, i // 2 AS band,
+                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+                FROM mh GROUP BY 1, 2),
+      pairs AS (SELECT DISTINCT x.doc_id AS anchor_id, y.doc_id AS pos_id
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      tok AS (SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          ) raw
+        WHERE doc_id IN (SELECT doc_id FROM ws WHERE len(w) >= 4)),
+      sth AS (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+      bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+            THEN 1 ELSE -1 END) AS sgn
+        FROM sth CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js
+        GROUP BY 1, 2),
+      shh AS (SELECT doc_id,
+          CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END)
+            * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1),
+      bkt AS (SELECT doc_id, simhash >> 26 AS bkt FROM shh),
+      cand AS (SELECT p.anchor_id, p.pos_id, c.doc_id AS cand_id,
+          CAST('0x' || substr(md5('neg:' || CAST(p.anchor_id AS VARCHAR)
+            || ':' || CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk
+        FROM pairs p JOIN bkt a ON p.anchor_id = a.doc_id
+        JOIN bkt c ON a.bkt = c.bkt
+        WHERE c.doc_id <> p.anchor_id AND c.doc_id <> p.pos_id),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, pos_id
+          ORDER BY hk, cand_id) AS neg_rank FROM cand)
+      SELECT anchor_id, pos_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+        cand_id AS neg_id
+      FROM rk WHERE neg_rank <= 2
+      ORDER BY 1, 2, 3"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -1955,5 +2179,6 @@ object Evaluate {
     q220PreferencePairs, q221GeneralizationLadder, q225FrequentPairs,
     q226PowerAnalysis, q227HashCollisionAudit, q230IpfRaking,
     q231SnipsOffPolicy, q233QuantileNorm, q234RendezvousRebalance,
-    q235SlidingHll, q236VectorOutliers)
+    q235SlidingHll, q236VectorOutliers, q237DedupPrEval,
+    q238VocabCoverage, q239HardNegatives)
 }

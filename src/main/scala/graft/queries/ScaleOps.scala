@@ -19,7 +19,7 @@ object ScaleOps {
   /** Shared CTE: per-doc 32-bit SimHash, identical to the q24 oracle
     * (distinct-token h32 sign-sum per bit, ties up).
     */
-  private def simhashCte: String =
+  private[queries] def simhashCte: String =
     """tok AS (SELECT DISTINCT doc_id, w FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) raw),
       th AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),

@@ -659,6 +659,71 @@ class EvaluateSpec extends AnyFunSuite {
     }
   }
 
+  test("q237: PR sweep is threshold-monotone and recovers planted copies at t=1") {
+    val rows = run("q237_dedup_pr_eval").collect()
+      .sortBy(_.getAs[Long]("t"))
+    assert(rows.length === 4)
+    // predictions shrink as the band threshold rises; tp can only drop
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getAs[Long]("n_pred") <= lo.getAs[Long]("n_pred"))
+        assert(hi.getAs[Long]("tp") <= lo.getAs[Long]("tp"))
+      case _ =>
+    }
+    val t1 = rows.head
+    assert(t1.getAs[Long]("tp") + t1.getAs[Long]("fn") > 0,
+      "the fixture must plant at least one shadow")
+    // one-token mutation preserves most shingles: t=1 recall is high
+    assert(t1.getAs[Long]("recall_e6") >= 600000L,
+      s"t=1 recall ${t1.getAs[Long]("recall_e6")} too low for 1-token edits")
+  }
+
+  test("q238: coverage shares are monotone in k and conserve the head") {
+    val rows = run("q238_vocab_coverage").collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.length === 3)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getAs[Long]("covered") >= lo.getAs[Long]("covered"))
+        assert(hi.getAs[Long]("share_e6") >= lo.getAs[Long]("share_e6"))
+      case _ =>
+    }
+    // driver recompute: top-k coverage from the sorted type frequencies
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k").toInt
+      val want = freqs.take(k).sum
+      assert(r.getAs[Long]("covered") === want, s"coverage at k=$k")
+      assert(r.getAs[Long]("n_types_used") === math.min(k, freqs.length).toLong)
+    }
+  }
+
+  test("q239: hard negatives share the anchor's bucket and exclude the pair") {
+    val rows = run("q239_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    val bkt = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"),
+        shiftright(graft.functions.Hash32.simhashCol(col("text")), 26)
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("pos_id")))
+      .foreach { case ((a, p), g) =>
+        assert(g.length <= 2, "at most 2 negatives per pair")
+        assert(g.map(_.getAs[Long]("neg_rank")).sorted.toSeq ===
+          (1L to g.length).toSeq)
+        g.foreach { r =>
+          val neg = r.getAs[Long]("neg_id")
+          assert(neg != a && neg != p, "negatives exclude the pair itself")
+          assert(bkt(neg) === bkt(a),
+            "hard negatives must come from the anchor's coarse bucket")
+        }
+      }
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -2169,6 +2169,122 @@ object Evaluate {
       FROM rk WHERE neg_rank <= 2
       ORDER BY 1, 2, 3"""))
 
+  /** q240: CLASSIFIER AGREEMENT (Cohen's κ) — do the two quality
+    * gates agree beyond chance? The q106 hashed classifier's keep
+    * verdict against the surface-length gate (n_chars ≥ 200, a q28-
+    * style rule): observed agreement pₒ and chance agreement pₑ from
+    * the 2×2 confusion marginals, κ = (pₒ − pₑ)/(1 − pₑ) as a final
+    * ratio of exact counts (κ·1e6 via cross-multiplied integers — no
+    * intermediate fractions). Low κ means the gates disagree on WHICH
+    * docs to keep even if their keep-rates match — the signal that an
+    * ensemble (or an audit) is needed, invisible to accuracy alone.
+    *
+    * 100 TB shape: both verdicts are scan-stage expressions; ONE
+    * single-row aggregate of four cells.
+    */
+  private val q240ClassifierKappa = Q(
+    "q240_classifier_kappa",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val weight = (t: org.apache.spark.sql.Column) =>
+        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
+          lit(2001L)) - lit(1000L)
+      val verdicts = Tables.documents(s, d).select(
+        (aggregate(toks, lit(0L), (acc, t) => acc + weight(t)) > 0L)
+          .as("ka"),
+        (col("n_chars") >= 200L).as("kb"))
+      verdicts.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("yy"),
+          sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("yn"),
+          sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("ny"),
+          sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("nn"))
+        .select(col("n"), col("yy"), col("yn"), col("ny"), col("nn"),
+          expr("((yy + nn) * 1000000) div n").as("agree_e6"),
+          // kappa = (n*(yy+nn) - (yy+yn)*(yy+ny) - (ny+nn)*(yn+nn))
+          //       / (n*n        - (yy+yn)*(yy+ny) - (ny+nn)*(yn+nn))
+          round((col("n") * (col("yy") + col("nn")) -
+              ((col("yy") + col("yn")) * (col("yy") + col("ny")) +
+                (col("ny") + col("nn")) * (col("yn") + col("nn"))))
+              .cast("double") /
+            (col("n") * col("n") -
+              ((col("yy") + col("yn")) * (col("yy") + col("ny")) +
+                (col("ny") + col("nn")) * (col("yn") + col("nn"))))
+              .cast("double"), 6).as("kappa6"))
+    },
+    Some("""WITH ws AS (SELECT doc_id, n_chars,
+              unnest(string_split(text, ' ')) AS t
+            FROM documents),
+      sc AS (SELECT doc_id, max(n_chars) AS n_chars,
+               sum(CAST('0x' || substr(md5('w:' ||
+                     CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096
+                       AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000) > 0 AS ka
+             FROM ws GROUP BY doc_id),
+      v AS (SELECT ka, n_chars >= 200 AS kb FROM sc),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE ka AND kb) AS BIGINT) AS yy,
+          CAST(count(*) FILTER (WHERE ka AND NOT kb) AS BIGINT) AS yn,
+          CAST(count(*) FILTER (WHERE NOT ka AND kb) AS BIGINT) AS ny,
+          CAST(count(*) FILTER (WHERE NOT ka AND NOT kb) AS BIGINT) AS nn
+        FROM v)
+      SELECT n, yy, yn, ny, nn,
+        ((yy + nn) * 1000000) // n AS agree_e6,
+        round(CAST(n * (yy + nn)
+            - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) AS DOUBLE)
+          / CAST(n * n
+            - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) AS DOUBLE), 6)
+          AS kappa6
+      FROM m"""))
+
+  /** q241: CROSS-VALIDATION FOLD TABLE — the third leg of the
+    * resampling triad (q187 jackknife, q209 bootstrap): 5 hash-
+    * deterministic folds (h32-salted, independent of the q70
+    * train/val/test hash — the q84 independence rule), per-fold mean
+    * of the statistic in exact millionths, and the between-fold
+    * variance of fold means from DECIMAL moments — the number that
+    * says whether a quality metric is stable enough to gate releases.
+    *
+    * 100 TB shape: fold id is scan-stage hash arithmetic; one
+    * exchange to 5 rows; the variance combines the 5-row frame.
+    */
+  private val q241CvFolds = Q(
+    "q241_cv_folds",
+    (s, d) => {
+      val folds = Tables.documents(s, d).select(
+        (h32(concat(lit("cv:"), col("doc_id").cast("string"))) % 5)
+          .as("fold"), col("n_chars"))
+      val per = folds.groupBy("fold").agg(
+          count(lit(1)).as("n_docs"), sum("n_chars").as("sx"))
+        .withColumn("mean_e6", expr("(sx * 1000000) div n_docs"))
+      val varr = per.agg(
+        count(lit(1)).cast("decimal(38,0)").as("k"),
+        sum("mean_e6").cast("decimal(38,0)").as("s1"),
+        sum(col("mean_e6").cast("decimal(38,0)") * col("mean_e6"))
+          .cast("decimal(38,0)").as("s2"))
+        .select(round((col("k") * col("s2") - col("s1") * col("s1"))
+          .cast("double") / (col("k") * col("k")).cast("double"), 6)
+          .as("between_fold_var"))
+      per.crossJoin(broadcast(varr))
+        .select(col("fold"), col("n_docs"), col("mean_e6"),
+          col("between_fold_var"))
+        .orderBy("fold")
+    },
+    Some("""WITH f AS (SELECT
+          CAST('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 5 AS fold, n_chars
+        FROM documents),
+      per AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+          (CAST(sum(n_chars) AS BIGINT) * 1000000) // count(*) AS mean_e6
+        FROM f GROUP BY 1),
+      v AS (SELECT round(CAST(count(*) * sum(CAST(mean_e6 AS DECIMAL(38,0))
+              * mean_e6) - sum(CAST(mean_e6 AS DECIMAL(38,0)))
+              * sum(CAST(mean_e6 AS DECIMAL(38,0))) AS DOUBLE)
+          / CAST(CAST(count(*) AS DECIMAL(38,0)) * count(*) AS DOUBLE), 6)
+          AS between_fold_var FROM per)
+      SELECT CAST(per.fold AS BIGINT) AS fold, per.n_docs,
+        CAST(per.mean_e6 AS BIGINT) AS mean_e6, v.between_fold_var
+      FROM per, v ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -2180,5 +2296,6 @@ object Evaluate {
     q226PowerAnalysis, q227HashCollisionAudit, q230IpfRaking,
     q231SnipsOffPolicy, q233QuantileNorm, q234RendezvousRebalance,
     q235SlidingHll, q236VectorOutliers, q237DedupPrEval,
-    q238VocabCoverage, q239HardNegatives)
+    q238VocabCoverage, q239HardNegatives, q240ClassifierKappa,
+    q241CvFolds)
 }

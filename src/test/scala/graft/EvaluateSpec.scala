@@ -724,6 +724,35 @@ class EvaluateSpec extends AnyFunSuite {
       }
   }
 
+  test("q240: kappa matches the naive 2x2 computation and cells conserve") {
+    val row = run("q240_classifier_kappa").collect().head
+    val (n, yy, yn, ny, nn) = (row.getAs[Long]("n"), row.getAs[Long]("yy"),
+      row.getAs[Long]("yn"), row.getAs[Long]("ny"), row.getAs[Long]("nn"))
+    assert(yy + yn + ny + nn === n, "confusion cells must partition the corpus")
+    assert(n === Tables.documents(spark, dir).count())
+    val po = (yy + nn).toDouble / n
+    val pe = ((yy + yn).toDouble * (yy + ny) +
+      (ny + nn).toDouble * (yn + nn)) / (n.toDouble * n)
+    val kappa = (po - pe) / (1 - pe)
+    assert(math.abs(row.getAs[Double]("kappa6") - kappa) < 1e-6)
+    assert(row.getAs[Double]("kappa6") >= -1.0 &&
+      row.getAs[Double]("kappa6") <= 1.0)
+  }
+
+  test("q241: folds partition the corpus and the variance matches") {
+    val rows = run("q241_cv_folds").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, dir).count())
+    val means = rows.map(_.getAs[Long]("mean_e6").toDouble)
+    val k = means.length.toDouble
+    val mu = means.sum / k
+    val varr = means.map(m => (m - mu) * (m - mu)).sum / k
+    val got = rows.head.getAs[Double]("between_fold_var")
+    assert(rows.forall(_.getAs[Double]("between_fold_var") === got))
+    assert(math.abs(got - varr) < math.abs(varr) * 1e-9 + 1e-3)
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

@@ -497,17 +497,12 @@ object ScaleOps {
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("Z"), substring(col("text"), 2, 1000000)).as("text"))
       val all = base.union(shadows)
-      val sigExpr = expr("""
-        aggregate(
-          transform(sequence(0, 59), i ->
-            shiftleft(
-              CAST(conv(substring(md5(substring(text,
-                CAST(1 + i * greatest(length(text) div 60, 1) AS INT),
-                CAST(greatest(length(text) div 60, 1) AS INT))), 1, 8),
-                16, 10) AS BIGINT) % 2,
-              i)),
-          CAST(0 AS BIGINT), (a, x) -> a + x)""")
-      val sigs = all.select(col("doc_id"), sigExpr.as("sig"))
+      // native fused pass (graft.functions.BlockSig60) — the HOF
+      // formulation (transform+aggregate over sequence(0,59)) ran 60
+      // interpreted lambda steps per row and was the 5.7x sf0.1 tail
+      // in SCALING.md
+      val sigs = all.select(col("doc_id"),
+        graft.functions.Hash32.blockSigCol(col("text")).as("sig"))
       val blocks = sigs.select(col("doc_id"),
           posexplode(array((0 to 3).map(j =>
             shiftright(col("sig"), 15 * j).bitwiseAND(lit(32767L))): _*)))

@@ -80,4 +80,24 @@ class Hash32Spec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.toString)
   }
+  test("BlockSig60 equals the HOF transform+aggregate formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("", "a", "ab cd", "x" * 200).toDF("text"))
+    val hof = docs.select(expr("""
+        aggregate(
+          transform(sequence(0, 59), i ->
+            shiftleft(
+              CAST(conv(substring(md5(substring(text,
+                CAST(1 + i * greatest(length(text) div 60, 1) AS INT),
+                CAST(greatest(length(text) div 60, 1) AS INT))), 1, 8),
+                16, 10) AS BIGINT) % 2,
+              i)),
+          CAST(0 AS BIGINT), (a, x) -> a + x)""").as("sig"))
+    val native = docs.select(
+      graft.functions.Hash32.blockSigCol(col("text")).as("sig"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native block signature must equal the HOF formulation bit-for-bit")
+  }
 }

@@ -174,6 +174,26 @@ object Hash32 {
     sig
   }
 
+
+  /** The q106 hashed-feature margin: per token, bucket = h32(token)
+    * % 4096, weight = h32("w:" + bucket) % 2001 − 1000 milli-units,
+    * summed over the whitespace tokens (split semantics identical to
+    * Spark `split(text, " ")`). One fused pass replacing the
+    * interpreted aggregate-over-tokens fold shared by q106 and the
+    * evaluation family built on it (q207/q211/q216/q220/q240).
+    */
+  def hashedMargin(text: UTF8String): Long = {
+    val ws = text.toString.split(" ", -1)
+    var sum = 0L
+    var i = 0
+    while (i < ws.length) {
+      val bucket = h32(ws(i)) % 4096L
+      sum += h32("w:" + bucket) % 2001L - 1000L
+      i += 1
+    }
+    sum
+  }
+
   /** Column API: per-doc 4-gram shingle h32 array. */
   def shingleHashes(c: Column): Column =
     GraftShim.column(ShingleHash32(GraftShim.expression(c)))
@@ -193,6 +213,10 @@ object Hash32 {
   /** Column API: 60-block payload signature (q214). */
   def blockSigCol(c: Column): Column =
     GraftShim.column(BlockSig60(GraftShim.expression(c)))
+
+  /** Column API: hashed-feature milli-margin (q106 family). */
+  def hashedMarginCol(c: Column): Column =
+    GraftShim.column(HashedMargin(GraftShim.expression(c)))
 
   /** Column API: 32-bit SimHash of a text column. */
   def simhashCol(c: Column): Column =
@@ -242,6 +266,22 @@ case class BlockSig60(child: Expression) extends UnaryExpression with ExpectsInp
     defineCodeGen(ctx, ev, c => s"graft.functions.Hash32.blockSig60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): BlockSig60 =
+    copy(child = newChild)
+}
+
+/** `hashed_margin(text)`: summed hashed-feature milli-weights. */
+case class HashedMargin(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_margin"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash32.hashedMargin(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash32.hashedMargin($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedMargin =
     copy(child = newChild)
 }
 

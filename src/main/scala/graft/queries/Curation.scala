@@ -570,12 +570,9 @@ object Curation {
     "q106_hash_classifier",
     (s, d) => {
       val toks = tokens(col("text"))
-      val weight = (t: org.apache.spark.sql.Column) =>
-        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
-          lit(2001L)) - lit(1000L)
       Tables.documents(s, d)
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-          aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+          graft.functions.Hash32.hashedMarginCol(col("text"))
             .as("weight_milli_sum"))
         .withColumn("keep", col("weight_milli_sum") > 0L)
         .orderBy("doc_id")

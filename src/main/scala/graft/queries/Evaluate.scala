@@ -699,14 +699,10 @@ object Evaluate {
   private val q207Calibration = Q(
     "q207_calibration",
     (s, d) => {
-      val toks = tokens(col("text"))
       // q106's weight function, verbatim (Curation.scala q106)
-      val weight = (t: org.apache.spark.sql.Column) =>
-        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
-          lit(2001L)) - lit(1000L)
       Tables.documents(s, d)
         .select(
-          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("margin"),
+          graft.functions.Hash32.hashedMarginCol(col("text")).as("margin"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
         .groupBy(floor(col("margin").cast("double") / lit(5000.0))
           .cast("long").as("bin"))
@@ -887,13 +883,9 @@ object Evaluate {
   private val q211ThresholdSweep = Q(
     "q211_threshold_sweep",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val weight = (t: org.apache.spark.sql.Column) =>
-        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
-          lit(2001L)) - lit(1000L)
       val scored = Tables.documents(s, d)
         .select(
-          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("margin"),
+          graft.functions.Hash32.hashedMarginCol(col("text")).as("margin"),
           when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       scored
         .select(col("margin"), col("pos"),
@@ -1082,13 +1074,9 @@ object Evaluate {
   private val q216ParetoFrontier = Q(
     "q216_pareto_frontier",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val weight = (t: org.apache.spark.sql.Column) =>
-        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
-          lit(2001L)) - lit(1000L)
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars").as("x"),
-          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("y"))
+          graft.functions.Hash32.hashedMarginCol(col("text")).as("y"))
       val g = rows.groupBy("x").agg(max("y").as("ymax"))
         .select(col("x").as("gx"), col("ymax"))
       val rep = rows
@@ -1307,13 +1295,9 @@ object Evaluate {
   private val q220PreferencePairs = Q(
     "q220_preference_pairs",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val weight = (t: org.apache.spark.sql.Column) =>
-        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
-          lit(2001L)) - lit(1000L)
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("m"))
+          graft.functions.Hash32.hashedMarginCol(col("text")).as("m"))
       val ext = scored.groupBy("source")
         .agg(max("m").as("mhi"), min("m").as("mlo"))
       val hi = scored.join(ext.select(col("source"), col("mhi")),
@@ -2185,12 +2169,8 @@ object Evaluate {
   private val q240ClassifierKappa = Q(
     "q240_classifier_kappa",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val weight = (t: org.apache.spark.sql.Column) =>
-        pmod(h32(concat(lit("w:"), pmod(h32(t), lit(4096L)).cast("string"))),
-          lit(2001L)) - lit(1000L)
       val verdicts = Tables.documents(s, d).select(
-        (aggregate(toks, lit(0L), (acc, t) => acc + weight(t)) > 0L)
+        (graft.functions.Hash32.hashedMarginCol(col("text")) > 0L)
           .as("ka"),
         (col("n_chars") >= 200L).as("kb"))
       verdicts.agg(

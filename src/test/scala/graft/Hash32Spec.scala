@@ -100,4 +100,19 @@ class Hash32Spec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
       "native block signature must equal the HOF formulation bit-for-bit")
   }
+  test("HashedMargin equals the aggregate-over-tokens fold") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("", "one", "a b  c").toDF("text"))
+    val weight = (t: org.apache.spark.sql.Column) =>
+      pmod(Portable.h32(concat(lit("w:"),
+        pmod(Portable.h32(t), lit(4096L)).cast("string"))),
+        lit(2001L)) - lit(1000L)
+    val hof = docs.select(aggregate(split(col("text"), " "), lit(0L),
+      (acc, t) => acc + weight(t)).as("m"))
+    val native = docs.select(Hash32.hashedMarginCol(col("text")).as("m"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native margin must equal the interpreted fold bit-for-bit")
+  }
 }

@@ -1383,6 +1383,76 @@ object Cdc {
         CAST(s AS BIGINT) AS s_v6, s > mu // 2 AS alarm
       FROM ss ORDER BY 1, 2"""))
 
+  /** q242: STREAMING SCHEMA-DRIFT GATE — a landed file missing a
+    * REQUIRED field must not poison the standing table OR stall the
+    * stream: the fixture lands three JSON micro-batches with the
+    * middle one lacking `value` entirely (it reads all-null under the
+    * fixed stream schema — the classic upstream-producer drift), and
+    * [[graft.stream.StreamSchemaGate.step]] quarantines exactly that
+    * batch while the others apply. All-null-required is the drift
+    * signature; PARTIAL nulls are ordinary dirty data and pass
+    * through to the row-level guards (P10) — the distinction is the
+    * point of the gate. Output: per-batch verdicts + the aggregate
+    * over applied batches only, both oracle-replayed closed-form.
+    *
+    * 100 TB shape: the audit is one map-side aggregate per batch;
+    * applied batches append as their own subdirs (q141 exactly-once
+    * regime); quarantined rows persist for forensics like q61's
+    * batch-side quarantine.
+    */
+  private val q242StreamSchemaGate = Q(
+    "q242_stream_schema_gate",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-ssg-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"), col("value"))
+      Seq((0, "1_ok"), (1, "2_drift"), (2, "3_ok")).foreach { case (m, n) =>
+        val part = ev.filter(pmod(col("event_id"), lit(3)) === m)
+        val out = if (n.contains("drift")) part.drop("value") else part
+        Scratch.landFile(out, landing.toString, s"$n.json",
+          modTime = 60000L * (m + 1), format = "json")
+      }
+      val appliedDir = s"$root/applied"
+      val quarantineDir = s"$root/quarantine"
+      val verdictsDir = s"$root/verdicts"
+      val query = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE"))
+        .option("maxFilesPerTrigger", "1")
+        .json(landing.toString)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.stream.StreamSchemaGate.step(batch, id, "value",
+            appliedDir, quarantineDir, verdictsDir)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val verdicts = s.read
+        .parquet(s"$verdictsDir/b0", s"$verdictsDir/b1", s"$verdictsDir/b2")
+      val applied = s.read.parquet(s"$appliedDir/*")
+        .agg(count(lit(1)).as("n_applied"),
+          sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_v6"))
+      Scratch.sealAndClean(
+        verdicts.crossJoin(applied).orderBy("batch_id"), root)
+    },
+    Some("""WITH b AS (SELECT event_id % 3 AS batch_id, value FROM events),
+      v AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(CASE WHEN batch_id = 1 THEN count(*) ELSE 0 END AS BIGINT)
+            AS n_null_required,
+          batch_id <> 1 AS applied
+        FROM b GROUP BY 1),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_applied,
+          CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_v6
+        FROM b WHERE batch_id <> 1)
+      SELECT v.batch_id, v.n_rows, v.n_null_required, v.applied,
+        a.n_applied, a.sum_v6
+      FROM v, a ORDER BY v.batch_id"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
@@ -1390,5 +1460,5 @@ object Cdc {
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
       q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin,
       q139Compaction, q140StreamSessionize, q150VersionDiff, q205StreamPsi,
-      q232StreamCusum)
+      q232StreamCusum, q242StreamSchemaGate)
 }

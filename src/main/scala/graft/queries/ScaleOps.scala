@@ -604,8 +604,76 @@ object ScaleOps {
           AS BIGINT) AS salt_n
       FROM c"""))
 
+  /** q243: BYTE-WINDOW MEDIA FEATURES — the audio-style framing pass
+    * over the OPAQUE binary payload (256-byte windows ≈ fixed-length
+    * PCM frames): per-window feature extraction with the decode
+    * stubbed by the window-hash (the q49/q158 stub rule — a real
+    * frame-energy/MFCC extractor drops its value into the same
+    * (doc, window, feature) shape), plus the per-doc rollup (window
+    * count, mean feature, peak window) a clip-selection stage reads.
+    * Unlike q158 (METADATA-derived frames), the windows here slice
+    * the actual payload BYTES — the plumbing a real extractor needs:
+    * boundary handling (final partial window), byte-count
+    * conservation, per-window slicing in the scan stage (windows slice the hex
+    * encoding — 2 chars per byte — because BLOB substring is not
+    * portable across engines; byte boundaries are preserved exactly).
+    *
+    * 100 TB shape: the window fan-out is bounded by payload size /
+    * 256 and is pure scan-stage binary slicing + hashing; the per-doc
+    * rollup partial-aggregates map-side. No shuffle carries payload
+    * bytes — only (ids, features).
+    */
+  private val q243MediaWindows = Q(
+    "q243_media_windows",
+    (s, d) => {
+      val bin = graft.multimodal.Multimodal.binarize(Tables.documents(s, d))
+      val wins = bin
+        .withColumn("n_win", expr("(octet_length(content) + 255) div 256"))
+        .select(col("doc_id"), col("content"), col("n_win"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n_win - 1)")).as("w"))
+        .withColumn("win_hex",
+          expr("substring(hex(content), CAST(w * 512 + 1 AS INT), 512)"))
+        .select(col("doc_id"), col("n_win"), col("w"),
+          expr("length(win_hex) div 2").as("win_len"),
+          (h32(col("win_hex")) % 1000L).as("feat_e3"))
+      val rollup = wins.groupBy("doc_id").agg(
+        max("n_win").as("nw"), sum("win_len").as("total_bytes"),
+        max(struct(col("feat_e3"), (-col("w")).as("nw2"))).as("pk"))
+      wins.join(rollup.select(col("doc_id"), col("nw"), col("total_bytes"),
+          col("pk.feat_e3").as("peak_feat"), (-col("pk.nw2")).as("peak_w")),
+          "doc_id")
+        .select(col("doc_id"), col("w"), col("win_len"), col("feat_e3"),
+          col("total_bytes"), col("peak_w"))
+        .orderBy("doc_id", "w")
+    },
+    Some("""WITH bin AS (SELECT doc_id, encode(text) AS content
+        FROM documents),
+      nw AS (SELECT doc_id, content,
+          (octet_length(content) + 255) // 256 AS n_win FROM bin),
+      ex AS (SELECT doc_id, content, n_win,
+          CAST(unnest(range(n_win)) AS BIGINT) AS w FROM nw),
+      sl AS (SELECT doc_id, n_win, w,
+          substr(hex(content), CAST(w * 512 + 1 AS INT), 512) AS win_hex
+        FROM ex),
+      wins AS (SELECT doc_id, n_win, w,
+          CAST(length(win_hex) // 2 AS BIGINT) AS win_len,
+          CAST('0x' || substr(md5(win_hex), 1, 8) AS BIGINT) % 1000
+            AS feat_e3
+        FROM sl),
+      roll AS (SELECT doc_id, CAST(sum(win_len) AS BIGINT) AS total_bytes,
+          max(feat_e3) AS mxf FROM wins GROUP BY 1),
+      peak AS (SELECT w.doc_id, min(w.w) AS peak_w
+        FROM wins w JOIN roll r ON w.doc_id = r.doc_id AND w.feat_e3 = r.mxf
+        GROUP BY 1)
+      SELECT w.doc_id, w.w, w.win_len, w.feat_e3,
+        r.total_bytes, p.peak_w
+      FROM wins w JOIN roll r ON w.doc_id = r.doc_id
+      JOIN peak p ON w.doc_id = p.doc_id
+      ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,
     q156DsirWeights, q157PartitionPruning, q158MediaFrames,
-    q159SketchRangePartition, q214MediaPhashDedup, q223JoinSkewAudit)
+    q159SketchRangePartition, q214MediaPhashDedup, q223JoinSkewAudit,
+    q243MediaWindows)
 }

@@ -206,4 +206,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(mx / saltN <= 4 * (tot / nk) + saltN,
       s"salt_n=$saltN leaves sub-keys above the 4x-mean target")
   }
+  test("q243: windows tile every payload byte and the peak law holds") {
+    val rows = run("q243_media_windows").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+        r.getAs[Long]("win_len"), r.getAs[Long]("feat_e3"),
+        r.getAs[Long]("total_bytes"), r.getAs[Long]("peak_w")))
+    assert(rows.nonEmpty)
+    val byteLens = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8"))
+        .cast("long").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val total = byteLens(id)
+      assert(g.map(_._3).sum === total,
+        s"doc $id: windows must conserve every byte")
+      assert(g.head._5 === total)
+      // contiguous window indices 0..n-1
+      assert(g.map(_._2).sorted.toSeq === (0L until g.length.toLong).toSeq)
+      // all but the last window are full 256 bytes
+      g.sortBy(_._2).dropRight(1).foreach(r => assert(r._3 === 256L))
+      // peak = min index among max-feature windows
+      val mx = g.map(_._4).max
+      assert(g.head._6 === g.filter(_._4 == mx).map(_._2).min,
+        s"doc $id peak law")
+    }
+  }
 }

@@ -850,9 +850,77 @@ object Analytics {
       FROM ns LEFT JOIN np ON ns.entry_type = np.entry_type
       ORDER BY 1"""))
 
+  /** q244: ALGEBRAIC STATS MAINTENANCE under rollup — q124's ANALYZE
+    * pass made INCREMENTAL: per-shard column statistics (doc count,
+    * length min/max, KMV distinct-token sketch) roll up to the table
+    * total by MERGING partial states — count adds, min/max fold, and
+    * the KMV total is the bottom-k union of the shard sketches (what
+    * Spark's partial aggregation does under `rollup` is exactly the
+    * incremental-maintenance merge a delta-batch ANALYZE performs; no
+    * re-scan of old shards is ever needed). The oracle computes every
+    * level directly from the data, so the merged total is PROVEN
+    * equal to the recompute — the algebraic-maintenance claim, not
+    * asserted but checked.
+    *
+    * 100 TB shape: per-shard partials are map-side; the rollup
+    * exchange carries O(k) sketch state per shard, never distinct
+    * values; cross-shard duplicate hashes dedupe inside the bottom-k
+    * union by construction.
+    */
+  private val q244StatsMerge = Q(
+    "q244_stats_merge",
+    (s, d) => {
+      import graft.functions.Portable.{h32, tokens}
+      val docs = Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(4)).as("part"), col("doc_id"),
+          col("n_chars"))
+      val docStats = docs.rollup("part")
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .select(coalesce(col("part"), lit(-1L)).as("part"),
+          col("n_docs"), col("min_chars"), col("max_chars"))
+      val kmv = graft.functions.Kmv.sketch(128)
+      val th = Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(4)).as("part"),
+          explode(tokens(col("text"))).as("t"))
+        .select(col("part"), h32(col("t")).as("h"))
+        .distinct()
+      val tokStats = th.rollup("part")
+        .agg(kmv(col("h")).as("k"))
+        .select(coalesce(col("part"), lit(-1L)).as("part"),
+          col("k.n_min").cast("long").as("n_min"), col("k.est").as("est"))
+      docStats.join(tokStats, "part").orderBy("part")
+    },
+    Some("""WITH p AS (SELECT doc_id % 4 AS part, n_chars, text
+        FROM documents),
+      lv AS (SELECT part FROM (SELECT DISTINCT part FROM p)
+             UNION ALL SELECT -1),
+      ds AS (SELECT l.part, CAST(count(*) AS BIGINT) AS n_docs,
+          min(p.n_chars) AS min_chars, max(p.n_chars) AS max_chars
+        FROM lv l JOIN p ON l.part = -1 OR l.part = p.part
+        GROUP BY 1),
+      th AS (SELECT DISTINCT l.part,
+          CAST('0x' || substr(md5(t.t), 1, 8) AS BIGINT) AS h
+        FROM lv l JOIN (SELECT part, unnest(string_split(text, ' ')) AS t
+          FROM p) t ON l.part = -1 OR l.part = t.part),
+      r AS (SELECT part, h, row_number() OVER (PARTITION BY part ORDER BY h)
+            AS rn, count(*) OVER (PARTITION BY part) AS nd
+        FROM th),
+      k AS (SELECT part, CAST(max(nd) AS BIGINT) AS nd,
+          max(CASE WHEN rn = LEAST(nd, 128) THEN h END) AS kth
+        FROM r GROUP BY 1),
+      e AS (SELECT part, CAST(LEAST(nd, 128) AS BIGINT) AS n_min,
+          CAST(CASE WHEN nd < 128 THEN nd
+            ELSE (127 * 4294967296) // kth END AS BIGINT) AS est
+        FROM k)
+      SELECT ds.part, ds.n_docs, ds.min_chars, ds.max_chars,
+        e.n_min, e.est
+      FROM ds JOIN e ON ds.part = e.part
+      ORDER BY ds.part"""))
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
       q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
       q108ZorderLayout, q110FkAudit, q119SequenceMatch, q123RangeNative,
-      q124Profile, q125Constraints, q128SessionAttribution)
+      q124Profile, q125Constraints, q128SessionAttribution, q244StatsMerge)
 }

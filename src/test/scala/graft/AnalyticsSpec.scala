@@ -146,4 +146,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(v >= c && c >= p, s"funnel not monotone: $v, $c, $p")
     assert(v > 0)
   }
+  test("q244: rolled-up totals equal the merge laws and the direct recompute") {
+    val rows = run("q244_stats_merge").collect()
+      .map(r => r.getAs[Long]("part") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_chars"),
+          r.getAs[Long]("max_chars"), r.getAs[Long]("est"))).toMap
+    assert(rows.size === 5, "4 shards + the total row")
+    val parts = rows.filter(_._1 >= 0)
+    val total = rows(-1L)
+    assert(total._1 === parts.values.map(_._1).sum, "count merge")
+    assert(total._2 === parts.values.map(_._2).min, "min merge")
+    assert(total._3 === parts.values.map(_._3).max, "max merge")
+    // the merged KMV must equal the sketch computed over everything
+    val exact = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(graft.functions.Portable.h32(col("t")).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val est =
+      if (exact.length < 128) exact.length.toLong
+      else 127L * 4294967296L / exact(127)
+    assert(total._4 === est,
+      "merged sketch must equal the direct whole-table sketch")
+  }
 }

@@ -893,9 +893,88 @@ object Vectors {
         CAST(COALESCE(sum(DISTINCT src), 0) AS BIGINT) FROM e3
       ORDER BY round"""))
 
+  /** q245: BFS LEVELS (bounded frontier expansion) — single-source
+    * shortest hop-distances on the q169 mutual-kNN graph, the last
+    * classic graph primitive the suite lacked (CC q132, PageRank
+    * q149, triangles q170, LPA q190, k-core q229): 4 synchronous
+    * frontier rounds from the smallest vec_id, emitting the level
+    * census (nodes first reached at hop h, cumulative reached,
+    * frontier checksum) — the reachability profile that sizes
+    * neighborhood-expansion queries before running them.
+    *
+    * 100 TB shape: each round is ONE exchange — the frontier joins
+    * edges co-keyed on the uniform node id (degree ≤ K bounds the
+    * fan-out) and an anti-join against the visited set removes
+    * re-discoveries; visited/frontier localCheckpoint per round (the
+    * q149 rule). Level count is a fixed constant here; production
+    * composition iterates to fixpoint with q132's escalation.
+    */
+  private val q245BfsLevels = Q(
+    "q245_bfs_levels",
+    (s, d) => {
+      val mut = mutualKnnEdges(s, d)
+      val ed = mut.select(col("src"), col("dst"))
+        .union(mut.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val source = ed.agg(min(least(col("src"), col("dst")))).head().getLong(0)
+      var frontier = s.createDataFrame(Seq(Tuple1(source))).toDF("id")
+        .localCheckpoint(true)
+      var visited = frontier
+      val out = scala.collection.mutable.ArrayBuffer(
+        (0L, 1L, 1L, source))
+      for (h <- 1 to 4) {
+        val next = ed.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+        val st = next.agg(count(lit(1)).as("n"),
+          coalesce(sum("id"), lit(0L)).as("chk")).head()
+        val vn = visited.count()
+        out += ((h.toLong, st.getLong(0), vn, st.getLong(1)))
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("hop", "n_new", "n_reached", "frontier_checksum")
+    },
+    Some(s"""WITH $knnEdgesCte,
+      e0 AS MATERIALIZED (SELECT src, dst FROM mut
+             UNION ALL SELECT dst, src FROM mut),
+      s0 AS MATERIALIZED (SELECT min(least(src, dst)) AS id FROM e0),
+      f0 AS MATERIALIZED (SELECT id FROM s0),
+      v0 AS MATERIALIZED (SELECT id FROM f0),
+      f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e0 e JOIN f0 ON e.src = f0.id
+             WHERE e.dst NOT IN (SELECT id FROM v0)),
+      v1 AS MATERIALIZED (SELECT id FROM v0 UNION ALL SELECT id FROM f1),
+      f2 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e0 e JOIN f1 ON e.src = f1.id
+             WHERE e.dst NOT IN (SELECT id FROM v1)),
+      v2 AS MATERIALIZED (SELECT id FROM v1 UNION ALL SELECT id FROM f2),
+      f3 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e0 e JOIN f2 ON e.src = f2.id
+             WHERE e.dst NOT IN (SELECT id FROM v2)),
+      v3 AS MATERIALIZED (SELECT id FROM v2 UNION ALL SELECT id FROM f3),
+      f4 AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e0 e JOIN f3 ON e.src = f3.id
+             WHERE e.dst NOT IN (SELECT id FROM v3)),
+      v4 AS MATERIALIZED (SELECT id FROM v3 UNION ALL SELECT id FROM f4)
+      SELECT CAST(0 AS BIGINT) AS hop, CAST(1 AS BIGINT) AS n_new,
+        CAST(1 AS BIGINT) AS n_reached,
+        (SELECT id FROM s0) AS frontier_checksum
+      UNION ALL SELECT 1, (SELECT count(*) FROM f1),
+        (SELECT count(*) FROM v1),
+        (SELECT CAST(COALESCE(sum(id), 0) AS BIGINT) FROM f1)
+      UNION ALL SELECT 2, (SELECT count(*) FROM f2),
+        (SELECT count(*) FROM v2),
+        (SELECT CAST(COALESCE(sum(id), 0) AS BIGINT) FROM f2)
+      UNION ALL SELECT 3, (SELECT count(*) FROM f3),
+        (SELECT count(*) FROM v3),
+        (SELECT CAST(COALESCE(sum(id), 0) AS BIGINT) FROM f3)
+      UNION ALL SELECT 4, (SELECT count(*) FROM f4),
+        (SELECT count(*) FROM v4),
+        (SELECT CAST(COALESCE(sum(id), 0) AS BIGINT) FROM f4)
+      ORDER BY hop"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
     q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
     q191Silhouette, q210ClusterPurity, q222IndexRoundtrip,
-    q224WhiteningParams, q229KcorePeel)
+    q224WhiteningParams, q229KcorePeel, q245BfsLevels)
 }

@@ -218,4 +218,33 @@ class VectorsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+  test("q245: frontier rounds equal a naive driver-side BFS") {
+    val rows = run("q245_bfs_levels").collect()
+      .map(r => (r.getAs[Long]("hop"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_reached"), r.getAs[Long]("frontier_checksum")))
+      .sortBy(_._1)
+    assert(rows.length === 5)
+    val edges = run("q169_knn_graph").select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, (e._2, e._1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val source = edges.map(e => math.min(e._1, e._2)).min
+    var frontier = Set(source)
+    var visited = Set(source)
+    assert(rows.head === ((0L, 1L, 1L, source)))
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited
+      visited ++= next
+      frontier = next
+      val (_, nNew, nReached, chk) = rows(h)
+      assert(nNew === next.size.toLong, s"hop $h new")
+      assert(nReached === visited.size.toLong, s"hop $h reached")
+      assert(chk === next.toSeq.sum, s"hop $h checksum")
+    }
+    // cumulative reach is monotone and frontier sizes are consistent
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 === a._3 + b._2)
+      case _ =>
+    }
+  }
 }

@@ -2265,6 +2265,70 @@ object Evaluate {
         CAST(per.mean_e6 AS BIGINT) AS mean_e6, v.between_fold_var
       FROM per, v ORDER BY 1"""))
 
+  /** q246: LANGUAGE-ID METRICS — the per-class precision/recall/F1
+    * layer over q27's confusion matrix (the same relationship q237
+    * has to q23: the old heuristic finally gets SCORED against the
+    * labels it always had). Per language: support, tp from the
+    * diagonal, fp from the prediction column, fn = support − tp,
+    * metrics in exact integer millionths with zero-denominator
+    * guards — the per-slice table that decides which languages the
+    * stopword heuristic is safe to route on.
+    *
+    * 100 TB shape: the matrix is one exchange on the bounded
+    * (lang, pred) domain; everything after runs on ≤ |langs|² rows.
+    */
+  private val q246LangIdMetrics = Q(
+    "q246_lang_id_metrics",
+    (s, d) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val pred = when(padded.contains(" der ") || padded.contains(" und "), "de")
+        .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+        .when(padded.contains(" el ") || padded.contains(" los "), "es")
+        .when(padded.contains(" the ") || padded.contains(" a "), "en")
+        .otherwise("und")
+      val m = Tables.documents(s, d)
+        .select(col("lang"), pred.as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val sup = m.groupBy("lang").agg(sum("n").as("support"),
+        sum(when(col("pred") === col("lang"), col("n")).otherwise(0L))
+          .as("tp"))
+      val fps = m.filter(col("pred") =!= col("lang"))
+        .groupBy(col("pred").as("lang")).agg(sum("n").as("fp"))
+      sup.join(fps, Seq("lang"), "left")
+        .na.fill(0L, Seq("fp"))
+        .withColumn("fn", col("support") - col("tp"))
+        .select(col("lang"), col("support"), col("tp"), col("fp"), col("fn"),
+          expr("CASE WHEN tp + fp = 0 THEN 0 ELSE (tp * 1000000) div (tp + fp) END")
+            .as("precision_e6"),
+          expr("(tp * 1000000) div support").as("recall_e6"),
+          expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0 " +
+            "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END").as("f1_e6"))
+        .orderBy("lang")
+    },
+    Some("""WITH m AS (SELECT lang, CASE
+        WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de'
+        WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+        WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ') THEN 'es'
+        WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' a ') THEN 'en'
+        ELSE 'und' END AS pred, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+      sup AS (SELECT lang, CAST(sum(n) AS BIGINT) AS support,
+          CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+        FROM m GROUP BY 1),
+      fps AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS fp
+        FROM m WHERE pred <> lang GROUP BY 1)
+      SELECT s.lang, s.support, s.tp, COALESCE(f.fp, 0) AS fp,
+        s.support - s.tp AS fn,
+        CASE WHEN s.tp + COALESCE(f.fp, 0) = 0 THEN 0
+          ELSE (s.tp * 1000000) // (s.tp + COALESCE(f.fp, 0)) END
+          AS precision_e6,
+        (s.tp * 1000000) // s.support AS recall_e6,
+        CASE WHEN 2 * s.tp + COALESCE(f.fp, 0) + s.support - s.tp = 0 THEN 0
+          ELSE (2 * s.tp * 1000000)
+            // (2 * s.tp + COALESCE(f.fp, 0) + s.support - s.tp) END AS f1_e6
+      FROM sup s LEFT JOIN fps f ON s.lang = f.lang
+      ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -2277,5 +2341,5 @@ object Evaluate {
     q231SnipsOffPolicy, q233QuantileNorm, q234RendezvousRebalance,
     q235SlidingHll, q236VectorOutliers, q237DedupPrEval,
     q238VocabCoverage, q239HardNegatives, q240ClassifierKappa,
-    q241CvFolds)
+    q241CvFolds, q246LangIdMetrics)
 }

@@ -753,6 +753,26 @@ class EvaluateSpec extends AnyFunSuite {
     assert(math.abs(got - varr) < math.abs(varr) * 1e-9 + 1e-3)
   }
 
+  test("q246: lang-id metrics conserve the corpus and match the matrix") {
+    val rows = run("q246_lang_id_metrics").collect()
+    val total = rows.map(_.getAs[Long]("support")).sum
+    assert(total === Tables.documents(spark, dir).count())
+    val matrix = run("q27_lang_id").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      assert(r.getAs[Long]("tp") === matrix.getOrElse((l, l), 0L))
+      assert(r.getAs[Long]("fp") ===
+        matrix.collect { case ((al, p), n) if p == l && al != l => n }.sum)
+      assert(r.getAs[Long]("fn") ===
+        r.getAs[Long]("support") - r.getAs[Long]("tp"))
+      Seq("precision_e6", "recall_e6", "f1_e6").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 1000000L, s"$c out of range for $l")
+      }
+    }
+  }
+
   test("q199: moment-form assortativity equals naive Pearson over edge degrees") {
     val row = run("q199_assortativity").collect().head
     val ue = Tables.events(spark, dir)

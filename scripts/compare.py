@@ -37,8 +37,14 @@ for name in sorted(oracle):
     if list(o.columns) != list(s.columns):
         print(f"FAIL {name}: cols spark={list(s.columns)} oracle={list(o.columns)}")
         fails.append(name); continue
+    # Driver parity: its hash covers typed values, so a dtype diff is a FAIL
+    # here too (round 7's only red row was a dtype-only divergence that this
+    # gate used to record as a PASS footnote).
     dt_diff = [(c, str(s[c].dtype), str(o[c].dtype)) for c in o.columns
                if str(s[c].dtype) != str(o[c].dtype)]
+    if dt_diff:
+        print(f"FAIL {name}: dtype diff {dt_diff}")
+        fails.append(name); continue
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     if len(o) != len(s):
@@ -59,8 +65,7 @@ for name in sorted(oracle):
         c, i, svv, ovv = bad
         print(f"FAIL {name}: col {c} row {i}: spark={svv!r} oracle={ovv!r}")
         fails.append(name); continue
-    note = f" [dtype diff: {dt_diff}]" if dt_diff else ""
-    print(f"PASS {name} ({len(o)} rows){note}")
+    print(f"PASS {name} ({len(o)} rows)")
     passes.append(name)
 
 print(f"\n{len(passes)} pass, {len(fails)} fail")

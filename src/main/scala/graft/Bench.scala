@@ -35,7 +35,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val headline = queries.Registry.benchSet
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the set for targeted probes
+    // (e.g. the sf1 growth check) without touching the driver contract
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val headline = only match {
+      case None => queries.Registry.benchSet
+      case Some(names) =>
+        val unknown = names.filterNot(queries.Registry.byName.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        queries.Registry.all.filter(q => names.contains(q.name))
+    }
 
     // Full-materialization action: hash every column of every row, so
     // no projected expression can be pruned away by the final agg.
@@ -94,14 +104,27 @@ object Bench {
         }
       }
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // 0.1 ms precision: round-7's artifact truncated the (then ~9 KB)
+    // JSON line mid-way, losing the first 18 queries' medians — full
+    // double reprs tripled the line length for no information (spread
+    // across runs is ~10 ms). The complete JSON is also written to a
+    // file so the artifact is self-contained even if stdout is cut.
+    def r4(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, s, _) => "\"" + k + "\":" + s }
+    val spread = results.map { case (k, _, s, _) => "\"" + k + "\":" + r4(s) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$Runs,"errors":$errors,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$Runs,"errors":$errors,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_results.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)
   }

@@ -61,6 +61,19 @@ object Verify {
       .map { case (k, v) => s"${Verify.jsonEscape(k)}: ${Verify.jsonEscape(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Registry manifest: one entry per query (family, oracle md5, bench
+    // membership) so coverage audits — the driver's and future rounds'
+    // — are mechanical instead of grep-archaeology.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val manifest = queries.Registry.all.map { q =>
+      val fam = queries.Registry.familyOf(q.name)
+      val omd5 = q.oracle.map(o => jsonEscape(md5(o))).getOrElse("null")
+      s"${jsonEscape(q.name)}: {\"family\": ${jsonEscape(fam)}, " +
+        s"\"oracle_md5\": $omd5, \"bench\": ${q.bench}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

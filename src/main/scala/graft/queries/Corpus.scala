@@ -901,10 +901,123 @@ object Corpus {
         min(diff_e6) AS min_diff_e6, max(diff_e6) AS max_diff_e6
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q247: HLL SET ALGEBRA — sketch-level union and inclusion–
+    * exclusion overlap between per-source vocabularies, WITHOUT
+    * rescanning the data per pair: the q164 register table (source,
+    * idx, max rho) is built once in the scan stage, and every
+    * source-pair union is a register-wise max over that tiny table —
+    * the "how much do two crawls overlap" question answered from
+    * mergeable state. Output per pair: the union's integer register
+    * evidence, both members' estimates, the union estimate, the
+    * inclusion–exclusion overlap estimate, and the exact overlap for
+    * audit (a production 100 TB run drops the exact column — that is
+    * the point of the sketch).
+    *
+    * 100 TB shape: the token explode partial-aggregates map-side into
+    * ≤ 512·K register rows (K = #sources); all pair algebra —
+    * broadcast-nested-loop contribution join included — runs on that
+    * sketch-sized frame, never on data. Exact overlap is a
+    * vocab-bounded distinct join, audit-only like q164's
+    * exact_distinct.
+    */
+  private val q247HllSetops = Q(
+    "q247_hll_setops",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val regs = t
+        .select(col("source"), graft.functions.Portable.h32(col("w")).as("h"))
+        .select(col("source"), (col("h") % 512L).as("idx"),
+          expr("""CASE WHEN h div 512 = 0 THEN 24
+            ELSE bit_count(((h div 512) & -(h div 512)) - 1) + 1 END""")
+            .as("rho"))
+        .groupBy("source", "idx").agg(max("rho").as("mx"))
+      def evidence(grp: Seq[String], vz: String, tt: String)(
+          df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(grp.map(col): _*)
+          .agg(count(lit(1)).as("n_used"),
+            sum(expr("shiftleft(cast(1 as bigint), 24 - mx)")).as("t_used"))
+          .select(grp.map(col) ++ Seq(
+            (lit(512L) - col("n_used")).as(vz),
+            (col("t_used") + (lit(512L) - col("n_used")) * lit(16777216L))
+              .as(tt)): _*)
+      val per = evidence(Seq("source"), "vz", "tt")(regs)
+        .withColumn("est", expr(graft.functions.Hll.estimateSql("vz", "tt")))
+      val srcs = regs.select("source").distinct()
+      val pairs = srcs.toDF("sa").crossJoin(srcs.toDF("sb"))
+        .filter(col("sa") < col("sb"))
+      val contrib = broadcast(pairs).join(regs.toDF("s", "idx", "mx"),
+        col("s") === col("sa") || col("s") === col("sb"))
+      val uagg = evidence(Seq("sa", "sb"), "v_zero_u", "t_total_u")(
+          contrib.groupBy("sa", "sb", "idx").agg(max("mx").as("mx")))
+        .withColumn("est_union",
+          expr(graft.functions.Hll.estimateSql("v_zero_u", "t_total_u")))
+      val dw = t.distinct()
+      val exact = dw.toDF("sa", "w").join(dw.toDF("sb", "w2"),
+          col("w") === col("w2") && col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("eo"))
+      uagg
+        .join(broadcast(per.select(col("source").as("sa"),
+          col("est").as("est_a"))), "sa")
+        .join(broadcast(per.select(col("source").as("sb"),
+          col("est").as("est_b"))), "sb")
+        .join(exact, Seq("sa", "sb"), "left")
+        .select(col("sa"), col("sb"), col("v_zero_u"), col("t_total_u"),
+          col("est_a"), col("est_b"), col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 6)
+            .as("est_overlap"),
+          coalesce(col("eo"), lit(0L)).as("exact_overlap"))
+        .orderBy("sa", "sb")
+    },
+    Some(s"""WITH t AS MATERIALIZED (SELECT source,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+      h AS (SELECT source, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+        FROM t),
+      r AS (SELECT source, h % 512 AS idx,
+          CASE WHEN h // 512 = 0 THEN 24
+               ELSE bit_count(((h // 512) & -(h // 512)) - 1) + 1 END AS rho
+        FROM h),
+      mreg AS MATERIALIZED (SELECT source, idx, max(rho) AS mx
+        FROM r GROUP BY 1, 2),
+      per AS (SELECT source, CAST(512 - count(*) AS BIGINT) AS vz,
+          CAST(sum(CAST(power(2, 24 - mx) AS BIGINT))
+            + (512 - count(*)) * 16777216 AS BIGINT) AS tt
+        FROM mreg GROUP BY 1),
+      pest AS MATERIALIZED (SELECT source, vz, tt,
+          ${graft.functions.Hll.estimateSql("vz", "tt")} AS est FROM per),
+      srcs AS (SELECT DISTINCT source FROM mreg),
+      pairs AS (SELECT a.source AS sa, b.source AS sb
+        FROM srcs a, srcs b WHERE a.source < b.source),
+      contrib AS (SELECT p.sa, p.sb, m.idx, m.mx
+        FROM pairs p JOIN mreg m ON m.source = p.sa OR m.source = p.sb),
+      ureg AS (SELECT sa, sb, idx, max(mx) AS mx
+        FROM contrib GROUP BY 1, 2, 3),
+      uagg AS (SELECT sa, sb, CAST(512 - count(*) AS BIGINT) AS v_zero_u,
+          CAST(sum(CAST(power(2, 24 - mx) AS BIGINT))
+            + (512 - count(*)) * 16777216 AS BIGINT) AS t_total_u
+        FROM ureg GROUP BY 1, 2),
+      ue AS (SELECT sa, sb, v_zero_u, t_total_u,
+          ${graft.functions.Hll.estimateSql("v_zero_u", "t_total_u")}
+            AS est_union FROM uagg),
+      dw AS (SELECT DISTINCT source, w FROM t),
+      eo AS (SELECT a.source AS sa, b.source AS sb,
+          CAST(count(*) AS BIGINT) AS eo
+        FROM dw a JOIN dw b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT u.sa, u.sb, u.v_zero_u, u.t_total_u,
+        pa.est AS est_a, pb.est AS est_b, u.est_union,
+        round(pa.est + pb.est - u.est_union, 6) AS est_overlap,
+        CAST(coalesce(eo.eo, 0) AS BIGINT) AS exact_overlap
+      FROM ue u JOIN pest pa ON u.sa = pa.source
+      JOIN pest pb ON u.sb = pb.source
+      LEFT JOIN eo ON u.sa = eo.sa AND u.sb = eo.sb
+      ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(
     q160VectorCentroids, q161GlobalShuffle, q162UserSequences,
     q163WordEntropy, q164HllDistinct, q165ContamFrac, q166QualityFunnel,
     q167Int8Quant, q176TfidfKeyterms, q177NgramNovelty, q179MinhashEstimate,
     q182DatasetCard, q184PackingAblation, q187JackknifeReplicates,
-    q192MojibakeAudit, q193Readability, q194CurriculumPhases)
+    q192MojibakeAudit, q193Readability, q194CurriculumPhases,
+    q247HllSetops)
 }

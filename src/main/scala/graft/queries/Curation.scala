@@ -1251,10 +1251,99 @@ object Curation {
       FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
       ORDER BY rrf_e6 DESC, doc_id LIMIT 10"""))
 
+  /** q249: GOPHER-STYLE RULE FILTER — the published MassiveText
+    * document-quality rule suite (Rae et al. 2021, "Scaling Language
+    * Models", table A1) as a per-rule failure census: word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic
+    * -word fraction, and stopword presence, each stated as an
+    * INTEGER-EXACT predicate (`3·n_words ≤ n_chars` instead of a float
+    * ratio — the q165 discipline) so both engines agree bit-for-bit.
+    * Unlike q28's single composite bucket, the output is the per-rule
+    * failure breakdown per source — the census a curation run reads to
+    * see WHICH rule is eating its corpus before committing to the
+    * filter.
+    *
+    * 100 TB shape: every predicate is a per-row scan-stage expression
+    * (whole-stage codegen, no UDF); the census is one map-side-partial
+    * aggregate by source. Nothing but (source, flags) crosses the
+    * exchange.
+    */
+  private val q249GopherRules = Q(
+    "q249_gopher_rules",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("long")
+      val nChars = length(regexp_replace(col("text"), " ", "")).cast("long")
+      val nHash = (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long")
+      val nEll = ((length(col("text")) -
+        length(replace(col("text"), lit("..."), lit("")))) / 3).cast("long")
+      val nAlphaW = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val nStopPresent = stops.map(sw =>
+          when(padded.contains(s" $sw "), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val rLen = nWords >= 50L && nWords <= 100000L
+      val rWordLen = nChars >= nWords * 3L && nChars <= nWords * 10L
+      val rSymbol = (nHash + nEll) * 10L <= nWords
+      val rAlpha = nAlphaW * 5L >= nWords * 4L
+      val rStop = nStopPresent >= 2L
+      def fails(rule: org.apache.spark.sql.Column) =
+        sum(when(rule, 0L).otherwise(1L))
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          fails(rLen).as("fail_len"),
+          fails(rWordLen).as("fail_word_len"),
+          fails(rSymbol).as("fail_symbol"),
+          fails(rAlpha).as("fail_alpha"),
+          fails(rStop).as("fail_stop"),
+          sum(when(rLen && rWordLen && rSymbol && rAlpha && rStop, 1L)
+            .otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    },
+    Some("""WITH f AS (SELECT source,
+        len(string_split(text, ' ')) AS n_words,
+        length(replace(text, ' ', '')) AS n_chars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+        len(list_filter(string_split(text, ' '),
+          w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha_w,
+        (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(' ' || text || ' ', ' be ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(' ' || text || ' ', ' that ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(' ' || text || ' ', ' have ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(' ' || text || ' ', ' with ') THEN 1 ELSE 0 END
+        ) AS n_stop
+      FROM documents),
+      r AS (SELECT source,
+        (n_words >= 50 AND n_words <= 100000) AS r_len,
+        (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AS r_word_len,
+        ((n_hash + n_ell) * 10 <= n_words) AS r_symbol,
+        (n_alpha_w * 5 >= n_words * 4) AS r_alpha,
+        (n_stop >= 2) AS r_stop
+      FROM f)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN r_len THEN 0 ELSE 1 END) AS BIGINT) AS fail_len,
+        CAST(sum(CASE WHEN r_word_len THEN 0 ELSE 1 END) AS BIGINT)
+          AS fail_word_len,
+        CAST(sum(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS BIGINT)
+          AS fail_symbol,
+        CAST(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT)
+          AS fail_alpha,
+        CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop,
+        CAST(sum(CASE WHEN r_len AND r_word_len AND r_symbol AND r_alpha
+          AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,
       q86BloomDecontam, q87GroupSample, q88QualitySurvivor, q93BigramLm,
       q94Rerank, q106HashClassifier, q109DupSpans, q113Collocations,
       q118MmrDiversify, q143WeightedSample, q148BpeTrain, q174TrigramBackoff,
-      q185RrfFusion, q188BpeFertility)
+      q185RrfFusion, q188BpeFertility, q249GopherRules)
 }

@@ -1553,20 +1553,28 @@ object Evaluate {
         .groupBy("source", "lang").agg(count(lit(1)).as("n"))
       val tot = ct.agg(sum("n").as("tt"),
         count_distinct(col("source")).as("ns"))
+      // e6-scaled products widen to DECIMAL(38,0) before the integer
+      // division: tt*1e6 and 2*w*target wrap int64 silently in Spark at
+      // real scale while DuckDB evaluates them in HUGEINT (the
+      // q195/q196/q198 discipline); `div` on decimals returns BIGINT
       var w = ct.crossJoin(broadcast(tot))
         .withColumn("w", col("n") * lit(1000000L))
-        .withColumn("row_target", expr("(tt * 1000000) div ns"))
+        .withColumn("row_target",
+          expr("(cast(tt as decimal(38,0)) * 1000000) div ns"))
       val colTarget = ct.groupBy("lang")
         .agg((sum("n") * lit(1000000L)).as("col_target"))
       for (_ <- 1 to 3) {
         val rowSum = w.groupBy("source").agg(sum("w").as("rs"))
         w = w.join(broadcast(rowSum), "source")
           .withColumn("w",
-            expr("(2 * w * row_target + rs) div (2 * rs)"))
+            expr("(cast(w as decimal(38,0)) * 2 * row_target + rs)" +
+              " div (cast(rs as decimal(38,0)) * 2)"))
         val colSum = w.groupBy("lang").agg(sum("w").as("cs"))
         w = w.join(broadcast(colSum), "lang")
           .join(broadcast(colTarget), "lang")
-          .withColumn("w", expr("(2 * w * col_target + cs) div (2 * cs)"))
+          .withColumn("w",
+            expr("(cast(w as decimal(38,0)) * 2 * col_target + cs)" +
+              " div (cast(cs as decimal(38,0)) * 2)"))
           .drop("rs", "cs", "col_target")
       }
       val rowErr = w.groupBy("source")

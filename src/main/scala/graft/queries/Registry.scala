@@ -18,6 +18,20 @@ final case class Q(
     oracle: Option[String],
     bench: Boolean = false)
 
+/** Cross-engine SQL fragments (SURVEY §16 exactness rules). */
+object Sql {
+
+  /** Floor division as a portable SQL fragment: Spark `div` (and Scala
+    * `/` on Long) truncate toward zero where DuckDB `//` floors — they
+    * diverge whenever the dividend is negative. This expansion floors
+    * in both engines' exact integer arithmetic. Denominator must be
+    * positive (all current call sites: counts and literal constants).
+    */
+  def floorDiv(x: String, y: String): String =
+    s"(($x) div ($y) - (CASE WHEN ($x) % ($y) <> 0 AND ($x) < 0 " +
+      "THEN 1 ELSE 0 END))"
+}
+
 /** Scratch-directory hygiene for queries that write their own tables:
   * per-run temp dirs must not accumulate (some hold full fact-table
   * copies) and fixed dirs race across concurrent JVMs.
@@ -77,15 +91,40 @@ object Scratch {
 }
 
 object Registry {
-  lazy val all: Seq[Q] =
-    Relational.queries ++ Pipeline.queries ++ Domain.queries ++
-      Flagship.queries ++ Annotate.queries ++ Cdc.queries ++
-      Readers.queries ++ Extensions.queries ++ Ictrp.queries ++
-      Coverage.queries ++ Sources.queries ++ Api.queries ++ EndToEnd.queries ++
-      Sinks.queries ++ Training.queries ++ Analytics.queries ++
-      Curation.queries ++ Linkage.queries ++ ScaleOps.queries ++
-      Corpus.queries ++ Vectors.queries ++ Temporal.queries ++ Govern.queries ++
-      Evaluate.queries
+  /** (family, queries) in registration order — the family tag feeds the
+    * driver-visible manifest Verify emits (coverage audits become
+    * mechanical: every query names its family, spec, and oracle hash).
+    */
+  lazy val byFamily: Seq[(String, Seq[Q])] = Seq(
+    "relational" -> Relational.queries,
+    "pipeline" -> Pipeline.queries,
+    "domain" -> Domain.queries,
+    "flagship" -> Flagship.queries,
+    "annotate" -> Annotate.queries,
+    "cdc" -> Cdc.queries,
+    "readers" -> Readers.queries,
+    "extensions" -> Extensions.queries,
+    "ictrp" -> Ictrp.queries,
+    "coverage" -> Coverage.queries,
+    "sources" -> Sources.queries,
+    "api" -> Api.queries,
+    "endtoend" -> EndToEnd.queries,
+    "sinks" -> Sinks.queries,
+    "training" -> Training.queries,
+    "analytics" -> Analytics.queries,
+    "curation" -> Curation.queries,
+    "linkage" -> Linkage.queries,
+    "scaleops" -> ScaleOps.queries,
+    "corpus" -> Corpus.queries,
+    "vectors" -> Vectors.queries,
+    "temporal" -> Temporal.queries,
+    "govern" -> Govern.queries,
+    "evaluate" -> Evaluate.queries)
+
+  lazy val all: Seq[Q] = byFamily.flatMap(_._2)
+
+  lazy val familyOf: Map[String, String] =
+    byFamily.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

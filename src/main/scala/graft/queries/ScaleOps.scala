@@ -465,7 +465,8 @@ object ScaleOps {
                  FROM cum CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks
                  WHERE cum >= (k * n + 7) // 8 GROUP BY k),
       pa AS (SELECT b.doc_id, b.x,
-               sum(CASE WHEN b.bin_id >= s.sbin THEN 1 ELSE 0 END) AS part
+               CAST(sum(CASE WHEN b.bin_id >= s.sbin THEN 1 ELSE 0 END)
+                 AS BIGINT) AS part
              FROM b CROSS JOIN splits s GROUP BY 1, 2)
       SELECT part, count(*) AS n, min(x) AS x_min, max(x) AS x_max
       FROM pa GROUP BY 1 ORDER BY 1"""))
@@ -495,7 +496,8 @@ object ScaleOps {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val shadows = base.filter(pmod(col("doc_id"), lit(13)) === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(lit("Z"), substring(col("text"), 2, 1000000)).as("text"))
+          concat(lit("Z"), col("text").substr(lit(2), length(col("text"))))
+            .as("text"))
       val all = base.union(shadows)
       // native fused pass (graft.functions.BlockSig60) — the HOF
       // formulation (transform+aggregate over sequence(0,59)) ran 60
@@ -577,11 +579,21 @@ object ScaleOps {
           max("f").as("max_freq"),
           min(when(col("cumdesc") * 100 >= col("nk"), col("f")))
             .as("p99_freq"))
+        // products widen to DECIMAL(38,0) before the integer division:
+        // max_freq * n_keys * 1e6 wraps int64 silently in Spark at real
+        // scale while DuckDB evaluates the same product in HUGEINT (the
+        // q195/q196/q198 moment-lattice discipline); `div` on decimals
+        // still returns BIGINT
         .select(col("n_keys"), col("total"), col("max_freq"), col("p99_freq"),
-          expr("(max_freq * 1000000) div total").as("top_share_e6"),
-          expr("(max_freq * n_keys * 1000000) div total").as("skew_x_e6"),
-          expr("""CASE WHEN max_freq * n_keys <= 4 * total THEN 1
-            ELSE (max_freq * n_keys + 4 * total - 1) div (4 * total) END""")
+          expr("(cast(max_freq as decimal(38,0)) * 1000000) div total")
+            .as("top_share_e6"),
+          expr("(cast(max_freq as decimal(38,0)) * n_keys * 1000000)" +
+            " div total").as("skew_x_e6"),
+          expr("""CASE WHEN cast(max_freq as decimal(38,0)) * n_keys
+              <= cast(total as decimal(38,0)) * 4 THEN cast(1 as bigint)
+            ELSE (cast(max_freq as decimal(38,0)) * n_keys
+              + cast(total as decimal(38,0)) * 4 - 1)
+              div (cast(total as decimal(38,0)) * 4) END""")
             .as("salt_n"))
     },
     Some("""WITH freq AS (SELECT user_id, CAST(count(*) AS BIGINT) AS f
@@ -671,9 +683,68 @@ object ScaleOps {
       JOIN peak p ON w.doc_id = p.doc_id
       ORDER BY 1, 2"""))
 
+  /** q248: ACTIVITY-SEGMENT DETECTION over the byte-window features —
+    * the VAD / scene-cut primitive on the multimodal seam: q243's
+    * per-window feature stream (decode stubbed by the window hash, the
+    * q49/q158 rule — a real energy/embedding score drops into the
+    * same (doc, window, feature) shape) thresholded into ACTIVE
+    * windows, then maximal runs of consecutive active windows become
+    * segments via the gaps-and-islands key `w − row_number()` —
+    * start/end/length/peak per segment, exactly what a clip-extraction
+    * stage consumes downstream of q243's rollup.
+    *
+    * 100 TB shape: window features are scan-stage binary slicing
+    * (q243); the island key is ONE window function partitioned by
+    * doc_id — per-doc work, no global ordering, no self-join of
+    * adjacent windows; segments partial-aggregate on (doc, grp).
+    * Payload bytes never cross an exchange — only (ids, features).
+    */
+  private val q248VadSegments = Q(
+    "q248_vad_segments",
+    (s, d) => {
+      val bin = graft.multimodal.Multimodal.binarize(Tables.documents(s, d))
+      val wins = bin
+        .withColumn("n_win", expr("(octet_length(content) + 255) div 256"))
+        .select(col("doc_id"), col("content"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n_win - 1)")).as("w"))
+        .withColumn("win_hex",
+          expr("substring(hex(content), CAST(w * 512 + 1 AS INT), 512)"))
+        .select(col("doc_id"), col("w"),
+          (h32(col("win_hex")) % 1000L).as("feat_e3"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("w")
+      wins.filter(col("feat_e3") >= 500L)
+        .withColumn("grp", col("w") - row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(min("w").as("seg_start"), max("w").as("seg_end"),
+          count(lit(1)).as("n_win"), max("feat_e3").as("peak_feat"),
+          sum("feat_e3").as("sum_feat"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_win"), col("peak_feat"), col("sum_feat"))
+        .orderBy("doc_id", "seg_start")
+    },
+    Some("""WITH bin AS (SELECT doc_id, encode(text) AS content
+        FROM documents),
+      nw AS (SELECT doc_id, content,
+          (octet_length(content) + 255) // 256 AS n_win FROM bin),
+      ex AS (SELECT doc_id, content,
+          CAST(unnest(range(n_win)) AS BIGINT) AS w FROM nw),
+      wins AS (SELECT doc_id, w,
+          CAST('0x' || substr(md5(
+            substr(hex(content), CAST(w * 512 + 1 AS INT), 512)), 1, 8)
+            AS BIGINT) % 1000 AS feat_e3
+        FROM ex),
+      act AS (SELECT doc_id, w, feat_e3,
+          w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        FROM wins WHERE feat_e3 >= 500)
+      SELECT doc_id, min(w) AS seg_start, max(w) AS seg_end,
+        CAST(count(*) AS BIGINT) AS n_win, max(feat_e3) AS peak_feat,
+        CAST(sum(feat_e3) AS BIGINT) AS sum_feat
+      FROM act GROUP BY doc_id, grp ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,
     q156DsirWeights, q157PartitionPruning, q158MediaFrames,
     q159SketchRangePartition, q214MediaPhashDedup, q223JoinSkewAudit,
-    q243MediaWindows)
+    q243MediaWindows, q248VadSegments)
 }

@@ -245,16 +245,19 @@ object Temporal {
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+      // floorDiv, not `div`: daily sums of floor(value*1e6) can go
+      // negative, where Spark `div` truncates but the oracle's `//`
+      // floors (the q207 truncate-vs-floor class)
       val tot = daily.agg(sum("x").as("sx"), count(lit(1)).as("nd"))
-        .select(expr("sx div nd").as("mu"))
+        .select(expr(Sql.floorDiv("sx", "nd")).as("mu"))
       val wc = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.crossJoin(broadcast(tot))
-        .withColumn("dev", expr("x - mu - (mu div 20)"))
+        .withColumn("dev", expr(s"x - mu - ${Sql.floorDiv("mu", "20")}"))
         .withColumn("c", sum("dev").over(wc))
         .withColumn("s", col("c") - least(lit(0L), min("c").over(wc)))
         .select(col("day"), col("x").as("x_v6"), col("s").as("s_v6"),
-          (col("s") > expr("mu div 2")).as("alarm"))
+          (col("s") > expr(Sql.floorDiv("mu", "2"))).as("alarm"))
         .orderBy("day")
     },
     Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,

@@ -26,28 +26,48 @@ object StreamCusum {
       verdictsDir: String): Unit = {
     val ss = batch.sparkSession
     val daily = batch.groupBy("day").agg(sum("v6").as("x"))
+    // Empty micro-batches happen outside the mtime-pinned fixture (idle
+    // source ticks): an empty calibration would write a null mu and an
+    // empty monitoring batch would write empty state — either crashes
+    // the NEXT batch's head()/getAs. Short-circuit: carry state forward.
+    val isEmpty = daily.isEmpty
     if (batchId == 0L) {
-      val cal = daily.agg(sum("x").as("sx"), count(lit(1)).as("nd"))
-        .select(expr("sx div nd").as("mu"),
-          lit(0L).as("c"), lit(0L).as("m"))
+      val cal =
+        if (isEmpty)
+          // neutral calibration: nothing observed yet → mu = 0
+          ss.createDataFrame(Seq((0L, 0L, 0L))).toDF("mu", "c", "m")
+        else daily.agg(sum("x").as("sx"), count(lit(1)).as("nd"))
+          // floorDiv, not `div`: daily sums can be negative and the
+          // q232 oracle floors with DuckDB `//`
+          .select(expr(graft.queries.Sql.floorDiv("sx", "nd")).as("mu"),
+            lit(0L).as("c"), lit(0L).as("m"))
       cal.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/b0")
     } else {
       val st = ss.read.parquet(s"$stateDir/b${batchId - 1}").head()
       val (mu, c0, m0) = (st.getAs[Long]("mu"), st.getAs[Long]("c"),
         st.getAs[Long]("m"))
+      // Math.floorDiv matches DuckDB `//` for negative mu where Scala
+      // `/` truncates toward zero
+      val slack = Math.floorDiv(mu, 20L)
+      val thresh = Math.floorDiv(mu, 2L)
       val wc = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val walked = daily
-        .withColumn("dev", col("x") - lit(mu) - lit(mu / 20))
+        .withColumn("dev", col("x") - lit(mu) - lit(slack))
         .withColumn("c", lit(c0) + sum("dev").over(wc))
         .withColumn("m", least(lit(m0), min(col("c")).over(wc)))
         .withColumn("s", col("c") - least(lit(0L), col("m")))
       walked.select(lit(batchId).as("window_id"), col("day"),
           col("x").as("x_v6"), col("s").as("s_v6"),
-          (col("s") > lit(mu / 2)).as("alarm"))
+          (col("s") > lit(thresh)).as("alarm"))
         .coalesce(1).write.mode("overwrite").parquet(s"$verdictsDir/b$batchId")
-      walked.orderBy(col("day").desc).limit(1)
-        .select(lit(mu).as("mu"), col("c"), col("m"))
+      val nextState =
+        if (isEmpty)
+          // no monitored days this tick: the walk is unchanged
+          ss.createDataFrame(Seq((mu, c0, m0))).toDF("mu", "c", "m")
+        else walked.orderBy(col("day").desc).limit(1)
+          .select(lit(mu).as("mu"), col("c"), col("m"))
+      nextState
         .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/b$batchId")
     }
   }

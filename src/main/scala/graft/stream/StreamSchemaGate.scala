@@ -28,8 +28,12 @@ object StreamSchemaGate {
   def step(batch: DataFrame, batchId: Long, requiredCol: String,
       appliedDir: String, quarantineDir: String,
       verdictsDir: String): Boolean = {
+    // coalesce: sum() over an EMPTY micro-batch is null, and empty
+    // batches do occur outside the mtime-pinned fixture (source idle
+    // tick) — getLong on the null would NPE and kill the query
     val audit = batch.agg(count(lit(1)).as("n"),
-      sum(when(col(requiredCol).isNull, 1L).otherwise(0L)).as("n_null"))
+      coalesce(sum(when(col(requiredCol).isNull, 1L).otherwise(0L)),
+        lit(0L)).as("n_null"))
       .head()
     val (n, nNull) = (audit.getLong(0), audit.getLong(1))
     // drift signature: the required field is absent from the landed

@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   * rewrite atomic-by-rename-free: readers always resolve the highest
   * complete version (a _SUCCESS-marked parquet dir).
   *
+  * Fault contract (pinned by TableStoreFaultSpec): a v-dir without its
+  * _SUCCESS marker is a crashed write — invisible to readers and
+  * overwritten by the next merge; a crash BETWEEN the snapshot write
+  * and the log append is repaired by re-draining the source (the merge
+  * is idempotent by key, so the re-applied version is value-identical
+  * and the log regains the file); a second live writer with a stale
+  * applied-files cache re-reads the log on a miss and cannot
+  * double-apply. Concurrent DIFFERENT-file writers to one table are
+  * out of contract — the design assumes the reference's one ingest
+  * process per table, with the log gate covering the
+  * duplicate-process-overlap case.
+  *
   * Scale note: the rewrite is one shuffle-free union of two anti-joins
   * keyed on the table key; at cluster scale the snapshot would be
   * bucketed by key so the anti-joins are co-partitioned. The nightly

@@ -306,4 +306,26 @@ class CorpusSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q247: union estimate obeys the register-max set-algebra bounds") {
+    val rows = run("q247_hll_setops").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ea, eb) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"))
+      val eu = r.getAs[Double]("est_union")
+      // union registers dominate each member's → estimate is monotone
+      // (0.99 absorbs the small-range-correction branch boundary)
+      assert(eu >= math.max(ea, eb) * 0.99,
+        s"${r.get(0)}/${r.get(1)}: union $eu below member max($ea,$eb)")
+      assert(eu <= (ea + eb) * 1.01,
+        s"${r.get(0)}/${r.get(1)}: union $eu above member sum")
+      // inclusion–exclusion overlap lands within the combined sketch
+      // error of the exact overlap (3 estimates at ~4.6% standard
+      // error each; bound on the summed cardinalities)
+      val exact = r.getAs[Long]("exact_overlap").toDouble
+      assert(math.abs(r.getAs[Double]("est_overlap") - exact)
+        <= 0.14 * (ea + eb) + 1.0,
+        s"${r.get(0)}/${r.get(1)}: overlap est far from exact $exact")
+    }
+  }
 }

@@ -223,4 +223,34 @@ class CurationSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count(), "stage 1 starts from the corpus")
     assert(rows.last.getLong(3) > 0, "packing must emit sequences")
   }
+
+  test("q249: census is internally consistent and totals the corpus") {
+    val rows = Registry.byName("q249_gopher_rules").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val failCols =
+      Seq("fail_len", "fail_word_len", "fail_symbol", "fail_alpha", "fail_stop")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val fails = failCols.map(c => r.getAs[Long](c))
+      fails.foreach(f => assert(f >= 0L && f <= n))
+      val pass = r.getAs[Long]("n_pass")
+      // union bound below, single-worst-rule bound above
+      assert(pass >= n - fails.sum && pass <= n - fails.max,
+        s"${r.getString(0)}: pass $pass outside [${n - fails.sum}, " +
+          s"${n - fails.max}]")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count(), "census must cover every doc")
+  }
+
+  test("q249: fail_len matches an independent word-count filter") {
+    val expected = Tables.documents(spark, sf)
+      .filter(!(size(split(col("text"), " ")).cast("long").between(50L, 100000L)))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Registry.byName("q249_gopher_rules").fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("fail_len") ===
+        expected.getOrElse(r.getString(0), 0L), s"source ${r.getString(0)}")
+    }
+  }
 }

@@ -231,4 +231,27 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"doc $id peak law")
     }
   }
+
+  test("q248: segments are exactly the maximal active runs of q243") {
+    // q243 emits the SAME per-window feature stream; recompute the
+    // active set from it and check q248's segments are its maximal
+    // consecutive runs — correct bounds, no gaps, full coverage
+    val active = run("q243_media_windows").collect()
+      .filter(_.getAs[Long]("feat_e3") >= 500L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"))).toSet
+    val segs = run("q248_vad_segments").collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val (id, a, b) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"))
+      assert(r.getAs[Long]("n_win") === b - a + 1, s"doc $id run length")
+      (a to b).foreach(w => assert(active((id, w)),
+        s"doc $id window $w inside a segment but inactive"))
+      // maximality: the neighbors just outside the run are inactive
+      assert(!active((id, a - 1)), s"doc $id segment not left-maximal")
+      assert(!active((id, b + 1)), s"doc $id segment not right-maximal")
+    }
+    assert(segs.map(_.getAs[Long]("n_win")).sum === active.size,
+      "segments must cover every active window exactly once")
+  }
 }

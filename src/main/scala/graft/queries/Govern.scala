@@ -165,6 +165,78 @@ object Govern {
         CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** q251: LICENSE PROPAGATION THROUGH NEAR-DUP CLUSTERS — the
+    * governance rule that a document's effective license is the MOST
+    * RESTRICTIVE in its duplicate cluster (a permissive copy of a
+    * noncommercial original does not launder the restriction): q132's
+    * O(log n) large-star/small-star components over the chained
+    * fixture (deterministic license tags doc_id%5 → rank 1..5), then
+    * a most-restrictive-wins rollup per cluster with the upgrade
+    * census (how many docs inherit a stricter license than their own
+    * tag — the rows a release review must look at). Singleton docs
+    * keep their own tag via the left-join + coalesce(cluster, doc_id).
+    *
+    * 100 TB shape: CC is the q132 machinery (log-round alternations,
+    * localCheckpoint lineage); the rollup and upgrade census are two
+    * partial-aggregating exchanges on the cluster key. The oracle
+    * replays the fixture's closed-form clusters (a chained segment is
+    * one component labeled by its min id).
+    */
+  private val q251LicensePropagation = Q(
+    "q251_license_propagation",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(5L)) + 1L).as("lic_rank"))
+      val seg = Tables.documents(s, d)
+        .select(col("doc_id"), expr("doc_id div 64").as("seg"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seg").orderBy("doc_id")
+      val edges = seg.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("a_id"), col("nxt").as("b_id"))
+      val labels = graft.ops.Cluster.connectedComponentsStar(edges).labels
+      val labeled = docs
+        .join(labels.select(col("id").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val eff = labeled.groupBy("cluster").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lic_rank")).as("n_licenses"),
+        max("lic_rank").as("eff_rank"))
+      val up = labeled.join(eff.select("cluster", "eff_rank"), "cluster")
+        .groupBy("cluster")
+        .agg(sum(when(col("lic_rank") < col("eff_rank"), 1L).otherwise(0L))
+          .as("n_upgraded"))
+      eff.join(up, "cluster")
+        .select(col("cluster"), col("n_docs"), col("n_licenses"),
+          expr("""CASE eff_rank WHEN 1 THEN 'public-domain'
+            WHEN 2 THEN 'permissive' WHEN 3 THEN 'sharealike'
+            WHEN 4 THEN 'noncommercial' ELSE 'unknown' END""")
+            .as("effective_license"),
+          col("n_upgraded"))
+        .orderBy("cluster")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 5 + 1 AS lic_rank,
+          doc_id // 64 AS seg FROM documents),
+      c AS (SELECT seg, count(*) AS ns, min(doc_id) AS m FROM d GROUP BY 1),
+      l AS (SELECT d.doc_id, d.lic_rank,
+          CASE WHEN c.ns >= 2 THEN c.m ELSE d.doc_id END AS cluster
+        FROM d JOIN c USING (seg)),
+      e AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT lic_rank) AS BIGINT) AS n_licenses,
+          max(lic_rank) AS eff_rank FROM l GROUP BY 1),
+      u AS (SELECT l.cluster,
+          CAST(sum(CASE WHEN l.lic_rank < e.eff_rank THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_upgraded
+        FROM l JOIN e USING (cluster) GROUP BY 1)
+      SELECT e.cluster, e.n_docs, e.n_licenses,
+        CASE e.eff_rank WHEN 1 THEN 'public-domain'
+          WHEN 2 THEN 'permissive' WHEN 3 THEN 'sharealike'
+          WHEN 4 THEN 'noncommercial' ELSE 'unknown' END
+          AS effective_license,
+        u.n_upgraded
+      FROM e JOIN u USING (cluster) ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(q173KAnonymity, q175StreamDecontam,
-    q180Pseudonymize)
+    q180Pseudonymize, q251LicensePropagation)
 }

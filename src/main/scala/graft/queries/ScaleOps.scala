@@ -742,9 +742,73 @@ object ScaleOps {
         CAST(sum(feat_e3) AS BIGINT) AS sum_feat
       FROM act GROUP BY doc_id, grp ORDER BY 1, 2"""))
 
+  /** q250: SENTENCE-BUDGET CHUNKING — the RAG-style chunker that
+    * respects sentence boundaries where q155 slices mid-sentence:
+    * sentences (split on `[.!?]+`) are assigned whole to chunks by the
+    * token-budget bin of their starting offset (`(cum − n_tok) div
+    * 64`), so chunks never cut a sentence and the assignment is a
+    * closed form over the per-doc token cumsum — no greedy sequential
+    * loop, no UDF, identical in both engines. Per chunk: sentence
+    * span, token count, and an order-free integer signature
+    * (Σ h32(sentence) — exact, so the oracle pins membership, not
+    * just counts).
+    *
+    * 100 TB shape: sentence explode + one per-doc window cumsum (the
+    * only exchange, on uniform doc_id) + a partial-aggregating
+    * (doc, chunk) rollup. Chunk fan-out is bounded by tokens/64.
+    */
+  private val q250SentenceChunks = Q(
+    "q250_sentence_chunks",
+    (s, d) => {
+      val wi = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i0")
+      // renumber AFTER dropping empty fragments (leading/trailing
+      // punctuation yields empties) so sentence ids are contiguous —
+      // the oracle renumbers identically
+      val sen = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), "[.!?]+")))
+        .toDF("doc_id", "i0", "s0")
+        .select(col("doc_id"), col("i0"), trim(col("s0")).as("sen"))
+        .filter(length(col("sen")) > 0)
+        .withColumn("i", row_number().over(wi).cast("long"))
+        .withColumn("n_tok", size(split(col("sen"), " ")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      sen.withColumn("cum", sum("n_tok").over(w))
+        .withColumn("chunk_id", expr("(cum - n_tok) div 64"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_sentences"), sum("n_tok").as("n_tokens"),
+          min("i").as("first_s"), max("i").as("last_s"),
+          sum(h32(col("sen"))).as("sig_sum"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH a AS (SELECT doc_id,
+          regexp_split_to_array(text, '[.!?]+') AS arr FROM documents),
+      ex AS (SELECT doc_id, arr,
+          CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS i FROM a),
+      sen0 AS (SELECT doc_id, i, trim(arr[i]) AS sen FROM ex),
+      sen AS (SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+            AS BIGINT) AS i,
+          sen, CAST(len(string_split(sen, ' ')) AS BIGINT) AS n_tok
+        FROM sen0 WHERE length(sen) > 0),
+      c AS (SELECT doc_id, i, sen, n_tok,
+          sum(n_tok) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sen)
+      SELECT doc_id, CAST((cum - n_tok) // 64 AS BIGINT) AS chunk_id,
+        CAST(count(*) AS BIGINT) AS n_sentences,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        min(i) AS first_s, max(i) AS last_s,
+        CAST(sum(CAST('0x' || substr(md5(sen), 1, 8) AS BIGINT)) AS BIGINT)
+          AS sig_sum
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,
     q156DsirWeights, q157PartitionPruning, q158MediaFrames,
     q159SketchRangePartition, q214MediaPhashDedup, q223JoinSkewAudit,
-    q243MediaWindows, q248VadSegments)
+    q243MediaWindows, q248VadSegments, q250SentenceChunks)
 }

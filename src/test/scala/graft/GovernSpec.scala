@@ -41,4 +41,35 @@ class GovernSpec extends AnyFunSuite {
       "streamed state machine must replay the ordered batch semantics")
     th.unpersist()
   }
+
+  test("q251: effective license dominates every member; census conserves") {
+    val rows = Registry.byName("q251_license_propagation")
+      .fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent closed-form recomputation of the fixture's clusters
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val bySeg = docs.groupBy(_ / 64)
+    val expected = docs.groupBy { id =>
+      val seg = bySeg(id / 64)
+      if (seg.length >= 2) seg.min else id
+    }.map { case (cl, ids) =>
+      val ranks = ids.map(id => id % 5 + 1)
+      cl -> (ids.length.toLong, ranks.distinct.length.toLong, ranks.max,
+        ranks.count(_ < ranks.max).toLong)
+    }
+    assert(rows.length === expected.size, "one row per cluster")
+    val names = Map(1L -> "public-domain", 2L -> "permissive",
+      3L -> "sharealike", 4L -> "noncommercial", 5L -> "unknown")
+    rows.foreach { r =>
+      val (nd, nl, mx, up) = expected(r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_licenses") === nl)
+      assert(r.getAs[String]("effective_license") === names(mx))
+      assert(r.getAs[Long]("n_upgraded") === up)
+      if (nl == 1) assert(up === 0L, "uniform cluster upgrades nobody")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length,
+      "clusters must partition the corpus")
+  }
 }

@@ -78,16 +78,42 @@ class OracleDtypeSpec extends AnyFunSuite {
     }
   }
 
-  /** Integer-sum item that would fetch as HUGEINT→float64. */
-  private def taintedItem(item: String): Boolean = {
-    if (!"(?i)\\bsum\\s*\\(".r.findFirstIn(item).isDefined) return false
+  /** Item that would fetch as HUGEINT→float64: contains an integer
+    * `sum(` (windowed or aggregate) or an unqualified reference to an
+    * already-tainted alias, with nothing that changes the type back:
+    *  - CAST anywhere → typed explicitly, safe;
+    *  - a top-level comparison → boolean, safe;
+    *  - float division `/` (DuckDB `/` is always DOUBLE; only `//`
+    *    stays integral) or a float literal → double in both engines,
+    *    safe;
+    *  - references inside `WHEN … THEN` predicates don't count (the
+    *    branch VALUE determines the type, not the predicate);
+    *  - `alias.x` doesn't count as a reference to tainted `alias`
+    *    (table qualifier, not the tainted column).
+    * HUGEINT propagates through `//`, `+`, `*` — which is how q250's
+    * windowed cumsum laundered into its chunk_id group key.
+    */
+  private def taintedItem(item: String,
+      tainted: collection.Set[String]): Boolean = {
     if ("(?i)\\bCAST\\s*\\(".r.findFirstIn(item).isDefined) return false
+    // mask predicate segments: the WHEN condition never sets the type
+    val masked = "(?is)\\bWHEN\\b.*?\\bTHEN\\b".r
+      .replaceAllIn(item, "WHEN THEN")
+    // float division / float literal → DOUBLE in both engines
+    if (masked.replace("//", "").contains("/")) return false
+    if ("[0-9]\\.[0-9]".r.findFirstIn(masked).isDefined) return false
+    val hasSum = "(?i)\\bsum\\s*\\(".r.findFirstIn(masked).isDefined
+    val refsTaint = tainted.exists(t =>
+      t.nonEmpty &&
+        s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(t)}\\b(?!\\s*\\.)".r
+          .findFirstIn(masked).isDefined)
+    if (!hasSum && !refsTaint) return false
     // a top-level comparison yields a boolean column — safe
     var depth = 0
     var cmp = false
     var i = 0
-    while (i < item.length) {
-      val c = item(i)
+    while (i < masked.length) {
+      val c = masked(i)
       if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       else if (depth == 0 && (c == '=' || c == '<' || c == '>')) cmp = true
@@ -96,35 +122,60 @@ class OracleDtypeSpec extends AnyFunSuite {
     !cmp
   }
 
-  test("no oracle projects an un-CAST integer sum (HUGEINT→float64)") {
-    val aliasRe = s"(?is).*?\\bAS\\s+($Ident)\\s*$$".r
-    val bareRe = s"(?:$Ident\\.)?($Ident)".r
-    val offenders = queries.Registry.all.flatMap { q =>
-      q.oracle.toSeq.flatMap { sql =>
-        val tainted = scala.collection.mutable.Set.empty[String]
-        val bad = Seq.newBuilder[String]
-        selectClauses(sql).foreach { case (clause, isFinal) =>
-          splitItems(clause).foreach { item =>
-            val alias = item match {
-              case aliasRe(a) => Some(a.toLowerCase)
-              case _ => None
-            }
-            val bare = item match {
-              case bareRe(b) => Some(b.toLowerCase)
-              case _ => None
-            }
-            val isBad = taintedItem(item) ||
-              bare.exists(tainted.contains)
-            if (isFinal && isBad)
-              bad += s"${q.name}: ${item.replaceAll("\\s+", " ").take(80)}"
-            else if (isBad) tainted += alias.orElse(bare).getOrElse("")
-          }
+  private val aliasRe = s"(?is).*?\\bAS\\s+($Ident)\\s*$$".r
+  private val bareRe = s"(?:$Ident\\.)?($Ident)".r
+
+  /** Tainted items reaching the final projection of one oracle. */
+  private def offenders(sql: String): Seq[String] = {
+    val tainted = scala.collection.mutable.Set.empty[String]
+    val bad = Seq.newBuilder[String]
+    selectClauses(sql).foreach { case (clause, isFinal) =>
+      splitItems(clause).foreach { item =>
+        val alias = item match {
+          case aliasRe(a) => Some(a.toLowerCase)
+          case _ => None
         }
-        bad.result()
+        val bare = item match {
+          case bareRe(b) => Some(b.toLowerCase)
+          case _ => None
+        }
+        val isBad = taintedItem(item, tainted)
+        if (isFinal && isBad)
+          bad += item.replaceAll("\\s+", " ").take(80)
+        else if (isBad) tainted += alias.orElse(bare).getOrElse("")
       }
     }
-    assert(offenders.isEmpty,
+    bad.result()
+  }
+
+  test("no oracle projects an un-CAST integer sum (HUGEINT→float64)") {
+    val flagged = queries.Registry.all.flatMap { q =>
+      q.oracle.toSeq.flatMap(sql => offenders(sql).map(i => s"${q.name}: $i"))
+    }
+    assert(flagged.isEmpty,
       s"\nHUGEINT-tainted final projections (pin CAST(... AS BIGINT), " +
-        s"SURVEY §16.1):\n  ${offenders.mkString("\n  ")}")
+        s"SURVEY §16.1):\n  ${flagged.mkString("\n  ")}")
+  }
+
+  test("the scan still catches the two known-bad patterns (controls)") {
+    // q159's round-7 bug: sum(CASE…) laundered through a CTE alias
+    val q159Style = """WITH pa AS (SELECT doc_id,
+        sum(CASE WHEN b >= s THEN 1 ELSE 0 END) AS part FROM t GROUP BY 1)
+      SELECT part, count(*) AS n FROM pa GROUP BY 1 ORDER BY 1"""
+    assert(offenders(q159Style) === Seq("part"))
+    // q250's pre-fix bug: windowed cumsum flowing through arithmetic
+    // into a projected group key
+    val q250Style = """WITH c AS (SELECT doc_id, n_tok,
+        sum(n_tok) OVER (PARTITION BY doc_id ORDER BY i) AS cum FROM sen)
+      SELECT doc_id, (cum - n_tok) // 64 AS chunk_id, min(i) AS f
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
+    assert(offenders(q250Style) === Seq("(cum - n_tok) // 64 AS chunk_id"))
+    // and stays quiet on the legitimate launderings
+    val clean = """WITH c AS (SELECT g, sum(x) AS sx, count(*) AS n FROM t
+        GROUP BY 1)
+      SELECT g, CAST(sx AS BIGINT) AS sx, round(sx / n, 6) AS mean,
+        sx > 100 AS big, CASE WHEN sx >= n THEN g ELSE 0 END AS pick
+      FROM c ORDER BY 1"""
+    assert(offenders(clean).isEmpty)
   }
 }

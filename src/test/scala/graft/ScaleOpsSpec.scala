@@ -254,4 +254,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(segs.map(_.getAs[Long]("n_win")).sum === active.size,
       "segments must cover every active window exactly once")
   }
+
+  test("q250: chunks partition the sentence stream and conserve tokens") {
+    val rows = run("q250_sentence_chunks").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("chunk_id"))
+      // sentence spans are contiguous from 1 with no overlap or gap
+      assert(sorted.head.getAs[Long]("first_s") === 1L, s"doc $id start")
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_sentences") ===
+          r.getAs[Long]("last_s") - r.getAs[Long]("first_s") + 1,
+          s"doc $id span vs count")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("first_s") === a.getAs[Long]("last_s") + 1,
+            s"doc $id chunk boundary gap/overlap")
+          assert(b.getAs[Long]("chunk_id") > a.getAs[Long]("chunk_id"))
+        case _ =>
+      }
+      // token conservation against an independent recount
+      val expected = Tables.documents(spark, dir)
+        .filter(col("doc_id") === id)
+        .select(explode(split(col("text"), "[.!?]+")).as("s0"))
+        .select(trim(col("s0")).as("s")).filter(length(col("s")) > 0)
+        .select(size(split(col("s"), " ")).cast("long").as("n"))
+        .collect().map(_.getLong(0)).sum
+      assert(g.map(_.getAs[Long]("n_tokens")).sum === expected,
+        s"doc $id token conservation")
+    }
+  }
 }

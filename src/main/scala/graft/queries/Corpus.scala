@@ -901,6 +901,91 @@ object Corpus {
         min(diff_e6) AS min_diff_e6, max(diff_e6) AS max_diff_e6
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q253: HEAPS-LAW VOCABULARY GROWTH — the corpus-growth curve
+    * V(N) ≈ k·N^β and its fitted exponent, the capacity-planning
+    * number behind tokenizer vocab sizing and dedup-rate forecasts
+    * ("how much NEW vocabulary does the next 10 TB bring"). The
+    * curve is NOT computed by re-scanning prefixes: cumulative
+    * distinct at prefix p equals the count of tokens whose FIRST
+    * owner doc ≤ p (the q177 first-occurrence trick), so one
+    * token-key exchange yields the whole curve; β comes from the
+    * q196 OLS moment lattice over floor(ln·1e6) fixed-point logs of
+    * the 8 checkpoints.
+    *
+    * 100 TB shape: histogram-first (#16.2-1) — the token stream
+    * reduces to per-doc counts and a first-owner histogram BEFORE
+    * the 8× checkpoint fan-out, which then joins doc-sized frames,
+    * never tokens. The fit is an 8-row aggregate.
+    */
+  private val q253HeapsLaw = Q(
+    "q253_heaps_law",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val docTok = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val firstHist = toks.groupBy("w").agg(min("doc_id").as("fd"))
+        .groupBy("fd").agg(count(lit(1)).as("nv"))
+      val cps = Tables.documents(s, d).agg(max("doc_id").as("mx"))
+        .select(explode(expr("sequence(1L, 8L)")).as("k"), col("mx"))
+        .select(col("k"), expr("(k * mx) div 8").as("p"))
+      val nTok = broadcast(cps).join(docTok, col("doc_id") <= col("p"))
+        .groupBy("k").agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"))
+      val nVoc = broadcast(cps).join(firstHist, col("fd") <= col("p"))
+        .groupBy("k").agg(sum("nv").as("v_distinct"))
+      val curve = nTok.join(nVoc, "k")
+        .withColumn("x6",
+          expr("cast(floor(ln(cast(n_tokens as double)) * 1000000) as bigint)"))
+        .withColumn("y6",
+          expr("cast(floor(ln(cast(v_distinct as double)) * 1000000) as bigint)"))
+      val fit = curve.agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x6").cast("decimal(38,0)").as("sx"),
+          sum("y6").cast("decimal(38,0)").as("sy"),
+          sum((col("x6") * col("y6")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x6") * col("x6")).cast("decimal(38,0)")).as("sxx"))
+        .select(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("beta6"))
+      curve.select(col("k"), col("n_docs"), col("n_tokens"),
+          col("v_distinct"))
+        .crossJoin(broadcast(fit))
+        .orderBy("k")
+    },
+    Some("""WITH tk AS MATERIALIZED (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+      t2 AS MATERIALIZED (SELECT doc_id, w FROM tk WHERE length(w) > 0),
+      dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+        FROM t2 GROUP BY 1),
+      fd AS (SELECT min(doc_id) AS fd FROM t2 GROUP BY w),
+      fh AS (SELECT fd, CAST(count(*) AS BIGINT) AS nv FROM fd GROUP BY 1),
+      ks AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS k),
+      mxd AS (SELECT max(doc_id) AS mx FROM documents),
+      cps AS (SELECT k, (k * mx) // 8 AS p FROM ks, mxd),
+      ntk AS (SELECT c.k, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(d.nt) AS BIGINT) AS n_tokens
+        FROM cps c JOIN dt d ON d.doc_id <= c.p GROUP BY 1),
+      nvc AS (SELECT c.k, CAST(sum(f.nv) AS BIGINT) AS v_distinct
+        FROM cps c JOIN fh f ON f.fd <= c.p GROUP BY 1),
+      curve AS (SELECT n.k, n.n_docs, n.n_tokens, v.v_distinct,
+          CAST(floor(ln(CAST(n.n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+            AS x6,
+          CAST(floor(ln(CAST(v.v_distinct AS DOUBLE)) * 1000000) AS BIGINT)
+            AS y6
+        FROM ntk n JOIN nvc v USING (k)),
+      m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+          CAST(sum(x6) AS DECIMAL(38,0)) AS sx,
+          CAST(sum(y6) AS DECIMAL(38,0)) AS sy,
+          CAST(sum(CAST(x6 * y6 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+          CAST(sum(CAST(x6 * x6 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM curve),
+      f AS (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta6 FROM m)
+      SELECT c.k, c.n_docs, c.n_tokens, c.v_distinct, f.beta6
+      FROM curve c CROSS JOIN f ORDER BY c.k"""))
+
   /** q247: HLL SET ALGEBRA — sketch-level union and inclusion–
     * exclusion overlap between per-source vocabularies, WITHOUT
     * rescanning the data per pair: the q164 register table (source,
@@ -1019,5 +1104,5 @@ object Corpus {
     q167Int8Quant, q176TfidfKeyterms, q177NgramNovelty, q179MinhashEstimate,
     q182DatasetCard, q184PackingAblation, q187JackknifeReplicates,
     q192MojibakeAudit, q193Readability, q194CurriculumPhases,
-    q247HllSetops)
+    q247HllSetops, q253HeapsLaw)
 }

@@ -972,9 +972,83 @@ object Vectors {
         (SELECT CAST(COALESCE(sum(id), 0) AS BIGINT) FROM f4)
       ORDER BY hop"""))
 
+  /** q252: INDEX-STALENESS MONITOR — the retrain trigger for the IVF
+    * family: the codebook is trained on the INDEXED batch (vec_id%10
+    * < 8) only, and the monitor compares per-cell occupancy SHARES
+    * between the indexed batch and the arriving batch under that same
+    * frozen codebook. A new batch whose mass lands in different cells
+    * means the coarse quantizer no longer fits the data — recall
+    * decays (q181 measures it after the fact; this catches it BEFORE
+    * the index ships stale). Shares are integer millionths with
+    * decimal(38,0)-widened products; flags: `is_new` (cell empty at
+    * build time) and `drifted` (share shift > 10 points).
+    *
+    * 100 TB shape: the frozen codebook is a plan-bound literal (q47's
+    * 2^16 cap), assignment is a map-side codegen'd projection
+    * (NearestCentroid) — no join, no N×C blow-up; the audit is one
+    * partial-aggregating exchange on the cell key and a C-row frame
+    * thereafter.
+    */
+  private val q252IndexStaleness = Q(
+    "q252_index_staleness",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.search.Ivf.codebook(emb.filter(col("vec_id") % 10 < 8), 25)
+      val tagged = emb.select(col("vec_id"),
+          graft.functions.IvfOps.nearestCol(toDouble(col("embedding")), cb)
+            .as("cell"))
+        .filter(col("cell").isNotNull)
+        .withColumn("in_a", col("vec_id") % 10 < 8)
+      val pc = tagged.groupBy("cell").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      val tot = pc.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      pc.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_a"), col("n_b"),
+          expr("(cast(n_a as decimal(38,0)) * 1000000) div ta")
+            .as("share_a_e6"),
+          expr("(cast(n_b as decimal(38,0)) * 1000000) div tb")
+            .as("share_b_e6"))
+        .withColumn("shift_e6", abs(col("share_a_e6") - col("share_b_e6")))
+        .withColumn("is_new", col("n_a") === 0L)
+        .withColumn("drifted", col("shift_e6") > 100000L)
+        .orderBy("cell")
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+        WHERE vec_id % 25 = 1 AND vec_id % 10 < 8),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+        WHERE vec_id % 25 = 1 AND vec_id % 10 < 8),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+        FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+        FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn FROM sims) t WHERE rn = 1),
+      pc AS (SELECT cell,
+          CAST(sum(CASE WHEN vid % 10 < 8 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(sum(CASE WHEN vid % 10 >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b
+        FROM assign GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+          CAST(sum(n_b) AS BIGINT) AS tb FROM pc),
+      sh AS (SELECT cell, n_a, n_b,
+          CAST((n_a * 1000000) // ta AS BIGINT) AS share_a_e6,
+          CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_e6
+        FROM pc CROSS JOIN tot)
+      SELECT cell, n_a, n_b, share_a_e6, share_b_e6,
+        abs(share_a_e6 - share_b_e6) AS shift_e6,
+        n_a = 0 AS is_new,
+        abs(share_a_e6 - share_b_e6) > 100000 AS drifted
+      FROM sh ORDER BY cell"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
     q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
     q191Silhouette, q210ClusterPurity, q222IndexRoundtrip,
-    q224WhiteningParams, q229KcorePeel, q245BfsLevels)
+    q224WhiteningParams, q229KcorePeel, q245BfsLevels, q252IndexStaleness)
 }

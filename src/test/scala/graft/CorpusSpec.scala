@@ -328,4 +328,34 @@ class CorpusSpec extends AnyFunSuite {
         s"${r.get(0)}/${r.get(1)}: overlap est far from exact $exact")
     }
   }
+
+  test("q253: growth curve is monotone, totals the corpus, fit replays") {
+    val rows = run("q253_heaps_law").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length === 8)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_tokens") >= a.getAs[Long]("n_tokens"))
+        assert(b.getAs[Long]("v_distinct") >= a.getAs[Long]("v_distinct"))
+        assert(b.getAs[Long]("n_docs") >= a.getAs[Long]("n_docs"))
+      case _ =>
+    }
+    // k=8 checkpoint covers the whole corpus
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    assert(rows.last.getAs[Long]("n_tokens") === toks.count())
+    assert(rows.last.getAs[Long]("v_distinct") ===
+      toks.distinct().count())
+    // the fitted exponent is the plain OLS over the fixed-point logs
+    val pts = rows.map(r => (
+      math.floor(math.log(r.getAs[Long]("n_tokens").toDouble) * 1e6),
+      math.floor(math.log(r.getAs[Long]("v_distinct").toDouble) * 1e6)))
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rows.head.getAs[Double]("beta6") - beta) < 1e-4,
+      s"beta6 ${rows.head.getAs[Double]("beta6")} vs recomputed $beta")
+  }
 }

@@ -247,4 +247,26 @@ class VectorsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q252: staleness audit conserves vectors and derives its flags") {
+    val rows = run("q252_index_staleness").collect()
+    assert(rows.nonEmpty)
+    val (ta, tb) = (rows.map(_.getAs[Long]("n_a")).sum,
+      rows.map(_.getAs[Long]("n_b")).sum)
+    assert(ta + tb === Tables.embeddings(spark, dir).count(),
+      "every vector lands in exactly one cell")
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (sa, sb) =
+        (r.getAs[Long]("share_a_e6"), r.getAs[Long]("share_b_e6"))
+      assert(sa === na * 1000000L / ta, "share_a is the floored millionth")
+      assert(sb === nb * 1000000L / tb, "share_b is the floored millionth")
+      assert(r.getAs[Long]("shift_e6") === math.abs(sa - sb))
+      assert(r.getAs[Boolean]("is_new") === (na == 0L))
+      assert(r.getAs[Boolean]("drifted") === (math.abs(sa - sb) > 100000L))
+    }
+    // shares sum to ~1e6 (floor rounding loses < one millionth per cell)
+    val sumA = rows.map(_.getAs[Long]("share_a_e6")).sum
+    assert(sumA <= 1000000L && sumA > 1000000L - rows.length)
+  }
 }

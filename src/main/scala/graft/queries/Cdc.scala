@@ -1453,6 +1453,110 @@ object Cdc {
         a.n_applied, a.sum_v6
       FROM v, a ORDER BY v.batch_id"""))
 
+  /** q254: STREAMING INDEX-STALENESS MONITOR — q252's retrain trigger
+    * in the arrival regime (the q204→q205 relationship applied to the
+    * IVF index): the vector corpus splits into the INDEX-BUILD window
+    * (vec_id%3=0, landed first — mtime-pinned) and two arriving
+    * windows; batch 0 freezes the coarse codebook and reference cell
+    * histogram ([[graft.stream.StreamStaleness]]), each later window
+    * emits one occupancy-drift reading (new cells, drifted cells, max
+    * share shift in millionths) against that frozen baseline. The b-id
+    * Overwrite regime makes retried windows idempotent.
+    *
+    * 100 TB shape: standing state is the C-row centroid table + C-row
+    * histogram; per-batch work is the map-side NearestCentroid
+    * projection + one histogram-sized full-outer join. The oracle
+    * replays both windows closed-form with the same frozen-codebook
+    * assignment.
+    */
+  private val q254StreamStaleness = Q(
+    "q254_stream_staleness",
+    (s, d) => {
+      val root = Files.createTempDirectory("graft-sstl-").toString
+      val landing = new java.io.File(root, "landing")
+      landing.mkdirs()
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      Seq(("1_build", 0, 60000L), ("2_w1", 1, 120000L),
+          ("3_w2", 2, 180000L)).foreach { case (n, m, mt) =>
+        Scratch.landFile(emb.filter(pmod(col("vec_id"), lit(3)) === m),
+          landing.toString, s"$n.parquet", modTime = mt)
+      }
+      val centsDir = s"$root/cents"
+      val refHistDir = s"$root/refhist"
+      val verdictsDir = s"$root/verdicts"
+      val query = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.stream.StreamStaleness.step(batch, id, centsDir,
+            refHistDir, verdictsDir)
+        }
+        .start()
+      query.awaitTermination()
+      Scratch.sealAndClean(
+        s.read.parquet(s"$verdictsDir/b1", s"$verdictsDir/b2")
+          .orderBy("window_id"),
+        root)
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+        WHERE vec_id % 3 = 0 AND vec_id % 25 = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+        WHERE vec_id % 3 = 0 AND vec_id % 25 = 1),
+      cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
+        FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
+      sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
+        FROM cdot JOIN nrm n ON vid = n.vec_id JOIN cn USING (cid)),
+      assign AS MATERIALIZED (SELECT vid, cid AS cell FROM (
+          SELECT vid, cid, row_number() OVER (PARTITION BY vid
+            ORDER BY cs DESC, cid) AS rn FROM sims) t WHERE rn = 1),
+      refh AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS cr
+        FROM assign WHERE vid % 3 = 0 GROUP BY 1),
+      w1h AS (SELECT cell, CAST(count(*) AS BIGINT) AS cc
+        FROM assign WHERE vid % 3 = 1 GROUP BY 1),
+      w2h AS (SELECT cell, CAST(count(*) AS BIGINT) AS cc
+        FROM assign WHERE vid % 3 = 2 GROUP BY 1),
+      j1 AS (SELECT COALESCE(r.cell, c.cell) AS cell,
+          CAST(COALESCE(r.cr, 0) AS BIGINT) AS cr,
+          CAST(COALESCE(c.cc, 0) AS BIGINT) AS cc
+        FROM refh r FULL OUTER JOIN w1h c ON r.cell = c.cell),
+      s1 AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+          CAST(sum(cc) AS BIGINT) AS nc, CAST(count(*) AS BIGINT) AS nb
+        FROM j1),
+      d1 AS (SELECT CAST(1 AS BIGINT) AS window_id, s1.nb AS n_cells,
+          s1.nr AS n_ref, s1.nc AS n_cur,
+          CAST(sum(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          CAST(sum(CASE WHEN abs((cr * 1000000) // nr
+            - (cc * 1000000) // nc) > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_drifted,
+          CAST(max(abs((cr * 1000000) // nr - (cc * 1000000) // nc))
+            AS BIGINT) AS max_shift_e6
+        FROM j1, s1 GROUP BY 1, 2, 3, 4),
+      j2 AS (SELECT COALESCE(r.cell, c.cell) AS cell,
+          CAST(COALESCE(r.cr, 0) AS BIGINT) AS cr,
+          CAST(COALESCE(c.cc, 0) AS BIGINT) AS cc
+        FROM refh r FULL OUTER JOIN w2h c ON r.cell = c.cell),
+      s2 AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+          CAST(sum(cc) AS BIGINT) AS nc, CAST(count(*) AS BIGINT) AS nb
+        FROM j2),
+      d2 AS (SELECT CAST(2 AS BIGINT) AS window_id, s2.nb AS n_cells,
+          s2.nr AS n_ref, s2.nc AS n_cur,
+          CAST(sum(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          CAST(sum(CASE WHEN abs((cr * 1000000) // nr
+            - (cc * 1000000) // nc) > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_drifted,
+          CAST(max(abs((cr * 1000000) // nr - (cc * 1000000) // nc))
+            AS BIGINT) AS max_shift_e6
+        FROM j2, s2 GROUP BY 1, 2, 3, 4)
+      SELECT * FROM d1 UNION ALL SELECT * FROM d2 ORDER BY window_id"""))
+
   val queries: Seq[Q] =
     Seq(q44CdcMerge, q76StreamIngest, q98StreamAsof, q99Scd2History,
       q111MatviewIvm, q112TimeTravel, q114StreamWindow, q116Vacuum,
@@ -1460,5 +1564,5 @@ object Cdc {
       q130MergeStats, q131ForceRefresh, q134StreamScd2Seeded,
       q135StreamDedup, q136StreamHeavyHitters, q137StreamIntervalJoin,
       q139Compaction, q140StreamSessionize, q150VersionDiff, q205StreamPsi,
-      q232StreamCusum, q242StreamSchemaGate)
+      q232StreamCusum, q242StreamSchemaGate, q254StreamStaleness)
 }

@@ -1,0 +1,75 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One micro-batch of the STREAMING INDEX-STALENESS MONITOR (q254's
+  * foreachBatch body) — q252's retrain trigger in the arrival regime
+  * (the q204→q205 relationship applied to the IVF index): batch 0 is
+  * the INDEX BUILD — it freezes the coarse codebook (the sampled
+  * centroids, a bounded C-row table) and the reference cell
+  * histogram; every later batch is an arriving vector window scored
+  * against that frozen baseline, emitting one occupancy-drift reading
+  * (new cells, drifted cells, max share shift) per window.
+  *
+  * Layout contract (the [[StreamPsi]]/[[StreamNeardup]] pattern):
+  * centroids, reference histogram, and each `b<id>` verdict subdir are
+  * written with Overwrite — a retried batch rewrites its own artifact,
+  * idempotent without a transaction log.
+  *
+  * Scale shape: standing state is the C-row centroid table + C-row
+  * histogram (never raw vectors, never state store); each batch's
+  * assignment is the plan-bound NearestCentroid map-side projection
+  * (codebook rebuilt from the persisted centroid table — a bounded
+  * collect, q47's 2^16 cap); the drift join is histogram-sized.
+  * Share products widen to decimal(38,0); zero-total guards keep an
+  * EMPTY window (idle source tick) from emitting nulls.
+  */
+object StreamStaleness {
+
+  private def cellsOf(df: DataFrame, centsDir: String): DataFrame = {
+    val cb = graft.search.Ivf.codebook(
+      df.sparkSession.read.parquet(centsDir), 25)
+    df.select(graft.functions.IvfOps.nearestCol(
+        graft.functions.Portable.toDouble(col("embedding")), cb).as("cell"))
+      .filter(col("cell").isNotNull)
+  }
+
+  def step(batch: DataFrame, batchId: Long, centsDir: String,
+      refHistDir: String, verdictsDir: String): Unit = {
+    if (batchId == 0L) {
+      batch.filter(col("vec_id") % 25 === 1)
+        .coalesce(1).write.mode("overwrite").parquet(centsDir)
+      cellsOf(batch, centsDir).groupBy("cell").agg(count(lit(1)).as("c"))
+        .coalesce(1).write.mode("overwrite").parquet(refHistDir)
+    } else {
+      val ss = batch.sparkSession
+      val cur = cellsOf(batch, centsDir)
+        .groupBy("cell").agg(count(lit(1)).as("cc"))
+      val ref = ss.read.parquet(refHistDir)
+        .select(col("cell"), col("c").as("cr"))
+      val j = ref.join(cur, Seq("cell"), "full_outer")
+        .select(col("cell"), coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cc"), lit(0L)).as("cc"))
+      val tots = j.agg(sum("cr").as("nr"), sum("cc").as("nc"),
+        count(lit(1)).as("nb"))
+      val sh = j.crossJoin(broadcast(tots))
+        .select(col("cr"), col("cc"), col("nb"), col("nr"), col("nc"),
+          expr("""CASE WHEN nr = 0 THEN CAST(0 AS BIGINT)
+            ELSE (cast(cr as decimal(38,0)) * 1000000) div nr END""")
+            .as("sr"),
+          expr("""CASE WHEN nc = 0 THEN CAST(0 AS BIGINT)
+            ELSE (cast(cc as decimal(38,0)) * 1000000) div nc END""")
+            .as("sc"))
+        .withColumn("shift", abs(col("sr") - col("sc")))
+      sh.groupBy("nb", "nr", "nc")
+        .agg(sum(when(col("cr") === 0L, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("shift") > 100000L, 1L).otherwise(0L)).as("n_drifted"),
+          max("shift").as("max_shift_e6"))
+        .select(lit(batchId).as("window_id"), col("nb").as("n_cells"),
+          col("nr").as("n_ref"), col("nc").as("n_cur"),
+          col("n_new"), col("n_drifted"), col("max_shift_e6"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$verdictsDir/b$batchId")
+    }
+  }
+}

@@ -1012,10 +1012,70 @@ object Training {
       ORDER BY rank_e12 DESC, node_id LIMIT 20"""
     })
 
+  /** q255: OVERLAP-SPAN DECONTAMINATION — the published contiguous-run
+    * rule (the GPT-3/PaLM-style "drop documents sharing an N-token
+    * span with an eval set" test) that q72's any-shingle flag
+    * over-approximates: a training document is contaminated only if
+    * its matched benchmark shingles form a CONSECUTIVE run of ≥ 3
+    * shingle positions (= a ≥ 6-token contiguous span at 4-gram
+    * shingles), not merely scattered single matches. Matched
+    * positions → maximal runs via the gaps-and-islands key
+    * `pos − row_number()` (q248's machinery applied to decontam);
+    * output per doc: matched-position count, longest run, the flag.
+    *
+    * 100 TB shape: q72's exactly — benchmark shingles broadcast, the
+    * corpus side probes in the scan stage and only the (rare) hits
+    * reach the per-doc window; the island pass runs over hit
+    * positions, a frame bounded by contamination volume, not corpus
+    * size.
+    */
+  private val q255OverlapSpans = Q(
+    "q255_overlap_spans",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 4)
+        .select(col("doc_id"),
+          posexplode(graft.functions.Hash32.shingleHashes(col("text"))))
+        .toDF("doc_id", "p0", "h")
+        .select(col("doc_id"), (col("p0") + 1L).as("p"), col("h"))
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      val hits = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "h")
+        .select("doc_id", "p")
+      val wi = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      hits.withColumn("g", col("p") - row_number().over(wi))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id")
+        .agg(sum("run").as("n_hit_pos"), max("run").as("max_run"))
+        .select(col("doc_id"), col("n_hit_pos"), col("max_run"),
+          (col("max_run") >= 3L).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      pos AS (SELECT doc_id, CAST(unnest(range(1, len(w) - 2)) AS BIGINT)
+          AS p, w FROM ws),
+      sh AS (SELECT doc_id, p,
+          concat_ws(' ', w[p], w[p+1], w[p+2], w[p+3]) AS s FROM pos),
+      th AS (SELECT doc_id, p,
+          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      bench AS (SELECT DISTINCT h FROM th WHERE doc_id % 97 = 0),
+      hits AS (SELECT t.doc_id, t.p FROM th t JOIN bench b USING (h)
+        WHERE t.doc_id % 97 <> 0),
+      isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id
+          ORDER BY p) AS g FROM hits),
+      runs AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS run
+        FROM isl GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_hit_pos,
+        CAST(max(run) AS BIGINT) AS max_run,
+        max(run) >= 3 AS contaminated
+      FROM runs GROUP BY 1 ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,
     q71SeqPack, q72Decontam, q73MixCap, q78QualityQuantiles,
     q95BinnedQuantiles, q107TempMix, q126IncrementalDedup, q132CcStar,
     q133LogdigestQuantiles, q138StreamLogdigest, q141StreamNeardup,
-    q142PctRank, q147SplitLeakage, q149Pagerank)
+    q142PctRank, q147SplitLeakage, q149Pagerank, q255OverlapSpans)
 }

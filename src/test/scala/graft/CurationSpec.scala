@@ -243,6 +243,25 @@ class CurationSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count(), "census must cover every doc")
   }
 
+  test("q255: span decontam refines q72's any-shingle flag") {
+    val spans = Registry.byName("q255_overlap_spans").fn(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit_pos"), r.getAs[Long]("max_run"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    val any = Registry.byName("q72_decontam").fn(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_shared_shingles")).toMap
+    // a doc has a matched POSITION iff it has a matched shingle
+    assert(spans.keySet === any.keySet,
+      "span and any-shingle decontam must flag the same doc set")
+    spans.foreach { case (id, (nPos, maxRun, flag)) =>
+      // positions count duplicates that the distinct-shingle count folds
+      assert(nPos >= any(id), s"doc $id position count below shingle count")
+      assert(maxRun >= 1L && maxRun <= nPos, s"doc $id run bounds")
+      assert(flag === (maxRun >= 3L), s"doc $id flag derivation")
+    }
+  }
+
   test("q249: fail_len matches an independent word-count filter") {
     val expected = Tables.documents(spark, sf)
       .filter(!(size(split(col("text"), " ")).cast("long").between(50L, 100000L)))

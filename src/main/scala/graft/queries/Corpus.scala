@@ -984,7 +984,8 @@ object Corpus {
       f AS (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
           / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta6 FROM m)
       SELECT c.k, c.n_docs, c.n_tokens, c.v_distinct, f.beta6
-      FROM curve c CROSS JOIN f ORDER BY c.k"""))
+      FROM curve c CROSS JOIN f ORDER BY c.k"""),
+    bench = true)
 
   /** q247: HLL SET ALGEBRA — sketch-level union and inclusion–
     * exclusion overlap between per-source vocabularies, WITHOUT
@@ -1096,7 +1097,8 @@ object Corpus {
       FROM ue u JOIN pest pa ON u.sa = pa.source
       JOIN pest pb ON u.sb = pb.source
       LEFT JOIN eo ON u.sa = eo.sa AND u.sb = eo.sb
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2"""),
+    bench = true)
 
   val queries: Seq[Q] = Seq(
     q160VectorCentroids, q161GlobalShuffle, q162UserSequences,

@@ -1338,7 +1338,8 @@ object Curation {
         CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop,
         CAST(sum(CASE WHEN r_len AND r_word_len AND r_symbol AND r_alpha
           AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-      FROM r GROUP BY 1 ORDER BY 1"""))
+      FROM r GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   val queries: Seq[Q] =
     Seq(q82PiiRedact, q83Bm25, q84StratifiedSample, q85PassageDedup,

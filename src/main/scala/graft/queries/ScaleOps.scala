@@ -740,7 +740,8 @@ object ScaleOps {
       SELECT doc_id, min(w) AS seg_start, max(w) AS seg_end,
         CAST(count(*) AS BIGINT) AS n_win, max(feat_e3) AS peak_feat,
         CAST(sum(feat_e3) AS BIGINT) AS sum_feat
-      FROM act GROUP BY doc_id, grp ORDER BY 1, 2"""))
+      FROM act GROUP BY doc_id, grp ORDER BY 1, 2"""),
+    bench = true)
 
   /** q250: SENTENCE-BUDGET CHUNKING — the RAG-style chunker that
     * respects sentence boundaries where q155 slices mid-sentence:
@@ -804,7 +805,8 @@ object ScaleOps {
         min(i) AS first_s, max(i) AS last_s,
         CAST(sum(CAST('0x' || substr(md5(sen), 1, 8) AS BIGINT)) AS BIGINT)
           AS sig_sum
-      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
 
   val queries: Seq[Q] = Seq(
     q152SimhashHamming, q153ZorderLayout, q154SaltedJoin, q155ChunkDocs,

@@ -277,6 +277,82 @@ object Temporal {
         s > mu // 2 AS alarm
       FROM ss ORDER BY day"""))
 
+  /** q256: WATERMARK-SIZING LATENESS CENSUS — the table a streaming
+    * job reads BEFORE choosing its watermark delay: per user stream
+    * (event_id = ingest sequence), an event's lateness is how far the
+    * per-user event-time high-watermark had already passed it on
+    * arrival (`running max(us) − us`); the census reports, per event
+    * type and candidate watermark {0, 1s, 10s, 60s}, how many events a
+    * watermark that tight would DROP and the lost share in millionths
+    * — "what delay keeps losses under 0.1%" answered from data instead
+    * of folklore (q114/q135's watermark configs become measured
+    * choices).
+    *
+    * 100 TB shape: the high-watermark is one per-user window (uniform
+    * key, shared exchange); all four candidate watermarks are
+    * conditional sums in ONE partial-aggregating pass (bounded
+    * fan-out #16.2-2), unpivoted with `stack` at |types|×4 rows.
+    */
+  private val q256LatenessCensus = Q(
+    "q256_lateness_census",
+    (s, d) => {
+      val wmW = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("late_us", max("us").over(wmW) - col("us"))
+      val ws = Seq(0L, 1000000L, 10000000L, 60000000L)
+      val aggCols = Seq(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us")) ++
+        ws.map(w => sum(when(col("late_us") > w, 1L).otherwise(0L))
+          .as(s"lost_$w"))
+      val agg = late.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
+      val stacked = ws.map(w => s"${w}L, lost_$w").mkString(", ")
+      agg.select(col("event_type"), col("n_events"), col("n_late"),
+          col("max_late_us"),
+          expr(s"stack(${ws.length}, $stacked) AS (w_us, n_lost)"))
+        .withColumn("share_lost_e6",
+          expr("(cast(n_lost as decimal(38,0)) * 1000000) div n_events"))
+        .select("event_type", "w_us", "n_events", "n_late", "max_late_us",
+          "n_lost", "share_lost_e6")
+        .orderBy("event_type", "w_us")
+    },
+    Some {
+      val winBody = (w: Long) => s"""SELECT event_type, CAST($w AS BIGINT)
+          AS w_us, n_events, n_late, max_late_us,
+          lost_$w AS n_lost,
+          CAST((lost_$w * 1000000) // n_events AS BIGINT) AS share_lost_e6
+        FROM agg"""
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+          epoch_us(ts) AS us FROM events),
+      lt AS (SELECT event_type,
+          max(us) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us
+            AS late_us
+        FROM ev),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_late,
+          CAST(max(late_us) AS BIGINT) AS max_late_us,
+          CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS lost_0,
+          CAST(sum(CASE WHEN late_us > 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS lost_1000000,
+          CAST(sum(CASE WHEN late_us > 10000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS lost_10000000,
+          CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS lost_60000000
+        FROM lt GROUP BY 1)
+      ${winBody(0L)} UNION ALL ${winBody(1000000L)}
+      UNION ALL ${winBody(10000000L)} UNION ALL ${winBody(60000000L)}
+      ORDER BY event_type, w_us"""
+    },
+    bench = true)
+
   val queries: Seq[Q] = Seq(q171ResampleFfill, q172MadOutliers,
-    q178MarkovTransitions, q215SeasonalBacktest, q228CusumChangepoint)
+    q178MarkovTransitions, q215SeasonalBacktest, q228CusumChangepoint,
+    q256LatenessCensus)
 }

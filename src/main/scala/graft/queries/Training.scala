@@ -1070,7 +1070,8 @@ object Training {
       SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_hit_pos,
         CAST(max(run) AS BIGINT) AS max_run,
         max(run) >= 3 AS contaminated
-      FROM runs GROUP BY 1 ORDER BY 1"""))
+      FROM runs GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   val queries: Seq[Q] = Seq(
     q67DedupClusters, q68Repetition, q69JaccardDfOrder, q70HashSplit,

@@ -1044,7 +1044,8 @@ object Vectors {
         abs(share_a_e6 - share_b_e6) AS shift_e6,
         n_a = 0 AS is_new,
         abs(share_a_e6 - share_b_e6) > 100000 AS drifted
-      FROM sh ORDER BY cell"""))
+      FROM sh ORDER BY cell"""),
+    bench = true)
 
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,

@@ -149,4 +149,34 @@ class TemporalSpec extends AnyFunSuite {
       "window closed form must replay the sequential recursion exactly")
     rows.foreach(r => assert(r.getAs[Long]("s_v6") >= 0L))
   }
+
+  test("q256: losses shrink as the watermark widens; census conserves") {
+    val rows = run("q256_lateness_census").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, g) =>
+      val byW = g.sortBy(_.getAs[Long]("w_us"))
+      assert(byW.map(_.getAs[Long]("w_us")).toSeq ===
+        Seq(0L, 1000000L, 10000000L, 60000000L))
+      // a wider watermark can only lose fewer events
+      byW.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("n_lost") <= a.getAs[Long]("n_lost"),
+            s"$t: losses must be non-increasing in the watermark")
+        case _ =>
+      }
+      // watermark 0 drops exactly the late events
+      assert(byW.head.getAs[Long]("n_lost") ===
+        byW.head.getAs[Long]("n_late"), s"$t: w=0 loses the late set")
+      byW.foreach { r =>
+        val (n, lost) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_lost"))
+        assert(r.getAs[Long]("n_late") <= n)
+        assert(r.getAs[Long]("share_lost_e6") === lost * 1000000L / n,
+          s"$t: share derivation")
+      }
+    }
+    // each watermark's rows partition the event stream by type
+    val perW = rows.filter(_.getAs[Long]("w_us") == 0L)
+      .map(_.getAs[Long]("n_events")).sum
+    assert(perW === Tables.events(spark, dir).count())
+  }
 }

@@ -918,9 +918,62 @@ object Analytics {
       FROM ds JOIN e ON ds.part = e.part
       ORDER BY ds.part"""))
 
+  /** q257: BENFORD FIRST-DIGIT AUDIT — the classic fabricated-data /
+    * pipeline-bug detector over a metric column: naturally-occurring
+    * multiplicative quantities follow P(d) = log10(1 + 1/d), and a
+    * first-digit histogram that departs from it flags synthetic,
+    * truncated, or unit-mixed data before it trains anything. The
+    * first digit is extracted from the EXACT fixed-point integer
+    * (floor(value·1e6), leading character of its decimal string —
+    * engine-portable where floor(log10 v) is a libm boundary risk);
+    * expected shares are floor((ln(1+1/d)/ln(10))·1e6) — the shared
+    * libm-ln discipline.
+    *
+    * 100 TB shape: digit extraction is a scan-stage string op; the
+    * census is one 9-key partial aggregate. Nothing else moves.
+    */
+  private val q257BenfordAudit = Q(
+    "q257_benford_audit",
+    (s, d) => {
+      val digits = Tables.events(s, d)
+        .select(floor(col("value") * lit(1e6)).cast("long").as("x"))
+        .filter(col("x") > 0L)
+        .select(expr("cast(substring(cast(x as string), 1, 1) as bigint)")
+          .as("digit"))
+      val hist = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = hist.agg(sum("n_obs").as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"), col("n_total"),
+          expr("(cast(n_obs as decimal(38,0)) * 1000000) div n_total")
+            .as("obs_share_e6"),
+          expr("""cast(floor(ln(1.0d + 1.0d / cast(digit as double))
+            / ln(10.0d) * 1000000) as bigint)""").as("exp_share_e6"))
+        .withColumn("abs_dev_e6",
+          abs(col("obs_share_e6") - col("exp_share_e6")))
+        .withColumn("suspicious", col("abs_dev_e6") > 50000L)
+        .orderBy("digit")
+    },
+    Some("""WITH x AS (SELECT CAST(floor(value * 1e6) AS BIGINT) AS x
+        FROM events),
+      dg AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT)
+          AS digit FROM x WHERE x > 0),
+      h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM dg GROUP BY 1),
+      t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM h),
+      sh AS (SELECT digit, n_obs, n_total,
+          CAST((n_obs * 1000000) // n_total AS BIGINT) AS obs_share_e6,
+          CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+            / ln(10.0) * 1000000) AS BIGINT) AS exp_share_e6
+        FROM h CROSS JOIN t)
+      SELECT digit, n_obs, n_total, obs_share_e6, exp_share_e6,
+        abs(obs_share_e6 - exp_share_e6) AS abs_dev_e6,
+        abs(obs_share_e6 - exp_share_e6) > 50000 AS suspicious
+      FROM sh ORDER BY digit"""))
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
       q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
       q108ZorderLayout, q110FkAudit, q119SequenceMatch, q123RangeNative,
-      q124Profile, q125Constraints, q128SessionAttribution, q244StatsMerge)
+      q124Profile, q125Constraints, q128SessionAttribution, q244StatsMerge,
+      q257BenfordAudit)
 }

@@ -352,7 +352,141 @@ object Temporal {
     },
     bench = true)
 
+  /** q258: AUTOCORRELATION FUNCTION at lags 1–7 over the daily metric
+    * panel — the seasonality detector that DECIDES q215's backtest
+    * period and q228's monitoring cadence instead of assuming them: a
+    * weekly cycle shows as a lag-7 peak. Deviations from the
+    * floor-divided integer mean are exact longs; lag products and the
+    * denominator accumulate in DECIMAL(38,0) (dv² wraps int64 at real
+    * scale); r_k is one shared double division, round-6.
+    *
+    * 100 TB shape: the panel reduction is the only data-scale exchange
+    * (map-side partials to |days| rows); the 7 lags fan out over the
+    * tiny panel and join co-keyed on integer day. Missing days simply
+    * drop their pairs — identically in both engines.
+    */
+  private val q258Acf = Q(
+    "q258_acf",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
+        .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+      val mu = daily.agg(sum("x").as("sx"), count(lit(1)).as("nd"))
+        .select(expr(Sql.floorDiv("sx", "nd")).as("mu"))
+      val dev = daily.crossJoin(broadcast(mu))
+        .select(col("dd"), (col("x") - col("mu")).as("dv"))
+      val den = dev.agg(
+        sum(col("dv").cast("decimal(38,0)") * col("dv")).as("ss"))
+      val devB = dev.toDF("ddb", "dvb")
+      val lagged = dev
+        .select(col("dd"), col("dv"), explode(expr("sequence(1, 7)")).as("lag"))
+        .join(devB, col("ddb") === col("dd") + col("lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dv").cast("decimal(38,0)") * col("dvb")).as("sp"))
+      lagged.crossJoin(broadcast(den))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          round(col("sp").cast("double") / col("ss").cast("double"), 6)
+            .as("r6"))
+        .orderBy("lag")
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+          CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      m AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu FROM daily),
+      dev AS (SELECT dd, x - mu AS dv FROM daily, m),
+      den AS (SELECT CAST(sum(CAST(dv AS DECIMAL(38,0)) * dv)
+          AS DECIMAL(38,0)) AS ss FROM dev),
+      lg AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+      pr AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CAST(a.dv AS DECIMAL(38,0)) * b.dv) AS DECIMAL(38,0))
+            AS sp
+        FROM lg l CROSS JOIN dev a JOIN dev b ON b.dd = a.dd + l.lag
+        GROUP BY 1)
+      SELECT lag, n_pairs,
+        round(CAST(sp AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS r6
+      FROM pr CROSS JOIN den ORDER BY lag"""),
+    bench = true)
+
+  /** q259: MANN–KENDALL TREND TEST — the nonparametric companion to
+    * q196's OLS slope: S = Σ_{i<j} sign(x_j − x_i) over the daily
+    * panel needs no distributional assumption and shrugs at the
+    * outliers q172 flags. Tie-corrected variance and the ±1-continuity
+    * z statistic follow the textbook closed form; S and the variance
+    * numerator are exact integers/decimals, z is one shared double
+    * expression.
+    *
+    * 100 TB shape: the all-pairs step runs on the DAY PANEL — |days|²
+    * pairs is ~10⁵ rows even for a 300-year corpus — after the one
+    * data-scale reduction to daily sums; the panel side broadcasts.
+    */
+  private val q259MannKendall = Q(
+    "q259_mann_kendall",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
+        .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+      val pairs = daily.toDF("d1", "x1")
+        .join(broadcast(daily.toDF("d2", "x2")), col("d1") < col("d2"))
+      val sRow = pairs.agg(
+        sum(when(col("x2") > col("x1"), 1L)
+          .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      val nRow = daily.agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1L)
+        .agg(coalesce(
+          sum(expr("cast(t as decimal(38,0)) * (t - 1) * (2 * t + 5)")),
+          expr("cast(0 as decimal(38,0))")).as("tsum"))
+      sRow.crossJoin(broadcast(nRow)).crossJoin(broadcast(ties))
+        .withColumn("var_num",
+          expr("cast(n_days as decimal(38,0)) * (n_days - 1)" +
+            " * (2 * n_days + 5) - tsum"))
+        .select(col("n_days"), col("n_pairs"), col("s_stat"),
+          col("var_num").cast("long").as("var_num"),
+          expr("""round(CASE
+            WHEN s_stat > 0 THEN (cast(s_stat as double) - 1.0d)
+              / sqrt(cast(var_num as double) / 18.0d)
+            WHEN s_stat < 0 THEN (cast(s_stat as double) + 1.0d)
+              / sqrt(cast(var_num as double) / 18.0d)
+            ELSE 0.0d END, 6)""").as("z6"))
+        .withColumn("trend",
+          expr("""CASE WHEN z6 > 1.959964 THEN 'increasing'
+            WHEN z6 < -1.959964 THEN 'decreasing'
+            ELSE 'none' END"""))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+          CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      pr AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+            WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b ON a.dd < b.dd),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+      tt AS (SELECT CAST(coalesce(sum(CAST(t AS DECIMAL(38,0)) * (t - 1)
+            * (2 * t + 5)), 0) AS DECIMAL(38,0)) AS tsum
+        FROM (SELECT x, CAST(count(*) AS BIGINT) AS t FROM daily
+          GROUP BY 1) g WHERE t > 1),
+      v AS (SELECT s_stat, n_pairs, n_days,
+          CAST(n_days AS DECIMAL(38,0)) * (n_days - 1) * (2 * n_days + 5)
+            - tsum AS var_num
+        FROM pr, nn, tt),
+      z AS (SELECT n_days, n_pairs, s_stat,
+          CAST(var_num AS BIGINT) AS var_num,
+          round(CASE
+            WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+            ELSE 0.0 END, 6) AS z6
+        FROM v)
+      SELECT n_days, n_pairs, s_stat, var_num, z6,
+        CASE WHEN z6 > 1.959964 THEN 'increasing'
+          WHEN z6 < -1.959964 THEN 'decreasing'
+          ELSE 'none' END AS trend
+      FROM z"""))
+
   val queries: Seq[Q] = Seq(q171ResampleFfill, q172MadOutliers,
     q178MarkovTransitions, q215SeasonalBacktest, q228CusumChangepoint,
-    q256LatenessCensus)
+    q256LatenessCensus, q258Acf, q259MannKendall)
 }

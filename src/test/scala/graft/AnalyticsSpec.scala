@@ -168,4 +168,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(total._4 === est,
       "merged sketch must equal the direct whole-table sketch")
   }
+
+  test("q257: Benford expectations are the canonical constants") {
+    val rows = run("q257_benford_audit").collect()
+    assert(rows.nonEmpty)
+    // floor(log10(1 + 1/d) * 1e6), d = 1..9
+    val benford = Map(1L -> 301029L, 2L -> 176091L, 3L -> 124938L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66946L, 7L -> 57991L,
+      8L -> 51152L, 9L -> 45757L)
+    val n = rows.head.getAs[Long]("n_total")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1L && d <= 9L)
+      assert(r.getAs[Long]("exp_share_e6") === benford(d),
+        s"digit $d expectation")
+      assert(r.getAs[Long]("obs_share_e6") ===
+        r.getAs[Long]("n_obs") * 1000000L / n, s"digit $d share")
+      assert(r.getAs[Boolean]("suspicious") ===
+        (r.getAs[Long]("abs_dev_e6") > 50000L))
+    }
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === n,
+      "digit census must total the positive values")
+  }
 }

@@ -179,4 +179,34 @@ class TemporalSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_events")).sum
     assert(perW === Tables.events(spark, dir).count())
   }
+
+  test("q258: autocorrelations obey Cauchy–Schwarz and pair bounds") {
+    val rows = run("q258_acf").collect().sortBy(_.getAs[Long]("lag"))
+    assert(rows.nonEmpty)
+    val nDays = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000")).distinct().count()
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag")
+      assert(lag >= 1L && lag <= 7L)
+      assert(math.abs(r.getAs[Double]("r6")) <= 1.0 + 1e-9,
+        s"lag $lag: |r| must not exceed 1")
+      assert(r.getAs[Long]("n_pairs") <= nDays - lag,
+        s"lag $lag: pair count bound")
+    }
+  }
+
+  test("q259: Mann–Kendall pins its own closed forms") {
+    val r = run("q259_mann_kendall").head()
+    val n = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_pairs") === n * (n - 1) / 2,
+      "every ordered day pair appears once")
+    assert(math.abs(r.getAs[Long]("s_stat")) <= r.getAs[Long]("n_pairs"))
+    // no ties expected among v6 daily sums → textbook variance
+    assert(r.getAs[Long]("var_num") === n * (n - 1) * (2 * n + 5),
+      "variance numerator without ties")
+    val z = r.getAs[Double]("z6")
+    val expected = if (z > 1.959964) "increasing"
+      else if (z < -1.959964) "decreasing" else "none"
+    assert(r.getAs[String]("trend") === expected)
+  }
 }

@@ -970,10 +970,100 @@ object Analytics {
         abs(obs_share_e6 - exp_share_e6) > 50000 AS suspicious
       FROM sh ORDER BY digit"""))
 
+  /** q260: KAPLAN–MEIER CHURN SURVIVAL — the right-censored
+    * time-to-churn curve behind q102's retention table: per user,
+    * lifetime = last−first event in whole days; users still active
+    * within 7 days of corpus end are CENSORED (churn unobserved), not
+    * churned — the distinction naive retention curves get wrong. The
+    * estimator runs in log space to stay engine-exact: each event
+    * time contributes round₆(ln((n_risk−d)/n_risk)) — ln of an
+    * exact-integer ratio — and log-survival is the DECIMAL(28,6)
+    * cumulative sum of those terms (no product of floats, no exp).
+    * `extinct` marks the terminal time where the risk set churns out
+    * entirely (survival exactly 0 — log undefined, emitted NULL).
+    *
+    * 100 TB shape: one user_id exchange to lifetimes, then everything
+    * runs on the distinct-lifetime panel (bounded by observed days);
+    * the risk-set reverse-cumsum and log-survival cumsum are windows
+    * over that panel. (Single-partition panel window: the q172/q228
+    * bounded-domain precedent.)
+    */
+  private val q260KaplanMeier = Q(
+    "q260_kaplan_meier",
+    (s, d) => {
+      val us = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val span = us.groupBy("user_id")
+        .agg(min("us").as("first_us"), max("us").as("last_us"))
+      val endRow = us.agg(max("us").as("end_us"))
+      val byT = span.crossJoin(broadcast(endRow))
+        .select(expr("(last_us - first_us) div 86400000000").as("t_days"),
+          (col("end_us") - col("last_us") < lit(7L * 86400000000L))
+            .as("censored"))
+        .groupBy("t_days")
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churn"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t_days").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t_days"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      byT
+        .withColumn("n_risk",
+          sum(col("n_churn") + col("n_censored")).over(wDesc))
+        .withColumn("term",
+          when(col("n_churn") < col("n_risk"),
+            round(log((col("n_risk") - col("n_churn")).cast("double") /
+              col("n_risk").cast("double")), 6))
+            .otherwise(lit(null)))
+        .withColumn("extinct", col("n_churn") >= col("n_risk"))
+        .withColumn("log_s6",
+          when(col("extinct"), lit(null))
+            .otherwise(sum(col("term").cast("decimal(28,6)")).over(wAsc)
+              .cast("double")))
+        .select("t_days", "n_risk", "n_churn", "n_censored", "log_s6",
+          "extinct")
+        .orderBy("t_days")
+    },
+    Some("""WITH us AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      sp AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+        FROM us GROUP BY 1),
+      e AS (SELECT max(us) AS end_us FROM us),
+      lt AS (SELECT (last_us - first_us) // 86400000000 AS t_days,
+          end_us - last_us < 604800000000 AS censored
+        FROM sp CROSS JOIN e),
+      bt AS (SELECT t_days,
+          CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_churn,
+          CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_censored
+        FROM lt GROUP BY 1),
+      rk AS (SELECT t_days, n_churn, n_censored,
+          CAST(sum(n_churn + n_censored) OVER (ORDER BY t_days DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_risk
+        FROM bt),
+      tm AS (SELECT t_days, n_risk, n_churn, n_censored,
+          CASE WHEN n_churn < n_risk THEN round(ln(
+              CAST(n_risk - n_churn AS DOUBLE) / CAST(n_risk AS DOUBLE)),
+              6) ELSE NULL END AS term,
+          n_churn >= n_risk AS extinct
+        FROM rk)
+      SELECT t_days, n_risk, n_churn, n_censored,
+        CASE WHEN extinct THEN NULL
+          ELSE CAST(sum(CAST(term AS DECIMAL(28,6))) OVER (ORDER BY t_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          END AS log_s6,
+        extinct
+      FROM tm ORDER BY t_days"""))
+
   val queries: Seq[Q] =
     Seq(q80RangeJoin, q81KmvDistinct, q90HeavyHitters, q91BucketedJoin,
       q100CmsSketch, q101Funnel, q102Retention, q103PartitionPrune,
       q108ZorderLayout, q110FkAudit, q119SequenceMatch, q123RangeNative,
       q124Profile, q125Constraints, q128SessionAttribution, q244StatsMerge,
-      q257BenfordAudit)
+      q257BenfordAudit, q260KaplanMeier)
 }

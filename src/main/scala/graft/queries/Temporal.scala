@@ -486,7 +486,112 @@ object Temporal {
           ELSE 'none' END AS trend
       FROM z"""))
 
+  /** q261: BINARY-SEGMENTATION CHANGEPOINTS — the multiple-changepoint
+    * extension of q228's single CUSUM monitor: level 1 splits the day
+    * panel at the i maximizing the exact integer CUSUM score
+    * |n·C_i − i·C_n| (the scaled "cumsum departs from the linear
+    * trend" statistic, division-free so both engines agree bit-for-
+    * bit); level 2 re-runs the same score inside each half. Ties break
+    * to the smallest i via the (score, −i) struct-max — the argmax
+    * needs no sort. Scores widen to DECIMAL(38,0) (n·C wraps int64 at
+    * real scale) and are emitted as doubles.
+    *
+    * 100 TB shape: all segmentation runs on the |days| panel after the
+    * one data-scale reduction; each level is a window cumsum + a
+    * struct-max aggregate over panel rows. Recursion is unrolled to a
+    * fixed depth (2 levels / ≤3 splits) — the q190 fixed-rounds rule
+    * that keeps the oracle replayable.
+    */
+  private val q261BinarySegmentation = Q(
+    "q261_binary_segmentation",
+    (s, d) => {
+      val wo = Window.orderBy("dd")
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
+        .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+        .withColumn("i", row_number().over(wo).cast("long"))
+        .withColumn("c", sum("x").over(wc))
+      def argmax(scored: org.apache.spark.sql.DataFrame) =
+        scored.agg(max(struct(col("score"), (-col("i")).as("ni"))).as("m"))
+          .select((-col("m.ni")).as("split_i"), col("m.score").as("score"))
+      def scoreIn(lo: String, hi: String, cLo: String, cHi: String) =
+        expr(s"""abs(cast((($hi) - ($lo) + 1) as decimal(38,0))
+          * (c - ($cLo))
+          - (i - ($lo) + 1) * cast((($cHi) - ($cLo)) as decimal(38,0)))""")
+      // level 1 over [1, n]
+      val tot = p.agg(max(struct(col("i"), col("c"))).as("m"))
+        .select(col("m.i").as("n"), col("m.c").as("cn"))
+      val l1 = argmax(p.crossJoin(broadcast(tot)).filter(col("i") < col("n"))
+        .withColumn("score", scoreIn("1", "n", "0", "cn")))
+      // boundaries for level 2: c at t1 (prefix sum at the split)
+      val t1c = p.join(broadcast(l1), col("i") === col("split_i"))
+        .select(col("split_i").as("t1"), col("c").as("ct1"))
+      val ctx = p.crossJoin(broadcast(tot)).crossJoin(broadcast(t1c))
+      val l2a = argmax(ctx.filter(col("i") < col("t1"))
+        .withColumn("score", scoreIn("1", "t1", "0", "ct1")))
+      val l2b = argmax(ctx.filter(col("i") > col("t1") && col("i") < col("n"))
+        .withColumn("score", scoreIn("t1 + 1", "n", "ct1", "cn")))
+      def seg(level: Long, side: String, lohi: (String, String),
+          am: org.apache.spark.sql.DataFrame) =
+        am.crossJoin(broadcast(tot)).crossJoin(broadcast(t1c))
+          .join(p.select(col("i").as("split_i"), col("dd").as("split_day")),
+            "split_i")
+          .select(lit(level).as("level"), lit(side).as("side"),
+            expr(lohi._1).as("lo_i"), expr(lohi._2).as("hi_i"),
+            col("split_i"), col("split_day"),
+            col("score").cast("double").as("score"))
+      seg(1L, "all", ("cast(1 as bigint)", "n"), l1)
+        .unionByName(seg(2L, "left", ("cast(1 as bigint)", "t1"), l2a))
+        .unionByName(seg(2L, "right", ("t1 + 1", "n"), l2b))
+        .orderBy("level", "side")
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+          CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      p AS (SELECT dd, x,
+          CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS i,
+          CAST(sum(x) OVER (ORDER BY dd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS c
+        FROM daily),
+      tot AS (SELECT max(i) AS n,
+          CAST(max_by(c, i) AS BIGINT) AS cn FROM p),
+      s1 AS (SELECT i, dd,
+          abs(CAST(n AS DECIMAL(38,0)) * c
+            - i * CAST(cn AS DECIMAL(38,0))) AS score
+        FROM p, tot WHERE i < n),
+      l1 AS (SELECT i AS t1, dd AS d1, score AS sc1 FROM s1
+        ORDER BY score DESC, i ASC LIMIT 1),
+      t1c AS (SELECT l1.t1, l1.d1, l1.sc1, CAST(p.c AS BIGINT) AS ct1
+        FROM l1 JOIN p ON p.i = l1.t1),
+      s2a AS (SELECT i, dd,
+          abs(CAST(t1 AS DECIMAL(38,0)) * c
+            - i * CAST(ct1 AS DECIMAL(38,0))) AS score
+        FROM p, t1c WHERE i < t1),
+      l2a AS (SELECT i AS si, dd AS sd, score FROM s2a
+        ORDER BY score DESC, i ASC LIMIT 1),
+      s2b AS (SELECT i, dd,
+          abs(CAST(n - t1 AS DECIMAL(38,0)) * (c - ct1)
+            - (i - t1) * CAST(cn - ct1 AS DECIMAL(38,0))) AS score
+        FROM p, tot, t1c WHERE i > t1 AND i < n),
+      l2b AS (SELECT i AS si, dd AS sd, score FROM s2b
+        ORDER BY score DESC, i ASC LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS level, 'all' AS side,
+        CAST(1 AS BIGINT) AS lo_i, n AS hi_i, t1 AS split_i, d1 AS split_day,
+        CAST(sc1 AS DOUBLE) AS score
+      FROM tot, t1c
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'left', CAST(1 AS BIGINT), t1, si, sd,
+        CAST(score AS DOUBLE)
+      FROM t1c, l2a
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'right', t1 + 1, n, si, sd,
+        CAST(score AS DOUBLE)
+      FROM tot, t1c, l2b
+      ORDER BY level, side"""))
+
   val queries: Seq[Q] = Seq(q171ResampleFfill, q172MadOutliers,
     q178MarkovTransitions, q215SeasonalBacktest, q228CusumChangepoint,
-    q256LatenessCensus, q258Acf, q259MannKendall)
+    q256LatenessCensus, q258Acf, q259MannKendall, q261BinarySegmentation)
 }

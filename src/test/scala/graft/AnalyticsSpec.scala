@@ -190,4 +190,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_obs")).sum === n,
       "digit census must total the positive values")
   }
+
+  test("q260: risk sets telescope and survival is non-increasing") {
+    val rows = run("q260_kaplan_meier").collect()
+      .sortBy(_.getAs[Long]("t_days"))
+    assert(rows.nonEmpty)
+    // reverse-cumsum identity: risk at t = everyone with lifetime >= t
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_risk") === b.getAs[Long]("n_risk") +
+          a.getAs[Long]("n_churn") + a.getAs[Long]("n_censored"),
+          "risk set must telescope")
+      case _ =>
+    }
+    val users = Tables.events(spark, dir).select("user_id")
+      .distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") === users,
+      "every user starts at risk")
+    // log-survival never increases; extinct only at the end
+    val logs = rows.filter(!_.isNullAt(4)).map(_.getAs[Double]("log_s6"))
+    logs.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9, "survival must not rise")
+      case _ =>
+    }
+    rows.dropRight(1).foreach(r =>
+      assert(!r.getAs[Boolean]("extinct"), "extinct only at terminal time"))
+  }
 }

@@ -209,4 +209,35 @@ class TemporalSpec extends AnyFunSuite {
       else if (z < -1.959964) "decreasing" else "none"
     assert(r.getAs[String]("trend") === expected)
   }
+
+  test("q261: splits nest and level 1 replays driver-side") {
+    val rows = run("q261_binary_segmentation").collect()
+      .map(r => r.getAs[String]("side") -> r).toMap
+    val all = rows("all")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("split_i") >= r.getAs[Long]("lo_i"))
+      assert(r.getAs[Long]("split_i") < r.getAs[Long]("hi_i"))
+    }
+    val t1 = all.getAs[Long]("split_i")
+    rows.get("left").foreach { l =>
+      assert(l.getAs[Long]("lo_i") === 1L && l.getAs[Long]("hi_i") === t1)
+    }
+    rows.get("right").foreach { r =>
+      assert(r.getAs[Long]("lo_i") === t1 + 1 &&
+        r.getAs[Long]("hi_i") === all.getAs[Long]("hi_i"))
+    }
+    // driver-side replay of the level-1 argmax from the raw panel
+    val xs = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("dd"))
+      .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+      .orderBy("dd").collect().map(_.getAs[Long]("x"))
+    val cum = xs.scanLeft(0L)(_ + _).tail
+    val n = xs.length.toLong
+    val scores = (1 until xs.length).map(i =>
+      (BigInt(n) * cum(i - 1) - BigInt(i) * cum.last).abs)
+    val best = scores.max
+    val bestI = scores.indexOf(best) + 1
+    assert(t1 === bestI.toLong, "level-1 split must be the CUSUM argmax")
+    assert(all.getAs[Double]("score") === best.toDouble)
+  }
 }

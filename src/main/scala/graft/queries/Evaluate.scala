@@ -2337,6 +2337,78 @@ object Evaluate {
       FROM sup s LEFT JOIN fps f ON s.lang = f.lang
       ORDER BY 1"""))
 
+  /** q263: SPLIT-CONFORMAL COVERAGE AUDIT — the distribution-free
+    * prediction-interval machinery (Vovk; Angelopoulos & Bates 2021
+    * tutorial form) over the event metric: the CALIBRATION split
+    * (event_id%2=0) fixes, per event type, the conformal quantile
+    * q̂ = the k-th smallest nonconformity score with k =
+    * ⌈0.9·(n+1)⌉ (exact integer arithmetic: k = (9(n+1)+9) div 10),
+    * where the score is |v6 − μ_type| around the calibration
+    * floor-divided mean; the TEST split then measures achieved
+    * coverage — guaranteed ≥ 90% in expectation by exchangeability,
+    * and this table is the empirical check of that promise.
+    *
+    * 100 TB shape: scores are scan-stage integers; the order
+    * statistic is one bounded-key window per type (q172's bounded
+    * event-type domain); coverage is a conditional partial-agg. All
+    * arithmetic exact until the final millionth share.
+    */
+  private val q263ConformalCoverage = Q(
+    "q263_conformal_coverage",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("event_id"), floor(col("value") * lit(1e6)).cast("long").as("v6"),
+        (pmod(col("event_id"), lit(2)) === 0).as("is_cal"))
+      val mu = ev.filter(col("is_cal")).groupBy("event_type")
+        .agg(sum("v6").as("sv"), count(lit(1)).as("n_cal"))
+        .select(col("event_type"), col("n_cal"),
+          expr(Sql.floorDiv("sv", "n_cal")).as("mu"))
+      val scored = ev.join(broadcast(mu), "event_type")
+        .withColumn("score", abs(col("v6") - col("mu")))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("score"), col("event_id"))
+      val qhat = scored.filter(col("is_cal"))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+        .select(col("event_type"), col("score").as("qhat_v6"))
+      scored.filter(!col("is_cal"))
+        .join(broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+          max("qhat_v6").as("qhat_v6"),
+          sum(when(col("score") <= col("qhat_v6"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage_e6",
+          expr("(cast(n_covered as decimal(38,0)) * 1000000) div n_test"))
+        .withColumn("meets_target", col("coverage_e6") >= 900000L)
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+          CAST(floor(value * 1e6) AS BIGINT) AS v6,
+          event_id % 2 = 0 AS is_cal FROM events),
+      mu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+          CAST(sum(v6) AS BIGINT) // count(*) AS mu
+        FROM ev WHERE is_cal GROUP BY 1),
+      sc AS (SELECT e.event_type, e.event_id, e.is_cal,
+          abs(e.v6 - m.mu) AS score, m.n_cal
+        FROM ev e JOIN mu m USING (event_type)),
+      rk AS (SELECT event_type, score, n_cal,
+          CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY score, event_id) AS BIGINT) AS rn
+        FROM sc WHERE is_cal),
+      qh AS (SELECT event_type, score AS qhat_v6 FROM rk
+        WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+      tst AS (SELECT s.event_type, s.n_cal, q.qhat_v6,
+          CAST(count(*) AS BIGINT) AS n_test,
+          CAST(sum(CASE WHEN s.score <= q.qhat_v6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered
+        FROM sc s JOIN qh q USING (event_type)
+        WHERE NOT s.is_cal GROUP BY 1, 2, 3)
+      SELECT event_type, n_cal, n_test, qhat_v6, n_covered,
+        CAST((n_covered * 1000000) // n_test AS BIGINT) AS coverage_e6,
+        (n_covered * 1000000) // n_test >= 900000 AS meets_target
+      FROM tst ORDER BY event_type"""))
+
   val queries: Seq[Q] = Seq(
     q195AucRank, q196OlsTrend, q197KlDivergence, q198KsTest,
     q199Assortativity, q200GiniTokens, q201GoodTuring, q202Cuped,
@@ -2349,5 +2421,5 @@ object Evaluate {
     q231SnipsOffPolicy, q233QuantileNorm, q234RendezvousRebalance,
     q235SlidingHll, q236VectorOutliers, q237DedupPrEval,
     q238VocabCoverage, q239HardNegatives, q240ClassifierKappa,
-    q241CvFolds, q246LangIdMetrics)
+    q241CvFolds, q246LangIdMetrics, q263ConformalCoverage)
 }

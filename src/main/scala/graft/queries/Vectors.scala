@@ -1047,9 +1047,80 @@ object Vectors {
       FROM sh ORDER BY cell"""),
     bench = true)
 
+  /** q262: MATRYOSHKA TRUNCATION AUDIT — "can we store half the
+    * embedding?" answered by measurement: per probe query, top-10
+    * recall of the 16- and 32-dim PREFIX cosine against the full
+    * 64-dim truth (the matryoshka-representation question — prefix
+    * dims carry most of the signal iff recall holds). The 64-dim row
+    * rides along as the identity sanity check (recall exactly 10/10).
+    *
+    * 100 TB shape: q181's audit-on-a-sample discipline — the probe
+    * set broadcasts, the N side never shuffles, per-(dim, probe)
+    * top-10 via the bounded window; the dim ladder is a 3× bounded
+    * fan-out of the same scan. Production truncation decisions run
+    * exactly this on a sampled probe set.
+    */
+  private val q262MatryoshkaAudit = Q(
+    "q262_matryoshka_audit",
+    (s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val qs = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      def topk(dims: Int) = {
+        val a = slice(col("v"), 1, dims)
+        val b = slice(col("qv"), 1, dims)
+        vecs.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("qid"))
+          .select(lit(dims.toLong).as("dim"), col("qid"), col("vec_id"),
+            round(dot(a, b) / sqrt(norm2(a) * norm2(b)), 6).as("cs"))
+          .withColumn("rn", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cs").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select("dim", "qid", "vec_id")
+      }
+      val all = topk(16).unionByName(topk(32)).unionByName(topk(64))
+      val truth = all.filter(col("dim") === 64L).select("qid", "vec_id")
+      val grid = all.select("dim", "qid").distinct()
+      val hits = all.join(truth, Seq("qid", "vec_id"))
+        .groupBy("dim", "qid").agg(count(lit(1)).as("n_hit"))
+      grid.join(hits, Seq("dim", "qid"), "left")
+        .select(col("qid"), col("dim"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_e6", expr("(n_hit * 1000000) div 10"))
+        .orderBy("qid", "dim")
+    },
+    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1)
+          AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+      dims AS (SELECT CAST(unnest([16, 32, 64]) AS BIGINT) AS dim),
+      qel AS (SELECT q.qid, e.i, e.x FROM el e JOIN qs q
+        ON e.vec_id = q.qid),
+      pr AS (SELECT d.dim, a.vec_id AS vid, q.qid,
+          sum(a.x * q.x) AS dp,
+          sum(a.x * a.x) AS na, sum(q.x * q.x) AS nq
+        FROM dims d, el a JOIN qel q ON a.i = q.i
+        WHERE a.i <= d.dim AND a.vec_id <> q.qid
+        GROUP BY 1, 2, 3),
+      cs AS (SELECT dim, vid, qid,
+          round(dp / sqrt(na * nq), 6) AS cs FROM pr),
+      tk AS MATERIALIZED (SELECT dim, qid, vid FROM (
+          SELECT dim, qid, vid, row_number() OVER (PARTITION BY dim, qid
+            ORDER BY cs DESC, vid) AS rn FROM cs) t WHERE rn <= 10),
+      truth AS (SELECT qid, vid FROM tk WHERE dim = 64),
+      grid AS (SELECT DISTINCT dim, qid FROM tk),
+      hits AS (SELECT k.dim, k.qid, CAST(count(*) AS BIGINT) AS n_hit
+        FROM tk k JOIN truth t ON k.qid = t.qid AND k.vid = t.vid
+        GROUP BY 1, 2)
+      SELECT g.qid, g.dim, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST((coalesce(h.n_hit, 0) * 1000000) // 10 AS BIGINT)
+          AS recall_e6
+      FROM grid g LEFT JOIN hits h ON g.dim = h.dim AND g.qid = h.qid
+      ORDER BY g.qid, g.dim"""))
+
   val queries: Seq[Q] = Seq(
     q168RandomProjection, q169KnnGraph, q170TriangleCount, q181AnnRecall,
     q183LateInteraction, q186IvfCellAudit, q190LabelPropagation,
     q191Silhouette, q210ClusterPurity, q222IndexRoundtrip,
-    q224WhiteningParams, q229KcorePeel, q245BfsLevels, q252IndexStaleness)
+    q224WhiteningParams, q229KcorePeel, q245BfsLevels, q252IndexStaleness,
+    q262MatryoshkaAudit)
 }

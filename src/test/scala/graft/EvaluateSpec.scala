@@ -798,4 +798,24 @@ class EvaluateSpec extends AnyFunSuite {
     assert(got >= -1.0 && got <= 1.0)
     assert(math.abs(got - r) < 1e-5, s"assortativity mismatch: got $got want $r")
   }
+
+  test("q263: conformal table derives and splits partition the stream") {
+    val rows = run("q263_conformal_coverage").collect()
+    assert(rows.nonEmpty)
+    val perType = Tables.events(spark, dir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === perType(t),
+        s"$t: calibration + test must partition the type")
+      assert(r.getAs[Long]("qhat_v6") >= 0L)
+      val cov = r.getAs[Long]("coverage_e6")
+      assert(cov === r.getAs[Long]("n_covered") * 1000000L /
+        r.getAs[Long]("n_test"), s"$t: coverage derivation")
+      assert(r.getAs[Boolean]("meets_target") === (cov >= 900000L))
+      // exchangeable splits: empirical coverage should sit near the
+      // 90% target (loose band — the guarantee is in expectation)
+      assert(cov > 800000L && cov <= 1000000L, s"$t: coverage $cov")
+    }
+  }
 }

@@ -269,4 +269,19 @@ class VectorsSpec extends AnyFunSuite {
     val sumA = rows.map(_.getAs[Long]("share_a_e6")).sum
     assert(sumA <= 1000000L && sumA > 1000000L - rows.length)
   }
+
+  test("q262: full-dim rows are the identity; recalls stay in bounds") {
+    val rows = run("q262_matryoshka_audit").collect()
+    assert(rows.nonEmpty)
+    val probes = rows.map(_.getAs[Long]("qid")).distinct
+    assert(rows.length === probes.length * 3, "16/32/64 per probe")
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0L && hit <= 10L)
+      assert(r.getAs[Long]("recall_e6") === hit * 1000000L / 10L)
+      if (r.getAs[Long]("dim") == 64L)
+        assert(hit === 10L, s"probe ${r.getAs[Long]("qid")}: " +
+          "full-dim recall must be the identity")
+    }
+  }
 }

@@ -901,6 +901,127 @@ object Corpus {
         min(diff_e6) AS min_diff_e6, max(diff_e6) AS max_diff_e6
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q264: HILL TAIL-INDEX ESTIMATOR — the heavy-tail diagnostic for
+    * the document-length distribution (the number that says whether
+    * q71 packing / q159 range partitioning must plan for extreme
+    * outliers): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top
+    * k = 100 order statistics. Selection is a TakeOrdered (never a
+    * full sort); each log term is round₆(ln of a ratio of exact
+    * integers) and the sum is DECIMAL(28,6) — the q163/q197 ln
+    * discipline — so both engines agree bit-for-bit.
+    *
+    * 100 TB shape: one map-side length projection; the only ordered
+    * work is a 101-row distributed TakeOrderedAndProject.
+    */
+  private val q264HillTail = Q(
+    "q264_hill_tail",
+    (s, d) => {
+      val k = 100
+      val lens = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " "))
+          .cast("long").as("x"))
+        .filter(col("x") >= 1L)
+        .orderBy(col("x").desc, col("doc_id"))
+        .limit(k + 1)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("x").desc, col("doc_id"))).cast("long"))
+      val xk1 = lens.filter(col("rn") === (k + 1).toLong)
+        .select(col("x").as("xk1"))
+      lens.filter(col("rn") <= k.toLong)
+        .crossJoin(broadcast(xk1))
+        .select(round(log(col("x").cast("double") /
+          col("xk1").cast("double")), 6).cast("decimal(28,6)").as("t"),
+          col("xk1"))
+        .groupBy("xk1")
+        .agg(count(lit(1)).as("k"), sum("t").as("hs"))
+        .select(col("k"), col("xk1").as("x_kplus1"),
+          col("hs").cast("double").as("hill_sum6"),
+          when(col("hs") > 0,
+            round(col("k").cast("double") / col("hs").cast("double"), 6))
+            .otherwise(lit(null)).as("alpha6"))
+    },
+    Some("""WITH lens AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      top AS (SELECT x, CAST(row_number() OVER (ORDER BY x DESC, doc_id)
+            AS BIGINT) AS rn
+        FROM (SELECT * FROM lens ORDER BY x DESC, doc_id LIMIT 101)),
+      xk AS (SELECT x AS xk1 FROM top WHERE rn = 101),
+      terms AS (SELECT CAST(round(ln(CAST(t.x AS DOUBLE)
+            / CAST(xk.xk1 AS DOUBLE)), 6) AS DECIMAL(28,6)) AS t, xk.xk1
+        FROM top t CROSS JOIN xk WHERE t.rn <= 100),
+      agg AS (SELECT xk1, CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(t) AS DECIMAL(28,6)) AS hs
+        FROM terms GROUP BY 1)
+      SELECT k, xk1 AS x_kplus1, CAST(hs AS DOUBLE) AS hill_sum6,
+        CASE WHEN hs > 0 THEN round(CAST(k AS DOUBLE) / CAST(hs AS DOUBLE),
+          6) ELSE NULL END AS alpha6
+      FROM agg"""))
+
+  /** q265: TOP-K DRIFT — "trending terms": the entrant/dropout/moved
+    * census between the two corpus halves' top-20 token rankings
+    * (doc_id parity split — at production this is yesterday-vs-today).
+    * Complements q90/q136 (heavy hitters WITHIN a window) with the
+    * BETWEEN-window comparison an ops dashboard actually shows. The
+    * full-outer join runs on two 20-row frames.
+    *
+    * 100 TB shape: token counts partial-aggregate map-side per half
+    * (one uniform-key exchange); each half's top-20 is a
+    * TakeOrdered; everything downstream is ≤40 rows.
+    */
+  private val q265TopkDrift = Q(
+    "q265_topk_drift",
+    (s, d) => {
+      def top(half: Int) = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2)) === half)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("w"))).cast("long"))
+      val a = top(0).select(col("w"), col("rank").as("rank_a"),
+        col("c").as("c_a"))
+      val b = top(1).select(col("w").as("wb"), col("rank").as("rank_b"),
+        col("c").as("c_b"))
+      a.join(b, col("w") === col("wb"), "full_outer")
+        .select(coalesce(col("w"), col("wb")).as("w"),
+          col("rank_a"), col("rank_b"),
+          coalesce(col("c_a"), lit(0L)).as("c_a"),
+          coalesce(col("c_b"), lit(0L)).as("c_b"),
+          when(col("rank_a").isNull, "new")
+            .when(col("rank_b").isNull, "dropped")
+            .when(col("rank_a") === col("rank_b"), "held")
+            .otherwise("moved").as("status"))
+        .orderBy(coalesce(col("rank_b"), lit(99L)),
+          coalesce(col("rank_a"), lit(99L)), col("w"))
+        .select("w", "rank_a", "rank_b", "c_a", "c_b", "status")
+    },
+    Some("""WITH tok AS (SELECT doc_id % 2 AS half,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+      cnt AS (SELECT half, w, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE length(w) > 0 GROUP BY 1, 2),
+      rk AS (SELECT half, w, c, CAST(row_number() OVER (PARTITION BY half
+            ORDER BY c DESC, w) AS BIGINT) AS rank
+        FROM cnt),
+      a AS (SELECT w, rank AS rank_a, c AS c_a FROM rk
+        WHERE half = 0 AND rank <= 20),
+      b AS (SELECT w, rank AS rank_b, c AS c_b FROM rk
+        WHERE half = 1 AND rank <= 20)
+      SELECT COALESCE(a.w, b.w) AS w, a.rank_a, b.rank_b,
+        CAST(COALESCE(a.c_a, 0) AS BIGINT) AS c_a,
+        CAST(COALESCE(b.c_b, 0) AS BIGINT) AS c_b,
+        CASE WHEN a.rank_a IS NULL THEN 'new'
+          WHEN b.rank_b IS NULL THEN 'dropped'
+          WHEN a.rank_a = b.rank_b THEN 'held'
+          ELSE 'moved' END AS status
+      FROM a FULL OUTER JOIN b ON a.w = b.w
+      ORDER BY COALESCE(b.rank_b, 99), COALESCE(a.rank_a, 99),
+        COALESCE(a.w, b.w)"""))
+
   /** q253: HEAPS-LAW VOCABULARY GROWTH — the corpus-growth curve
     * V(N) ≈ k·N^β and its fitted exponent, the capacity-planning
     * number behind tokenizer vocab sizing and dedup-rate forecasts
@@ -1106,5 +1227,5 @@ object Corpus {
     q167Int8Quant, q176TfidfKeyterms, q177NgramNovelty, q179MinhashEstimate,
     q182DatasetCard, q184PackingAblation, q187JackknifeReplicates,
     q192MojibakeAudit, q193Readability, q194CurriculumPhases,
-    q247HllSetops, q253HeapsLaw)
+    q247HllSetops, q253HeapsLaw, q264HillTail, q265TopkDrift)
 }

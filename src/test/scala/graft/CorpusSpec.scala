@@ -358,4 +358,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getAs[Double]("beta6") - beta) < 1e-4,
       s"beta6 ${rows.head.getAs[Double]("beta6")} vs recomputed $beta")
   }
+
+  test("q264: Hill estimator replays from the sorted length tail") {
+    val r = run("q264_hill_tail").head()
+    assert(r.getAs[Long]("k") === 100L)
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("x")).filter(col("x") >= 1L)
+      .collect().map(row => (row.getLong(1), row.getLong(0)))
+      .sortBy { case (x, id) => (-x, id) }
+    val xk1 = lens(100)._1
+    assert(r.getAs[Long]("x_kplus1") === xk1)
+    val hs = lens.take(100).map { case (x, _) =>
+      BigDecimal(math.log(x.toDouble / xk1.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(math.abs(r.getAs[Double]("hill_sum6") - hs.toDouble) < 1e-9,
+      "decimal term sum must replay")
+    if (hs > 0)
+      assert(math.abs(r.getAs[Double]("alpha6") - 100.0 / hs.toDouble) < 1e-4)
+  }
+
+  test("q265: drift census statuses derive from the two rankings") {
+    val rows = run("q265_topk_drift").collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      val (ra, rb) = (Option(r.getAs[Any]("rank_a")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("rank_b")).map(_.asInstanceOf[Long]))
+      val expected = (ra, rb) match {
+        case (None, _) => "new"
+        case (_, None) => "dropped"
+        case (Some(a), Some(b)) if a == b => "held"
+        case _ => "moved"
+      }
+      assert(r.getAs[String]("status") === expected,
+        s"word ${r.getAs[String]("w")}")
+      ra.foreach(x => assert(x >= 1L && x <= 20L))
+      rb.foreach(x => assert(x >= 1L && x <= 20L))
+    }
+    // both top-20 lists are fully represented
+    assert(rows.count(r => !r.isNullAt(1)) === 20)
+    assert(rows.count(r => !r.isNullAt(2)) === 20)
+  }
 }

@@ -101,7 +101,14 @@ object Hll {
     * small-range correction m·ln(m/V) when E ≤ 2.5m and V > 0.
     */
   def estimateSql(vz: String, tt: String): String = {
-    val alpha = s"0.7213 / (1 + 1.079 / $M)"
+    // CASTs pin the literals to DOUBLE in BOTH engines: Spark parses
+    // bare `0.7213` as DECIMAL and evaluates alpha in decimal
+    // arithmetic, ~2e-8 off DuckDB's double — invisible at round-6
+    // for small estimates, a real mismatch at sf0.1 magnitudes
+    // (q235's est 1438.640864 vs 1438.640832, caught by the strict
+    // sweep).
+    val alpha =
+      s"CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / $M)"
     val raw = s"$alpha * $M * $M * 16777216 / $tt"
     s"""round(CASE WHEN ($raw) <= 2.5 * $M AND $vz > 0
           THEN $M * ln(CAST($M AS DOUBLE) / $vz)

@@ -176,8 +176,8 @@ object Vectors {
       rk AS (SELECT src, dst, cos_sim,
           row_number() OVER (PARTITION BY src
             ORDER BY cos_sim DESC, dst) AS rn FROM cs),
-      dir AS (SELECT src, dst, cos_sim FROM rk WHERE rn <= 3),
-      mut AS (SELECT a.src, a.dst, a.cos_sim
+      dir AS MATERIALIZED (SELECT src, dst, cos_sim FROM rk WHERE rn <= 3),
+      mut AS MATERIALIZED (SELECT a.src, a.dst, a.cos_sim
         FROM dir a JOIN dir b ON a.src = b.dst AND a.dst = b.src
         WHERE a.src < a.dst)"""
 
@@ -870,16 +870,19 @@ object Vectors {
         .toDF("round", "n_alive", "n_edges", "id_sum")
     },
     Some(s"""WITH $knnEdgesCte,
-      e0 AS (SELECT src, dst FROM mut
+      e0 AS MATERIALIZED (SELECT src, dst FROM mut
              UNION ALL SELECT dst, src FROM mut),
-      a1 AS (SELECT src AS id FROM e0 GROUP BY 1 HAVING count(*) >= 3),
-      e1 AS (SELECT e.src, e.dst FROM e0 e
+      a1 AS MATERIALIZED (SELECT src AS id FROM e0
+             GROUP BY 1 HAVING count(*) >= 3),
+      e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
              JOIN a1 x ON e.src = x.id JOIN a1 y ON e.dst = y.id),
-      a2 AS (SELECT src AS id FROM e1 GROUP BY 1 HAVING count(*) >= 3),
-      e2 AS (SELECT e.src, e.dst FROM e1 e
+      a2 AS MATERIALIZED (SELECT src AS id FROM e1
+             GROUP BY 1 HAVING count(*) >= 3),
+      e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
              JOIN a2 x ON e.src = x.id JOIN a2 y ON e.dst = y.id),
-      a3 AS (SELECT src AS id FROM e2 GROUP BY 1 HAVING count(*) >= 3),
-      e3 AS (SELECT e.src, e.dst FROM e2 e
+      a3 AS MATERIALIZED (SELECT src AS id FROM e2
+             GROUP BY 1 HAVING count(*) >= 3),
+      e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
              JOIN a3 x ON e.src = x.id JOIN a3 y ON e.dst = y.id)
       SELECT CAST(1 AS BIGINT) AS round,
         CAST(count(DISTINCT src) AS BIGINT) AS n_alive,

@@ -20,4 +20,20 @@ class RegistrySpec extends AnyFunSuite {
     assert(Registry.benchSet.nonEmpty)
     assert(Registry.benchSet.forall(q => Registry.byName.contains(q.name)))
   }
+
+  test("every query carries a family tag (manifest completeness)") {
+    val untagged = Registry.all.map(_.name)
+      .filterNot(Registry.familyOf.contains)
+    assert(untagged.isEmpty,
+      s"queries outside byFamily: ${untagged.mkString(",")} — " +
+        "Registry.all and Registry.byFamily must list the same files")
+  }
+
+  test("numbered names are unique across the registry (q<N> collision)") {
+    // a duplicated qNN prefix means two entries claim the same id in
+    // SURVEY/CORRECTNESS artifacts even though full names differ
+    val ids = Registry.all.map(_.name.split("_")(0))
+    val dups = ids.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query ids: ${dups.mkString(",")}")
+  }
 }

@@ -125,6 +125,21 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)
+    // LAST line, COMPACT (short query ids, no spread): the driver's
+    // artifact keeps only the final ~1.5 KB of stdout, and round 8
+    // proved the full line does not fit — its tail retained only the
+    // spread map, leaving per-query MEDIANS unprovable from committed
+    // artifacts (round-8 verdict item 1). Short ids ("q108" for
+    // "q108_zorder_layout") are unique by RegistrySpec's id gate and
+    // keep the whole line under the tail window, so the medians —
+    // the round-over-round comparison numbers — always survive.
+    val shortQs = results.map { case (k, v, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r4(v)
+    }
+    require(shortQs.map(_.takeWhile(_ != ':')).distinct.length == shortQs.length,
+      "short query ids collided — compact medians line would be ambiguous")
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$Runs,"sf":"$sfDir","errors":$errors,"queries":${shortQs.mkString("{", ",", "}")}}"""
+    println(compact)
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)
   }

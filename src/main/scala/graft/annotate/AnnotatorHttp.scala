@@ -18,7 +18,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *      generous deadline turns a dead service into a loud task
   *      failure instead of a hung executor — the one deliberate
   *      divergence, because a Spark task that sleeps forever poisons
-  *      its whole slot);
+  *      its whole slot). Gateway 502/503/504 blips and connection
+  *      drops on the GETs consume a bounded per-chunk
+  *      `transientRetryBudget` before failing loudly (the POST is
+  *      never retried — a retried POST double-queues the batch);
   *   3. GET `{base}/report/{id}` and map each entry through the SAME
   *      post-processing as the reference's insert loop: num_randomized
   *      of `"not found"` or > 1,000,000 → null (P10,
@@ -47,8 +50,11 @@ final class AnnotatorHttp(
       Seq("pico_span_bot", "sample_size_bot", "bias_ab_bot", "punchline_bot"),
     filterRcts: String = "none",
     pollIntervalMs: Long = 300L,
-    pollDeadlineMs: Long = 600000L) extends Annotator.Batch {
+    pollDeadlineMs: Long = 600000L,
+    transientRetryBudget: Int = 10) extends Annotator.Batch {
   require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+  require(transientRetryBudget >= 0,
+    s"transientRetryBudget must be >= 0, got $transientRetryBudget")
 
   // normalize once: raw concatenation against a slashless base would
   // silently target /rrqueue-documents-style paths
@@ -70,10 +76,50 @@ final class AnnotatorHttp(
     mapper.readTree(resp.body())
   }
 
+  /** One GET, no retry — the POST's (`queue-documents` is never
+    * retried, matching the reference, because a retried POST would
+    * queue the batch twice).
+    */
   private def get(path: String): JsonNode = {
     val req = HttpRequest.newBuilder(URI.create(base + path))
       .header("api-key", apiKey).GET().build()
     checked(http.send(req, HttpResponse.BodyHandlers.ofString()), s"GET $path")
+  }
+
+  /** GET with a bounded transient-failure budget: a gateway 502/503/
+    * 504 or a connection-level IOException — the blips a loaded
+    * RobotReviewer deployment emits while its queue drains — consumes
+    * one unit of `budget` and retries after `pollIntervalMs`; any
+    * other non-2xx stays a HARD error exactly as in [[checked]] (the
+    * reference treats protocol errors as fatal, and a 4xx repeated N
+    * times is still a 4xx). The budget is PER CHUNK and shared across
+    * that chunk's whole poll conversation, so a flapping service
+    * cannot stretch one batch indefinitely: at most
+    * `transientRetryBudget` extra round-trips, then the task fails
+    * loudly with the budget in the message.
+    */
+  private def getTransientSafe(path: String,
+      budget: java.util.concurrent.atomic.AtomicInteger): JsonNode = {
+    while (true) {
+      val transient =
+        try {
+          val req = HttpRequest.newBuilder(URI.create(base + path))
+            .header("api-key", apiKey).GET().build()
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+          if (Set(502, 503, 504).contains(resp.statusCode()))
+            s"HTTP ${resp.statusCode()}"
+          else return checked(resp, s"GET $path")
+        } catch {
+          case e: java.io.IOException => s"${e.getClass.getSimpleName}"
+        }
+      if (budget.decrementAndGet() < 0)
+        throw new IllegalStateException(
+          s"GET $path still failing ($transient) after " +
+            s"$transientRetryBudget transient retries — service down, " +
+            "not flapping")
+      Thread.sleep(pollIntervalMs)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def annotateChunk(chunk: Seq[(Long, String)])
@@ -102,7 +148,10 @@ final class AnnotatorHttp(
     val reportId = queued.get("report_id").asText()
 
     val deadline = System.nanoTime() + pollDeadlineMs * 1000000L
-    var state = get(s"report-status/$reportId").path("state").asText()
+    val budget =
+      new java.util.concurrent.atomic.AtomicInteger(transientRetryBudget)
+    var state = getTransientSafe(s"report-status/$reportId", budget)
+      .path("state").asText()
     while (state != "SUCCESS") {
       // celery-style terminal failures must fail NOW, not spin the
       // full deadline and then blame the clock
@@ -114,10 +163,11 @@ final class AnnotatorHttp(
           s"report $reportId not ready within ${pollDeadlineMs} ms " +
             s"(last state: $state)")
       Thread.sleep(pollIntervalMs)
-      state = get(s"report-status/$reportId").path("state").asText()
+      state = getTransientSafe(s"report-status/$reportId", budget)
+        .path("state").asText()
     }
 
-    val report = get(s"report/$reportId")
+    val report = getTransientSafe(s"report/$reportId", budget)
     val out = Vector.newBuilder[Annotator.Annotation]
     val it = report.path("annotations").elements()
     while (it.hasNext) {

@@ -457,34 +457,46 @@ object Analytics {
     * order, so equal-size "files" cut from the z-sorted order each
     * cover a small (x, y) tile and a 2-D box predicate touches few of
     * them. The query computes the z-value (pure bit arithmetic — the
-    * operator), models 64 equal files per layout (ntile over the
-    * z-order vs insertion order), and reports the box-query's file
+    * operator), models 64 files per layout with DETERMINISTIC
+    * fixed-boundary range bucketing (`z >> 10` over the z-order — z is
+    * bounded in [0, 65536) by construction — vs 64 equal event_id
+    * ranges for insertion order), and reports the box-query's file
     * skipping under each: files scanned, rows scanned, rows matched —
     * the z-order row should show ~an order fewer scanned rows for the
-    * same matches. At 100 TB the modeled ntile becomes the real
-    * writer's `repartitionByRange(z).sortWithinPartitions(z)` (sampled
-    * boundaries, so per-file stats are not oracle-replayable — the
-    * ntile model is the deterministic twin) and skipping becomes
-    * parquet row-group min/max pruning on the persisted z column.
+    * same matches.
+    *
+    * Plan shape: both chunk columns are map-side projections (the
+    * round-8 verdict's fix — the previous ntile(64) over a GLOBAL
+    * Window.orderBy moved the whole table to one partition, exactly
+    * the plan PlanHygieneSpec now gates). The only non-map-side work
+    * is the 1-row min/max bounds frame, broadcast back. At 100 TB the
+    * fixed boundaries become the real writer's
+    * `repartitionByRange(z).sortWithinPartitions(z)` and skipping
+    * becomes parquet row-group min/max pruning on the persisted z
+    * column; (event_id - mn) * 64 stays in int64 for any id span
+    * below 2^57 — synthetic ids are dense from 0.
     */
   private val q108ZorderLayout = Q(
     "q108_zorder_layout",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val x = pmod(col("user_id"), lit(256L))
       val y = pmod(floor(col("value")).cast("long"), lit(256L))
       val z = (0 until 8).map(i =>
         (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
           (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))))
         .reduce(_ + _)
-      val base = Tables.events(s, d)
+      val ev = Tables.events(s, d)
         .select(col("event_id"), x.as("x"), y.as("y"), z.as("z"))
+      val bounds = ev.agg(min("event_id").as("mn"), max("event_id").as("mx"))
+      val base = ev.crossJoin(broadcast(bounds))
         .withColumn("in_box",
           col("x").between(64, 127) && col("y").between(32, 95))
-        .withColumn("chunk_z",
-          ntile(64).over(Window.orderBy(col("z"), col("event_id"))))
+        // z ∈ [0, 65536): 64 equal-width z tiles, pure bit shift
+        .withColumn("chunk_z", shiftright(col("z"), 10))
+        // 64 equal event_id ranges; operands non-negative so Spark's
+        // truncating div equals DuckDB's flooring //
         .withColumn("chunk_l",
-          ntile(64).over(Window.orderBy(col("event_id"))))
+          expr("((event_id - mn) * 64) div (mx - mn + 1)"))
       def stats(chunkCol: String, label: String) = base
         .groupBy(col(chunkCol).as("chunk"))
         .agg(count(lit(1)).as("n_rows"),
@@ -509,8 +521,10 @@ object Analytics {
         zz AS (SELECT event_id, x, y, $zSql AS z,
                  (x BETWEEN 64 AND 127 AND y BETWEEN 32 AND 95) AS in_box
                FROM b),
-        c AS (SELECT *, ntile(64) OVER (ORDER BY z, event_id) AS chunk_z,
-                ntile(64) OVER (ORDER BY event_id) AS chunk_l FROM zz),
+        bounds AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM b),
+        c AS (SELECT zz.*, (z >> 10) AS chunk_z,
+                ((event_id - mn) * 64) // (mx - mn + 1) AS chunk_l
+              FROM zz, bounds),
         sz AS (SELECT chunk_z AS chunk, count(*) AS n_rows,
                  sum(CASE WHEN in_box THEN 1 ELSE 0 END) AS n_box
                FROM c GROUP BY 1),

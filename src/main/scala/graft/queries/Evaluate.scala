@@ -759,8 +759,12 @@ object Evaluate {
       val seed = q.orderBy("vec_id").limit(1)
         .collect().head
       var picks = Seq((seed.getLong(0), 0L))
+      // localCheckpoint per round (the q149/q170 iterative-lineage
+      // rule): each of the 8 picks re-executes ONE materialized frame,
+      // not a lineage that re-derives every earlier round from the
+      // scan — plan depth stays constant across rounds.
       var state = q.withColumn("dmin",
-        d2(seed.getSeq[Long](1)))
+        d2(seed.getSeq[Long](1))).localCheckpoint(true)
       for (_ <- 1 to 7) {
         val next = state.filter(!col("vec_id").isInCollection(picks.map(_._1)))
           .orderBy(col("dmin").desc, col("vec_id")).limit(1)
@@ -768,6 +772,7 @@ object Evaluate {
         picks = picks :+ (next.getLong(0), next.getAs[Long]("dmin"))
         val cvec = next.getSeq[Long](1)
         state = state.withColumn("dmin", least(col("dmin"), d2(cvec)))
+          .localCheckpoint(true)
       }
       val rows = picks.zipWithIndex.map { case ((id, dm), i) =>
         (i.toLong, id, dm)

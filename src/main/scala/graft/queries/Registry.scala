@@ -24,8 +24,22 @@ object Sql {
   /** Floor division as a portable SQL fragment: Spark `div` (and Scala
     * `/` on Long) truncate toward zero where DuckDB `//` floors — they
     * diverge whenever the dividend is negative. This expansion floors
-    * in both engines' exact integer arithmetic. Denominator must be
-    * positive (all current call sites: counts and literal constants).
+    * in both engines' exact integer arithmetic.
+    *
+    * CALLER CONTRACT (round-8 advice — the fragment interpolates each
+    * operand string THREE times, so these are preconditions, not
+    * style):
+    *  - both operands must be SIMPLE DETERMINISTIC expressions —
+    *    column references, literals, or pure arithmetic over them; a
+    *    non-deterministic operand (rand(), uuid()) would evaluate
+    *    inconsistently across the three copies, and an expensive one
+    *    re-computes threefold. Bind anything heavier to an alias in a
+    *    prior CTE/select and pass the alias.
+    *  - the denominator must be a POSITIVE constant or count — a zero
+    *    denominator divides by zero in both engines, but a NEGATIVE
+    *    one silently flips the correction term and returns ceil-ish
+    *    results. Every current call site passes a count or a positive
+    *    literal; new call sites must too.
     */
   def floorDiv(x: String, y: String): String =
     s"(($x) div ($y) - (CASE WHEN ($x) % ($y) <> 0 AND ($x) < 0 " +

@@ -641,6 +641,11 @@ object ScaleOps {
       val bin = graft.multimodal.Multimodal.binarize(Tables.documents(s, d))
       val wins = bin
         .withColumn("n_win", expr("(octet_length(content) + 255) div 256"))
+        // n_win = 0 (empty payload) must yield ZERO windows: Spark's
+        // sequence(0, -1) is the descending [0, -1], not DuckDB's
+        // empty range(0) — filter before the explode so the engines
+        // match by construction, not by fixture luck
+        .filter(col("n_win") > 0)
         .select(col("doc_id"), col("content"), col("n_win"),
           explode(expr("sequence(CAST(0 AS BIGINT), n_win - 1)")).as("w"))
         .withColumn("win_hex",
@@ -705,6 +710,8 @@ object ScaleOps {
       val bin = graft.multimodal.Multimodal.binarize(Tables.documents(s, d))
       val wins = bin
         .withColumn("n_win", expr("(octet_length(content) + 255) div 256"))
+        // empty-payload guard: see q243 — sequence(0, -1) ≠ range(0)
+        .filter(col("n_win") > 0)
         .select(col("doc_id"), col("content"),
           explode(expr("sequence(CAST(0 AS BIGINT), n_win - 1)")).as("w"))
         .withColumn("win_hex",

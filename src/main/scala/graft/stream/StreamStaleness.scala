@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** One micro-batch of the STREAMING INDEX-STALENESS MONITOR (q254's
   * foreachBatch body) — q252's retrain trigger in the arrival regime
-  * (the q204→q205 relationship applied to the IVF index): batch 0 is
-  * the INDEX BUILD — it freezes the coarse codebook (the sampled
-  * centroids, a bounded C-row table) and the reference cell
-  * histogram; every later batch is an arriving vector window scored
+  * (the q204→q205 relationship applied to the IVF index): the first
+  * NON-EMPTY batch is the INDEX BUILD — it freezes the coarse
+  * codebook (the sampled centroids, a bounded C-row table) and the
+  * reference cell histogram (idle ticks before it defer the build
+  * rather than freezing an empty codebook, and the build batch id is
+  * persisted so a retry REBUILDS instead of scoring against its own
+  * baseline); every later batch is an arriving vector window scored
   * against that frozen baseline, emitting one occupancy-drift reading
   * (new cells, drifted cells, max share shift) per window.
   *
@@ -35,13 +38,42 @@ object StreamStaleness {
       .filter(col("cell").isNotNull)
   }
 
+  /** Batch id that built the frozen baseline, or None before any
+    * build. Persisted as a 1-row parquet marker (same FS abstraction
+    * as every other artifact) so the dispatch survives restarts and a
+    * RETRIED build batch rebuilds (idempotent) instead of scoring
+    * against its own codebook.
+    */
+  private def builtBatchId(batch: DataFrame, metaDir: String): Option[Long] = {
+    val ss = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(metaDir)
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    // explicit FS existence probe, not read-and-catch: the missing-path
+    // read throws different exception types depending on calling
+    // context (AnalysisException at top level, FileNotFoundException
+    // inside a foreachBatch), and a mis-caught one kills the stream
+    if (!fs.exists(p)) None
+    else Some(ss.read.parquet(metaDir).head().getLong(0))
+  }
+
   def step(batch: DataFrame, batchId: Long, centsDir: String,
       refHistDir: String, verdictsDir: String): Unit = {
-    if (batchId == 0L) {
+    val metaDir = centsDir + "_meta"
+    val built = builtBatchId(batch, metaDir)
+    // Build on the FIRST NON-EMPTY batch (round-8 advice: an empty
+    // batch 0 — an idle source tick — must defer the build, not
+    // freeze an empty codebook that filters every later window to
+    // nothing forever), or rebuild when the build batch is retried.
+    if (built.isEmpty || built.contains(batchId)) {
+      if (built.isEmpty && batch.isEmpty) return // idle pre-build tick
       batch.filter(col("vec_id") % 25 === 1)
         .coalesce(1).write.mode("overwrite").parquet(centsDir)
       cellsOf(batch, centsDir).groupBy("cell").agg(count(lit(1)).as("c"))
         .coalesce(1).write.mode("overwrite").parquet(refHistDir)
+      val ss = batch.sparkSession
+      import ss.implicits._
+      Seq(batchId).toDF("build_batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
     } else {
       val ss = batch.sparkSession
       val cur = cellsOf(batch, centsDir)

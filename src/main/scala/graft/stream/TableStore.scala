@@ -29,15 +29,28 @@ import org.apache.spark.sql.functions._
   *
   * Fault contract (pinned by TableStoreFaultSpec): a v-dir without its
   * _SUCCESS marker is a crashed write — invisible to readers and
-  * overwritten by the next merge; a crash BETWEEN the snapshot write
-  * and the log append is repaired by re-draining the source (the merge
-  * is idempotent by key, so the re-applied version is value-identical
-  * and the log regains the file); a second live writer with a stale
-  * applied-files cache re-reads the log on a miss and cannot
-  * double-apply. Concurrent DIFFERENT-file writers to one table are
-  * out of contract — the design assumes the reference's one ingest
-  * process per table, with the log gate covering the
-  * duplicate-process-overlap case.
+  * healed (renamed aside and removed) by the next merge; a crash
+  * BETWEEN the snapshot write and the log append is repaired by
+  * re-draining the source (the merge is idempotent by key, so the
+  * re-applied version is value-identical and the log regains the
+  * file); a second live writer with a stale applied-files cache
+  * re-reads the log on a miss and cannot double-apply.
+  *
+  * Concurrency contract (pinned by TableStoreRaceSpec): commits use
+  * OPTIMISTIC version claiming — each merge writes its snapshot to a
+  * hidden `.staging-*` directory and then claims `v(n+1)` with ONE
+  * atomic rename (the Delta/Iceberg commit shape on a filesystem that
+  * has atomic rename-without-replace). Two interleaved writers — A
+  * reads version n, B commits v(n+1), A tries to commit — cannot lose
+  * an update: A's rename onto the now-existing v(n+1) FAILS, and A
+  * retries the whole merge from the fresh snapshot, so committed
+  * versions form a serial order and every version's content derives
+  * from its direct predecessor. Readers are unaffected either way: a
+  * version directory appears atomically complete (_SUCCESS included)
+  * or not at all. Two writers racing the SAME source file can at
+  * worst both apply it — value-identical by the key-idempotence above
+  * — leaving a duplicate audit row in the update_log (a set,
+  * semantically) and never a duplicate data row.
   *
   * Scale note: the rewrite is one shuffle-free union of two anti-joins
   * keyed on the table key; at cluster scale the snapshot would be
@@ -59,9 +72,11 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     * Spark's committer, which writes the marker last), and resolving
     * it as current would silently serve truncated data — this filter
     * is what actually implements the "readers resolve the highest
-    * complete version" promise in the class doc. A later write to the
-    * same version number overwrites the partial dir (SaveMode
-    * .Overwrite), so crashed attempts self-heal.
+    * complete version" promise in the class doc. The next writer to
+    * claim that version number renames the partial dir aside and
+    * removes it ([[claimVersion]]), so crashed attempts self-heal.
+    * Hidden `.staging-*` / `.crashed-*` dirs never match the `v`
+    * prefix and are invisible here by construction.
     */
   private def versions(table: String): Seq[Int] = {
     val dir = Paths.get(tableDir(table))
@@ -117,6 +132,23 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
         val it = stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator()
         while (it.hasNext) Files.deleteIfExists(it.next())
+      } finally stream.close()
+    }
+    // Reap orphaned .staging-*/.crashed-* dirs left by crashed
+    // writers (inert junk — never reader-visible). A LIVE writer's
+    // staging can be swept too; its claim then fails NoSuchFile and
+    // the merge retries, so vacuum stays safe to run concurrently.
+    val td = Paths.get(tableDir(table))
+    if (Files.exists(td)) {
+      val stream = Files.list(td)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(".staging-") || n.startsWith(".crashed-"))
+            rmTree(p)
+        }
       } finally stream.close()
     }
     drop.size
@@ -223,6 +255,60 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     input.count()
   }
 
+  /** Test seam for TableStoreRaceSpec: runs between the staging write
+    * and the atomic version claim, the exact window where a racing
+    * writer's commit can land first.
+    */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  /** Claim `v` for the snapshot staged at `staging`: ONE atomic
+    * rename. Returns false when another writer claimed `v` first (the
+    * caller must recompute against the fresh snapshot and retry). A
+    * pre-existing PARTIAL target (no _SUCCESS — a dead process's
+    * crashed write from the pre-staging era, or manual damage) is
+    * healed by atomically renaming it aside first, so exactly one
+    * claimant removes it and none can remove a COMPLETE version (a
+    * committed dir appears only via this rename, _SUCCESS included,
+    * and a non-empty target always fails the rename).
+    */
+  private def claimVersion(table: String, v: Int, staging: String): Boolean = {
+    val target = Paths.get(s"${tableDir(table)}/v$v")
+    if (Files.exists(target) && !Files.exists(target.resolve("_SUCCESS"))) {
+      val aside = Paths.get(s"${tableDir(table)}/.crashed-v$v-" +
+        java.util.UUID.randomUUID())
+      try {
+        Files.move(target, aside,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        rmTree(aside)
+      } catch { case _: java.nio.file.NoSuchFileException => () }
+    }
+    try {
+      Files.move(Paths.get(staging), target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      // a lost claim surfaces platform-dependently: EEXIST/ENOTEMPTY
+      // arrive as FileAlreadyExists/DirectoryNotEmpty on some JDKs and
+      // as a bare FileSystemException("Directory not empty") on Linux;
+      // a concurrent vacuum() reaping our staging dir is NoSuchFile.
+      // All are FileSystemExceptions, all mean "retry against the
+      // fresh snapshot" — a genuine I/O fault then fails the retry
+      // loop's bounded-attempts guard loudly instead of silently.
+      case _: java.nio.file.FileSystemException => false
+    }
+  }
+
+  private def rmTree(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val stream = Files.walk(dir)
+      try {
+        val it = stream
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      } finally stream.close()
+    }
+
   /** MERGE one CDC batch. `upserts` must contain `keyCol` plus a `seq`
     * ordering column for within-batch last-wins (P9); `tombstones` is a
     * one-column frame of keys to delete. Returns true if applied, false
@@ -243,61 +329,96 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   def merge(table: String, upserts: DataFrame, tombstones: DataFrame,
       sourceFilename: String, allowSchemaEvolution: Boolean): Boolean = {
     if (isApplied(table, sourceFilename)) return false
-    mergedBatches.add(1)
 
-    // Batch-stat counts ride the merge job itself as observed metrics
-    // (CollectMetrics on each input's single-consumption path) — no
-    // extra count() actions re-running the upstream lineage.
-    val obsUp = org.apache.spark.sql.Observation()
-    val obsTomb = org.apache.spark.sql.Observation()
+    // Optimistic-commit loop (class doc, Concurrency contract): each
+    // attempt recomputes against the CURRENT snapshot, stages the
+    // result, and claims the next version with one atomic rename; a
+    // lost claim means a racing writer committed first, so recompute
+    // and retry. Single-writer deployments never loop.
+    var attempt = 0
+    while (true) {
+      attempt += 1
 
-    // last-wins within the batch (pubmed.py:492-504, reverse-pop loop).
-    // The observation sits on the union path, which consumes the raw
-    // upserts exactly once (Catalyst clones shared subtrees, and a
-    // duplicated CollectMetrics name is an analysis error).
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("seq").desc)
-    val dedupedUpserts = upserts
-      .observe(obsUp, count(lit(1)).as("n"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "seq")
+      // Batch-stat counts ride the merge job itself as observed
+      // metrics (CollectMetrics on each input's single-consumption
+      // path) — no extra count() actions re-running the upstream
+      // lineage. Fresh per attempt: an Observation is single-use.
+      val obsUp = org.apache.spark.sql.Observation()
+      val obsTomb = org.apache.spark.sql.Observation()
 
-    val next = snapshot(table) match {
-      case None =>
+      // last-wins within the batch (pubmed.py:492-504, reverse-pop
+      // loop). The observation sits on the union path, which consumes
+      // the raw upserts exactly once (Catalyst clones shared subtrees,
+      // and a duplicated CollectMetrics name is an analysis error).
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("seq").desc)
+      val dedupedUpserts = upserts
+        .observe(obsUp, count(lit(1)).as("n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "seq")
+
+      // The BASE version is read ONCE per attempt and the claim is
+      // pinned to base+1: claiming "whatever is latest now + 1"
+      // instead would let this writer skip OVER a version a racing
+      // writer committed between our snapshot read and our claim —
+      // committing content derived from v(n) as v(n+2) and silently
+      // dropping v(n+1)'s rows (caught by TableStoreRaceSpec's
+      // unsynchronized stress run). With the pin, any interleaved
+      // commit makes OUR claim collide and we recompute.
+      val baseV = versions(table).lastOption.getOrElse(0)
+      val bootstrap = baseV == 0
+      val next =
+        if (bootstrap) dedupedUpserts
+        else {
+          // allowMissingColumns (opt-in) = ADD-COLUMN schema evolution
+          // (the Delta/Iceberg mergeSchema contract): a batch
+          // introducing a new column widens the snapshot, surviving
+          // old rows read NULL for it — the reference's jsonb columns
+          // absorb exactly this drift silently (pubmed.py upserts
+          // whole records). Under the strict default, any schema
+          // mismatch is an AnalysisException.
+          spark.read.parquet(s"${tableDir(table)}/v$baseV")
+            .join(tombstones
+                .observe(obsTomb, count(lit(1)).as("n"))
+                .select(col(tombstones.columns.head).as(keyCol)),
+              Seq(keyCol), "left_anti")
+            .join(upserts.select(keyCol), Seq(keyCol), "left_anti")
+            .unionByName(dedupedUpserts,
+              allowMissingColumns = allowSchemaEvolution)
+        }
+
+      val v = baseV + 1
+      val staging = s"${tableDir(table)}/.staging-v$v-" +
+        java.util.UUID.randomUUID()
+      next.write.mode(SaveMode.Overwrite).parquet(staging)
+      onBeforeCommit()
+      if (claimVersion(table, v, staging)) {
+        mergedBatches.add(1)
+        mergedUpserts.add(observedCount(obsUp, upserts))
         // Bootstrap: tombstones are a no-op and never execute, so the
-        // observation would never fire — count them with one small
-        // extra job, first merge of a table's life only.
-        mergedTombstones.add(tombstones.count())
-        dedupedUpserts
-      case Some(old) =>
-        // allowMissingColumns (opt-in) = ADD-COLUMN schema evolution
-        // (the Delta/Iceberg mergeSchema contract): a batch introducing
-        // a new column widens the snapshot, surviving old rows read
-        // NULL for it — the reference's jsonb columns absorb exactly
-        // this drift silently (pubmed.py upserts whole records). Under
-        // the strict default, any schema mismatch is an AnalysisException.
-        old
-          .join(tombstones
-              .observe(obsTomb, count(lit(1)).as("n"))
-              .select(col(tombstones.columns.head).as(keyCol)),
-            Seq(keyCol), "left_anti")
-          .join(upserts.select(keyCol), Seq(keyCol), "left_anti")
-          .unionByName(dedupedUpserts,
-            allowMissingColumns = allowSchemaEvolution)
+        // observation never fires — count them with one small extra
+        // job, first merge of a table's life only.
+        mergedTombstones.add(
+          if (bootstrap) tombstones.count()
+          else observedCount(obsTomb, tombstones))
+
+        import spark.implicits._
+        Seq((table, sourceFilename, java.time.Instant.now.toString))
+          .toDF("update_type", "source_filename", "update_date")
+          .write.mode(SaveMode.Append).parquet(logDir)
+        appliedCache(table) += sourceFilename
+        return true
+      }
+      rmTree(Paths.get(staging))
+      // the winner may have applied THIS file (same-file race): the
+      // exactly-once gate re-checks the log before the next attempt
+      if (isApplied(table, sourceFilename)) return false
+      require(attempt < 16,
+        s"merge of $sourceFilename into $table lost $attempt version " +
+          "claims in a row — a stuck competing writer or a filesystem " +
+          "without atomic rename")
     }
-
-    val bootstrap = next eq dedupedUpserts
-    val v = versions(table).lastOption.getOrElse(0) + 1
-    next.write.mode(SaveMode.Overwrite).parquet(s"${tableDir(table)}/v$v")
-    mergedUpserts.add(observedCount(obsUp, upserts))
-    if (!bootstrap) mergedTombstones.add(observedCount(obsTomb, tombstones))
-
-    import spark.implicits._
-    Seq((table, sourceFilename, java.time.Instant.now.toString))
-      .toDF("update_type", "source_filename", "update_date")
-      .write.mode(SaveMode.Append).parquet(logDir)
-    appliedCache(table) += sourceFilename
-    true
+    false // unreachable
   }
 
   /** COMPACTION (the lakehouse OPTIMIZE): rewrite the latest snapshot
@@ -316,12 +437,26 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     */
   def compact(table: String, numFiles: Int): Int = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    val vs = versions(table)
-    require(vs.nonEmpty, s"no snapshot to compact for table $table")
-    val cur = spark.read.parquet(s"${tableDir(table)}/v${vs.last}")
-    val v = vs.last + 1
-    cur.repartition(numFiles).write
-      .mode(SaveMode.Overwrite).parquet(s"${tableDir(table)}/v$v")
-    v
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no snapshot to compact for table $table")
+      val cur = spark.read.parquet(s"${tableDir(table)}/v${vs.last}")
+      val v = vs.last + 1
+      val staging = s"${tableDir(table)}/.staging-v$v-" +
+        java.util.UUID.randomUUID()
+      cur.repartition(numFiles).write
+        .mode(SaveMode.Overwrite).parquet(staging)
+      onBeforeCommit()
+      // same optimistic claim as merge: losing means a writer
+      // committed a NEWER snapshot — compacting the stale one would
+      // be wasted work, so recompute from the fresh latest
+      if (claimVersion(table, v, staging)) return v
+      rmTree(Paths.get(staging))
+      require(attempt < 16,
+        s"compaction of $table lost $attempt version claims in a row")
+    }
+    -1 // unreachable
   }
 }

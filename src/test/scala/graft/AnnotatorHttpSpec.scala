@@ -29,15 +29,21 @@ class AnnotatorHttpSpec extends AnyFunSuite {
     @volatile var failNextQueue = false
     @volatile var failStatus = false
     @volatile var sawBadApiKey = false
+    /** next N report-status calls answer 503 (then behave normally) */
+    val transient503 = new AtomicInteger(0)
+    /** every report-status call answers 503 — a dead gateway */
+    @volatile var always503Status = false
+    /** next queue-documents POST answers 503 */
+    @volatile var post503Next = false
     private val reports =
       new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
     private val statusPerReport =
       new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
     private val nextId = new AtomicInteger(0)
 
-    private def reply(x: HttpExchange, body: String): Unit = {
+    private def reply(x: HttpExchange, body: String, status: Int = 200): Unit = {
       val b = body.getBytes("UTF-8")
-      x.sendResponseHeaders(200, b.length.toLong)
+      x.sendResponseHeaders(status, b.length.toLong)
       x.getResponseBody.write(b)
       x.close()
     }
@@ -50,7 +56,8 @@ class AnnotatorHttpSpec extends AnyFunSuite {
     server.createContext("/queue-documents", (x: HttpExchange) => {
       checkKey(x)
       posts.incrementAndGet()
-      if (failNextQueue) { failNextQueue = false; reply(x, """{"error":"no"}""") }
+      if (post503Next) { post503Next = false; reply(x, "busy", 503) }
+      else if (failNextQueue) { failNextQueue = false; reply(x, """{"error":"no"}""") }
       else {
         val root = mapper.readTree(x.getRequestBody)
         val arts = Vector.newBuilder[(Long, String)]
@@ -68,12 +75,16 @@ class AnnotatorHttpSpec extends AnyFunSuite {
     server.createContext("/report-status/", (x: HttpExchange) => {
       checkKey(x)
       statusCalls.incrementAndGet()
-      val id = x.getRequestURI.getPath.split("/").last
-      val n = statusPerReport.get(id).incrementAndGet()
-      reply(x,
-        if (failStatus) """{"state":"FAILURE"}"""
-        else if (n <= 2) """{"state":"PENDING"}"""
-        else """{"state":"SUCCESS"}""")
+      if (always503Status || transient503.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        reply(x, "busy", 503)
+      else {
+        val id = x.getRequestURI.getPath.split("/").last
+        val n = statusPerReport.get(id).incrementAndGet()
+        reply(x,
+          if (failStatus) """{"state":"FAILURE"}"""
+          else if (n <= 2) """{"state":"PENDING"}"""
+          else """{"state":"SUCCESS"}""")
+      }
     })
     server.createContext("/report/", (x: HttpExchange) => {
       checkKey(x)
@@ -149,6 +160,56 @@ class AnnotatorHttpSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("terminal state FAILURE"))
       assert((System.nanoTime() - t0) / 1e9 < 30.0)
+    } finally mock.stop()
+  }
+
+  test("transient 503 blips on status polls are absorbed by the retry budget") {
+    val mock = new Mock
+    try {
+      mock.transient503.set(3)
+      val docs = fixture(4)
+      val client = new AnnotatorHttp(mock.base, "k-test",
+        pollIntervalMs = 5L, transientRetryBudget = 10)
+      val got = client.annotate(docs.iterator).toSeq
+      assert(got === Annotator.Stub.annotate(docs.iterator).toSeq,
+        "3 x 503 then PENDING/SUCCESS must still produce the full result")
+      // 3 x 503 + 2 PENDING + 1 SUCCESS on the status path
+      assert(mock.statusCalls.get() >= 6)
+      assert(mock.posts.get() === 1, "the POST must never be re-sent")
+    } finally mock.stop()
+  }
+
+  test("a dead gateway exhausts the budget: exactly budget+1 attempts, loud error") {
+    val mock = new Mock
+    try {
+      mock.always503Status = true
+      val client = new AnnotatorHttp(mock.base, "k-test",
+        pollIntervalMs = 5L, transientRetryBudget = 4)
+      val e = intercept[IllegalStateException] {
+        client.annotate(fixture(2).iterator).toSeq
+      }
+      assert(e.getMessage.contains("transient retries"))
+      assert(e.getMessage.contains("4"), "error must state the budget")
+      // the budget is a HARD cap on extra round-trips: 1 first try + 4
+      // retries, never an unbounded hammer on a downed service
+      assert(mock.statusCalls.get() === 5,
+        s"expected exactly 5 status calls, saw ${mock.statusCalls.get()}")
+      assert(mock.posts.get() === 1)
+    } finally mock.stop()
+  }
+
+  test("a 503 on the POST is a hard error, never a double-queue retry") {
+    val mock = new Mock
+    try {
+      mock.post503Next = true
+      val client = new AnnotatorHttp(mock.base, "k-test",
+        pollIntervalMs = 5L, transientRetryBudget = 10)
+      val e = intercept[IllegalStateException] {
+        client.annotate(fixture(2).iterator).toSeq
+      }
+      assert(e.getMessage.contains("503"))
+      assert(mock.posts.get() === 1,
+        "queue-documents must not be retried — a second POST queues twice")
     } finally mock.stop()
   }
 

@@ -65,6 +65,31 @@ class StreamStalenessSpec extends AnyFunSuite {
     graft.queries.Scratch.rmTree(root)
   }
 
+  test("q254 step: an empty FIRST batch defers the build, not freezes it") {
+    val root = java.nio.file.Files.createTempDirectory("stl-spec-").toString
+    // idle tick before any data: no codebook, no histogram, no verdict
+    StreamStaleness.step(mkBatch(Seq.empty), 0L,
+      s"$root/c", s"$root/r", s"$root/v")
+    assert(!new java.io.File(s"$root/c").exists(),
+      "an empty build batch must not freeze an empty codebook")
+    // the first NON-EMPTY batch becomes the build...
+    StreamStaleness.step(mkBatch(Seq(1L, 5L, 9L, 26L)), 1L,
+      s"$root/c", s"$root/r", s"$root/v")
+    assert(new java.io.File(s"$root/c").exists())
+    // ...and later windows score against it (not against themselves)
+    StreamStaleness.step(mkBatch(Seq(1L, 5L, 9L, 26L)), 2L,
+      s"$root/c", s"$root/r", s"$root/v")
+    val row = spark.read.parquet(s"$root/v/b2").head()
+    assert(row.getAs[Long]("n_ref") === 4L)
+    assert(row.getAs[Long]("max_shift_e6") === 0L)
+    // a RETRY of the build batch rebuilds (idempotent), never scores
+    StreamStaleness.step(mkBatch(Seq(1L, 5L, 9L, 26L)), 1L,
+      s"$root/c", s"$root/r", s"$root/v")
+    assert(!new java.io.File(s"$root/v/b1").exists(),
+      "a retried build batch must rebuild, not emit a verdict")
+    graft.queries.Scratch.rmTree(root)
+  }
+
   test("q254: streamed readings cover both non-build windows") {
     val rows = graft.queries.Registry.byName("q254_stream_staleness")
       .fn(spark, "/root/testdata/sf0.001").collect()

@@ -10,10 +10,10 @@ import graft.stream.TableStore
   * torn version, crashed writes self-heal, a crash between the snapshot
   * write and the update_log append is repaired by an idempotent
   * re-apply, and a second live writer with a stale applied-files cache
-  * cannot double-apply a file. (Concurrent DIFFERENT-file writers are
-  * out of contract: the design matches the reference's single nightly
-  * ingest process per table — pubmed.py's one updater — with the log
-  * gate protecting against the overlapping-duplicate-process case.)
+  * cannot double-apply a file. (TRUE concurrent-writer interleavings
+  * — A reads version n, B commits, A commits — are pinned separately
+  * by TableStoreRaceSpec against the optimistic version-claim
+  * protocol.)
   */
 class TableStoreFaultSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

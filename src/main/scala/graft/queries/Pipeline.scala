@@ -505,8 +505,107 @@ object Pipeline {
       ORDER BY cos2 DESC, a_id, b_id LIMIT 20"""),
     bench = true)
 
+  /** Boilerplate prefix for the q266 adversarial fixture — legalese
+    * vocabulary DISJOINT from the corpus's ~30-word synthetic
+    * vocabulary, so every boilerplate shingle is shared by every doc
+    * and none collides with a content shingle.
+    */
+  private val q266Boilerplate: String =
+    "all rights reserved unauthorized reproduction prohibited please " +
+      "review our privacy policy and cookie notice before continuing " +
+      "to browse this archived mirror of the original page"
+
+  /** q266: ADVERSARIAL-SKEW DEDUP + QUARANTINE (round-8 verdict item
+    * 6) — the flood cap and oversized-bucket quarantine pinned
+    * END-TO-END through the DuckDB oracle, not just by
+    * DedupRobustnessSpec's in-process assertions. The fixture plants
+    * the hot-band regime by BOILERPLATE DOMINATION: every document
+    * becomes a shared ~22-word boilerplate plus its own first 16
+    * characters, so for most docs every band's minhash comes from a
+    * boilerplate shingle and the band buckets go power-law — a few
+    * giant buckets holding most of the corpus plus a long small tail,
+    * exactly the shape template-heavy web corpora feed a dedup
+    * pipeline. Without the cap, within-bucket pair generation is
+    * quadratic in the hot bucket (~N²/2 pairs); with it
+    * ([[graft.ops.Dedup.bucketPairs]]'s size filter), the hot buckets
+    * become quarantine rows and candidate work stays buckets × cap².
+    *
+    * Output pins all three halves of the contract: each oversized
+    * bucket's (band, size); the surviving candidate-pair count under
+    * the cap; and the distinct documents quarantined (the audit count
+    * a 100 TB run would route to the quarantine table, mirroring the
+    * ingest shim's md5 quarantine). The oracle replays the same
+    * construction closed-form; at all three scales the hot buckets
+    * dwarf the cap, so the quarantine path is structurally exercised,
+    * never fixture-luck.
+    *
+    * 100 TB shape: identical to q23 — the band groupBy is the one
+    * shuffle, the cap is a free filter on each collected bucket, and
+    * the quarantine join broadcasts the (few) oversized bucket keys.
+    */
+  private val q266DedupSkew = Q(
+    "q266_dedup_skew",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit(q266Boilerplate + " "),
+            substring(col("text"), 1, 16)).as("t2"))
+        .select(col("doc_id"),
+          graft.functions.Hash32.shingleHashes(col("t2")).as("hs"))
+      val bands = graft.ops.Dedup.bandSignatures(doc)
+      val cap = 20
+      val over = graft.ops.Dedup.oversized(bands, cap)
+      val overRows = over.select(lit("oversized").as("kind"),
+        col("band").cast("long").as("band"), col("bucket_n").as("n"))
+      val pairRow = graft.ops.Dedup.candidates(bands, Some(cap))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("survivor_pairs").as("kind"), lit(-1L).as("band"),
+          col("n"))
+      val qRow = bands
+        .join(broadcast(over.select("band", "sig")), Seq("band", "sig"))
+        .agg(countDistinct("doc_id").as("n"))
+        .select(lit("quarantined_docs").as("kind"), lit(-1L).as("band"),
+          col("n"))
+      overRows.unionAll(pairRow).unionAll(qRow)
+        .orderBy("kind", "band", "n")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id,
+          string_split('$q266Boilerplate ' || substr(text, 1, 16), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS s FROM ws),
+      th AS MATERIALIZED (SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh),
+      params(i, a, b) AS (VALUES $mhParamsSqlValues),
+      mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+             FROM th CROSS JOIN params GROUP BY 1, 2),
+      bands AS MATERIALIZED (SELECT doc_id, i // 2 AS band,
+          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+        FROM mh GROUP BY 1, 2),
+      bk AS MATERIALIZED (SELECT band, sig, count(*) AS bucket_n
+        FROM bands GROUP BY 1, 2),
+      over AS MATERIALIZED (SELECT * FROM bk WHERE bucket_n > 20),
+      surv AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        JOIN bk ON bk.band = x.band AND bk.sig = x.sig
+        WHERE bk.bucket_n <= 20)
+      SELECT 'oversized' AS kind, CAST(band AS BIGINT) AS band,
+        CAST(bucket_n AS BIGINT) AS n FROM over
+      UNION ALL
+      SELECT 'survivor_pairs' AS kind, CAST(-1 AS BIGINT) AS band,
+        CAST((SELECT count(*) FROM surv) AS BIGINT) AS n
+      UNION ALL
+      SELECT 'quarantined_docs' AS kind, CAST(-1 AS BIGINT) AS band,
+        CAST((SELECT count(DISTINCT bands.doc_id) FROM bands
+          JOIN over ON bands.band = over.band AND bands.sig = over.sig)
+          AS BIGINT) AS n
+      ORDER BY kind, band, n"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
     q21DedupExact, q22NgramJaccard, q23MinhashLsh, q24Simhash,
     q25NeardupCosine, q26AnnTopk, q27LangId, q28QualityScore,
-    q29TokenStats, q30Fingerprint, q66EmbedSeam, q145SparseCosine)
+    q29TokenStats, q30Fingerprint, q66EmbedSeam, q145SparseCosine,
+    q266DedupSkew)
 }

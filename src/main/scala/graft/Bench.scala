@@ -75,11 +75,24 @@ object Bench {
       s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $Runs — a zero-run " +
         "bench would report every query as failed")
 
+    // A swallowed exception is an undiagnosable -1 in the artifact
+    // (the round-9 sf1 sweep reported 11 errors with no cause on
+    // record); keep the JSON contract but put the root cause on
+    // stderr where the run log preserves it.
+    def reportFailure(name: String, phase: String, e: Throwable): Unit = {
+      System.err.println(s"[bench] $name FAILED during $phase: " +
+        s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+      val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .reduceLeft((_, c) => c)
+      if (root ne e) System.err.println(s"[bench] $name root cause: " +
+        s"${root.getClass.getName}: ${String.valueOf(root.getMessage).take(500)}")
+    }
+
     // (name, median, spread, ok)
     val results = headline.map { q =>
       val ok =
         try { execute(q); true }          // warm-up (unmeasured)
-        catch { case _: Throwable => false }
+        catch { case e: Throwable => reportFailure(q.name, "warm-up", e); false }
         finally cleanSession()
       if (!ok) (q.name, -1.0, -1.0, false)
       else {
@@ -89,7 +102,8 @@ object Bench {
         while (alive && i < Runs) {
           val t0 = System.nanoTime()
           try { execute(q); times += (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => alive = false }
+          catch { case e: Throwable =>
+            reportFailure(q.name, s"run ${i + 1}", e); alive = false }
           finally cleanSession()          // untimed: outside the clock
           i += 1
         }

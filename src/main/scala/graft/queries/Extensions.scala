@@ -12,22 +12,32 @@ import graft.functions.Portable.{dot, norm2, toDouble}
   */
 object Extensions {
 
-  /** IVF ANN top-10 for query vec 0: sampled centroids (vec_id%25==1),
-    * nprobe=4 probed cells, exact rerank inside cells. The oracle
-    * mirrors the whole index construction. (Planted-cluster recall is
-    * asserted in IvfSpec — on clustered data recall@10 ≥ 0.9; on this
-    * isotropic synthetic table ANY sublinear index scans ~nprobe/ncells
-    * of the corpus by design.)
+  /** IVF ANN top-10 for query vec 0: √N sampled centroids
+    * ([[Ivf.adaptiveMod]] — a fixed modulus would grow C linearly with
+    * the corpus and the N×C assignment quadratically), nprobe=4 probed
+    * cells, exact rerank inside cells. The oracle mirrors the whole
+    * index construction including the modulus arithmetic (`prm` CTE).
+    * (Planted-cluster recall is asserted in IvfSpec — on clustered
+    * data recall@10 ≥ 0.9; on this isotropic synthetic table ANY
+    * sublinear index scans ~nprobe/ncells of the corpus by design.)
     */
   private val q47AnnIvf = Q(
     "q47_ann_ivf",
-    (s, d) => Ivf.search(s, Tables.embeddings(s, d), queryId = 0L,
-      centroidMod = 25, nprobe = 4, k = 10),
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ivf.search(s, e, queryId = 0L,
+        centroidMod = Ivf.adaptiveMod(e.count()), nprobe = 4, k = 10)
+    },
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
                FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
@@ -221,7 +231,8 @@ object Extensions {
     "q89_semdedup",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val cb = graft.search.Ivf.codebook(e, centroidMod = 25)
+      val cb = graft.search.Ivf.codebook(e,
+        centroidMod = graft.search.Ivf.adaptiveMod(e.count()))
       val av = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .select(col("vec_id"), col("v"),
           graft.functions.IvfOps.nearestCol(col("v"), cb).as("cell"))
@@ -245,11 +256,16 @@ object Extensions {
           coalesce(col("removed_id_sum"), lit(0L)).as("removed_id_sum"))
         .orderBy("cell")
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
                FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
@@ -334,13 +350,22 @@ object Extensions {
     */
   private val q97IvfPq = Q(
     "q97_ivf_pq",
-    (s, d) => graft.search.Pq.searchIvf(Tables.embeddings(s, d),
-      queryId = 0L, centroidMod = 25, nprobe = 4, m = 8, k = 10),
-    Some("""WITH eld AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.search.Pq.searchIvf(e, queryId = 0L,
+        centroidMod = graft.search.Ivf.adaptiveMod(e.count()),
+        nprobe = 4, m = 8, k = 10)
+    },
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      eld AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM eld GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM eld WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM eld
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT eld.vec_id AS vid, cent.cid, sum(eld.x * cent.x) AS dp
                FROM eld JOIN cent ON eld.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
@@ -357,7 +382,8 @@ object Extensions {
           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
         FROM embeddings),
       es AS (SELECT vec_id, i // 8 AS m, i % 8 AS j, q FROM elq),
-      centq AS (SELECT vec_id AS cid, m, j, q AS c FROM es WHERE vec_id % 25 = 1),
+      centq AS (SELECT vec_id AS cid, m, j, q AS c FROM es
+                WHERE vec_id % (SELECT md FROM prm) = 1),
       d2 AS (SELECT e.vec_id, c.m, c.cid, sum((e.q - c.c) * (e.q - c.c)) AS d2
              FROM es e JOIN centq c ON e.m = c.m AND e.j = c.j
              GROUP BY 1, 2, 3),
@@ -396,8 +422,9 @@ object Extensions {
       val landing = new java.io.File(root, "landing")
       landing.mkdirs()
       val emb = Tables.embeddings(s, d)
+      val mod = Ivf.adaptiveMod(emb.count())
       val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val cents = vecs.filter(col("vec_id") % 25 === 1)
+      val cents = vecs.filter(col("vec_id") % mod === 1)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding"))
@@ -405,7 +432,7 @@ object Extensions {
         Scratch.landFile(queries.filter(pmod(col("qid"), lit(100)) === b * 50),
           landing.toString, s"${b}_queries.parquet", modTime = 60000L * (b + 1))
       }
-      val assigns = Ivf.assignments(emb, 25)
+      val assigns = Ivf.assignments(emb, mod)
       val outRoot = new java.io.File(root, "results")
       def cos6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         round(dot(a, b) / sqrt(norm2(a) * norm2(b)), 6)
@@ -445,11 +472,16 @@ object Extensions {
       Scratch.sealAndClean(
         s.read.parquet(parts.toIndexedSeq: _*).orderBy("qid", "rank"), root)
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
                FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs

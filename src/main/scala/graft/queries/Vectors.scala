@@ -100,12 +100,26 @@ object Vectors {
     * (mutual-kNN — the standard graph-clustering sparsifier, cutting
     * hub nodes that one-directional kNN creates).
     */
-  private val B = 4
   private val K = 3
+
+  /** LSH hyperplane count for the kNN-graph bucketing: 2^B buckets
+    * sized so a bucket holds ~16–32 vectors REGARDLESS of corpus size
+    * — B = clamp(floor(log2(N/16)), 4, 16), integer bit-length
+    * arithmetic so the DuckDB oracle replays it exactly as
+    * `least(16, greatest(4, length(printf('%b', N // 16)) - 1))`.
+    * A fixed B makes candidate pairs grow N²/2^B (the round-9 sf1
+    * sweep measured q169 at 37× for 10× data); constant bucket size
+    * keeps the candidate join linear in N. At real scale multi-probe
+    * buys back the recall smaller buckets cost — the knob here stays
+    * data-driven either way.
+    */
+  private def adaptiveBits(n: Long): Int =
+    math.min(16, math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(n / 16)))
 
   private[queries] def mutualKnnEdges(s: SparkSession, d: String): DataFrame = {
     val dim = embDim(s, d)
-    val bitCols = (0 until B).map { b =>
+    val nBits = adaptiveBits(Tables.embeddings(s, d).count())
+    val bitCols = (0 until nBits).map { b =>
       (signDot((0 until dim).map(i => sgn(s"hp:$b:$i"))) >= 0L)
         .cast("long") * lit(1L << b)
     }
@@ -145,7 +159,9 @@ object Vectors {
     * cos_sim)`). Bucketing is integer-exact; cosine follows the q26
     * float-then-round-6 oracle pattern. */
   private[queries] val knnEdgesCte: String =
-    """el AS (SELECT vec_id,
+    """bprm AS (SELECT least(16, greatest(4,
+          length(printf('%b', count(*) // 16)) - 1)) AS bb FROM embeddings),
+      el AS (SELECT vec_id,
           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
         FROM embeddings),
@@ -153,7 +169,8 @@ object Vectors {
           CASE WHEN CAST('0x' || substr(md5('hp:' || CAST(t.b AS VARCHAR)
               || ':' || CAST(d.i AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
             THEN 1 ELSE -1 END AS sg
-        FROM (SELECT DISTINCT i FROM el) d, range(4) t(b)),
+        FROM (SELECT DISTINCT i FROM el) d, range(16) t(b)
+        WHERE t.b < (SELECT bb FROM bprm)),
       bits AS (SELECT e.vec_id, h.b,
           CASE WHEN sum(e.qv * h.sg) >= 0 THEN 1 ELSE 0 END AS bit
         FROM el e JOIN hp h ON e.i = h.i GROUP BY 1, 2),
@@ -185,7 +202,8 @@ object Vectors {
     * the adjacency build behind graph-based semantic clustering,
     * kNN-LM datastores, and label propagation (SemDeDup (q89) prunes
     * WITHIN cells; this materializes the cross-document neighborhood
-    * structure itself). LSH hyperplane buckets (B=4 bits) generate
+    * structure itself). LSH hyperplane buckets ([[adaptiveBits]] sign
+    * bits — bucket size stays ~16–32 at any corpus size) generate
     * candidates, per-src top-K (K=3) directs edges, and only
     * reciprocated edges survive.
     *
@@ -194,9 +212,9 @@ object Vectors {
     * both sides once on the uniform bucket key and NEVER goes
     * all-pairs; the kNN window is one exchange on src with a K-bounded
     * heap per group; the mutuality join keys on the uniform (src, dst)
-    * pair. At real scale B grows with N (more, smaller buckets) plus
-    * multi-probe for recall — the knob is data-independent, the plan
-    * shape identical. Degree is capped at K by construction, so no
+    * pair. B grows with N (more, smaller buckets — [[adaptiveBits]]),
+    * multi-probe buys recall back at real scale; the plan shape is
+    * identical at every B. Degree is capped at K by construction, so no
     * node floods a downstream stage ([[q170TriangleCount]] relies on
     * exactly this).
     */
@@ -567,7 +585,9 @@ object Vectors {
   private val q191Silhouette = Q(
     "q191_silhouette",
     (s, d) => {
-      val cb = graft.search.Ivf.codebook(Tables.embeddings(s, d), 25)
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.search.Ivf.codebook(emb,
+        graft.search.Ivf.adaptiveMod(emb.count()))
       val ab = Tables.embeddings(s, d)
         .select(graft.functions.IvfOps
           .top2Col(toDouble(col("embedding")), cb).as("t"))
@@ -582,11 +602,16 @@ object Vectors {
         round(dsum6(col("sil")) / count(col("sil")), 6).as("mean_sil"))
         .orderBy("cell")
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
         FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
@@ -996,7 +1021,9 @@ object Vectors {
     "q252_index_staleness",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.search.Ivf.codebook(emb.filter(col("vec_id") % 10 < 8), 25)
+      val indexed = emb.filter(col("vec_id") % 10 < 8)
+      val cb = graft.search.Ivf.codebook(indexed,
+        graft.search.Ivf.adaptiveMod(indexed.count()))
       val tagged = emb.select(col("vec_id"),
           graft.functions.IvfOps.nearestCol(toDouble(col("embedding")), cb)
             .as("cell"))
@@ -1017,13 +1044,16 @@ object Vectors {
         .withColumn("drifted", col("shift_e6") > 100000L)
         .orderBy("cell")
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings WHERE vec_id % 10 < 8),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
       cent AS (SELECT vec_id AS cid, i, x FROM el
-        WHERE vec_id % 25 = 1 AND vec_id % 10 < 8),
+        WHERE vec_id % (SELECT md FROM prm) = 1 AND vec_id % 10 < 8),
       cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
-        WHERE vec_id % 25 = 1 AND vec_id % 10 < 8),
+        WHERE vec_id % (SELECT md FROM prm) = 1 AND vec_id % 10 < 8),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
         FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs

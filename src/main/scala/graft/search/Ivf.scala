@@ -42,6 +42,24 @@ object Ivf {
     */
   val MaxCentroids: Int = 1 << 16
 
+  /** Canonical IVF codebook sizing, C ≈ √N (clamped to [16, 4096]),
+    * expressed as the sampling modulus `floor(N / C)` so the existing
+    * mod-sampling machinery is untouched. A FIXED modulus makes the
+    * centroid count — and with it the N×C assignment cost — grow
+    * linearly with the corpus (quadratic total: the round-9 sf1 sweep
+    * measured q47/q89/q97 at 20–28× for 10× data); sizing C at √N is
+    * the standard IVF train-step guidance and keeps the build at
+    * N^1.5 until the 4096-cell cap turns it linear. Every long here is
+    * non-negative and `math.sqrt` is the same IEEE-754 op both
+    * engines run, so a DuckDB oracle replays the modulus exactly as
+    * `greatest(1, N // least(4096, greatest(16, CAST(floor(sqrt(N))
+    * AS BIGINT))))` over the same table.
+    */
+  def adaptiveMod(n: Long): Int = {
+    val c = math.min(4096L, math.max(16L, math.sqrt(n.toDouble).toLong))
+    math.max(1L, n / c).toInt
+  }
+
   /** Coarse codebook: the sampled centroids, collected once on the
     * driver (C ≈ √N rows — the standard IVF train step; a 100 TB
     * corpus still has a codebook of a few tens of MB). Kept ascending

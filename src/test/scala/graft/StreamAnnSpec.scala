@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.Registry
 
 /** q146 streaming ANN: the streamed probe must be row-equal to the
-  * batch IVF path — q47 runs the SAME index (centroidMod=25, nprobe=4,
-  * k=10) for query 0, so q146's qid=0 slice must reproduce it exactly,
+  * batch IVF path — q47 runs the SAME index (Ivf.adaptiveMod-sized
+  * codebook, nprobe=4, k=10) for query 0, so q146's qid=0 slice must
+  * reproduce it exactly,
   * and the per-query structure must be a dense rank list.
   */
 class StreamAnnSpec extends AnyFunSuite {

@@ -157,8 +157,9 @@ class VectorsSpec extends AnyFunSuite {
 
   test("q191: top2 cell agrees with nearest_centroid; silhouette bounded") {
     val rows = run("q191_silhouette").collect()
+    val emb = Tables.embeddings(spark, dir)
     val assigned = graft.search.Ivf
-      .assignments(Tables.embeddings(spark, dir), 25)
+      .assignments(emb, graft.search.Ivf.adaptiveMod(emb.count()))
       .groupBy("cell").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap

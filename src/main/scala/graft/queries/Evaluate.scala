@@ -1895,7 +1895,8 @@ object Evaluate {
     "q236_vector_outliers",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val cb = graft.search.Ivf.codebook(e, 25)
+      val cb = graft.search.Ivf.codebook(e,
+        graft.search.Ivf.adaptiveMod(e.count()))
       import graft.functions.Portable.toDouble
       val top = graft.functions.IvfOps.top2Col(
         toDouble(col("embedding")), cb)
@@ -1917,11 +1918,16 @@ object Evaluate {
           col("n").cast("long").as("cell_n"), col("flag"))
         .orderBy("vec_id")
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
         FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs

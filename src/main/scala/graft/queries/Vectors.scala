@@ -320,7 +320,8 @@ object Vectors {
           cos6(col("v"), col("qv")).as("cos_sim"))
         .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
         .select("qid", "vec_id")
-      val cents = vecs.filter(col("vec_id") % 25 === 1)
+      val md = Ivf.adaptiveMod(Tables.embeddings(s, d).count())
+      val cents = vecs.filter(col("vec_id") % md === 1)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val probes = cents.crossJoin(broadcast(qs))
         .select(col("qid"), col("cid"), cos6(col("qv"), col("cv")).as("cs"))
@@ -328,7 +329,7 @@ object Vectors {
           Window.partitionBy("qid").orderBy(col("cs").desc, col("cid"))))
         .filter(col("rn") <= 4)
         .select(col("qid"), col("cid").as("cell"))
-      val ivf = Ivf.assignments(Tables.embeddings(s, d), 25)
+      val ivf = Ivf.assignments(Tables.embeddings(s, d), md)
         .join(broadcast(probes), "cell")
         .filter(col("vec_id") =!= col("qid"))
         .join(vecs, "vec_id").join(broadcast(qs), "qid")
@@ -347,7 +348,10 @@ object Vectors {
         .withColumn("recall_e6", expr("(n_hit * 1000000) DIV n_true"))
         .orderBy("qid")
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
       q AS (SELECT vec_id AS qid FROM nrm WHERE vec_id % 50 = 0),
@@ -363,8 +367,10 @@ object Vectors {
       truth AS (SELECT qid, vid FROM (SELECT qid, vid,
           row_number() OVER (PARTITION BY qid
             ORDER BY cos_sim DESC, vid) AS rn FROM csq) t WHERE rn <= 10),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
         FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
@@ -479,7 +485,9 @@ object Vectors {
   private val q186IvfCellAudit = Q(
     "q186_ivf_cell_audit",
     (s, d) => {
-      val cells = graft.search.Ivf.assignments(Tables.embeddings(s, d), 25)
+      val emb = Tables.embeddings(s, d)
+      val cells = graft.search.Ivf
+        .assignments(emb, graft.search.Ivf.adaptiveMod(emb.count()))
         .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       val tot = cells.agg(count(lit(1)).as("n_cells"),
         sum("n_vecs").as("n_total"))
@@ -488,11 +496,16 @@ object Vectors {
           (col("n_vecs") * col("n_cells") >= col("n_total") * 2).as("hot"))
         .orderBy("cell")
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
         FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
@@ -655,7 +668,8 @@ object Vectors {
     "q210_cluster_purity",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val assign = graft.search.Ivf.assignments(e, 25)
+      val assign = graft.search.Ivf
+        .assignments(e, graft.search.Ivf.adaptiveMod(e.count()))
       val ct = assign
         .join(e.select(col("vec_id"), col("label")), "vec_id")
         .groupBy("cell", "label").agg(count(lit(1)).as("n_cl"))
@@ -689,11 +703,16 @@ object Vectors {
           round(col("mi") / sqrt(col("h_cell") * col("h_label")), 6)
             .as("nmi6"))
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
         FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs
@@ -749,9 +768,10 @@ object Vectors {
       val root = java.nio.file.Files.createTempDirectory("graft-idx-").toString
       val e = Tables.embeddings(s, d)
       // build + persist the index as plain tables
-      graft.search.Ivf.assignments(e, 25)
+      val md = graft.search.Ivf.adaptiveMod(e.count())
+      graft.search.Ivf.assignments(e, md)
         .write.mode("overwrite").parquet(s"$root/assign")
-      e.filter(col("vec_id") % 25 === 1)
+      e.filter(col("vec_id") % md === 1)
         .select(col("vec_id").as("cid"), toDouble(col("embedding")).as("cv"))
         .write.mode("overwrite").parquet(s"$root/cent")
       e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -775,11 +795,16 @@ object Vectors {
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
         .transform(df => Scratch.sealAndClean(df, root))
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      cent AS (SELECT vec_id AS cid, i, x FROM el WHERE vec_id % 25 = 1),
-      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, i, x FROM el
+               WHERE vec_id % (SELECT md FROM prm) = 1),
+      cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
+             WHERE vec_id % (SELECT md FROM prm) = 1),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
                FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs

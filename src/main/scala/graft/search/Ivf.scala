@@ -69,7 +69,10 @@ object Ivf {
     */
   def codebook(e: DataFrame, centroidMod: Int,
       cap: Int = MaxCentroids): IvfCodebook = {
-    val rows = e.filter(col("vec_id") % centroidMod === 1)
+    // `1 % mod` (not the literal 1) so mod=1 — a corpus smaller than
+    // the minimum cell count, every vector its own centroid — selects
+    // everything instead of nothing; identical for every mod >= 2.
+    val rows = e.filter(col("vec_id") % centroidMod === lit(1L % centroidMod))
       .select(col("vec_id"), toDouble(col("embedding")).as("cv"))
       .orderBy(col("vec_id"))
       .limit(cap + 1)
@@ -112,7 +115,7 @@ object Ivf {
   def search(spark: SparkSession, e: DataFrame, queryId: Long,
       centroidMod: Int, nprobe: Int, k: Int): DataFrame = {
     val vecs = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cents = vecs.filter(col("vec_id") % centroidMod === 1)
+    val cents = vecs.filter(col("vec_id") % centroidMod === lit(1L % centroidMod))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val qv = vecs.filter(col("vec_id") === queryId).select(col("v").as("qv"))
 

@@ -1503,13 +1503,18 @@ object Cdc {
           .orderBy("window_id"),
         root)
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings WHERE vec_id % 3 = 0),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
       cent AS (SELECT vec_id AS cid, i, x FROM el
-        WHERE vec_id % 3 = 0 AND vec_id % 25 = 1),
+        WHERE vec_id % 3 = 0
+          AND vec_id % (SELECT md FROM prm) = 1 % (SELECT md FROM prm)),
       cn AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm
-        WHERE vec_id % 3 = 0 AND vec_id % 25 = 1),
+        WHERE vec_id % 3 = 0
+          AND vec_id % (SELECT md FROM prm) = 1 % (SELECT md FROM prm)),
       cdot AS (SELECT el.vec_id AS vid, cent.cid, sum(el.x * cent.x) AS dp
         FROM el JOIN cent ON el.i = cent.i GROUP BY 1, 2),
       sims AS (SELECT vid, cid, round(dp / sqrt(n.n2 * cn2), 6) AS cs

@@ -301,8 +301,8 @@ object Extensions {
     * per 8-dim subspace, so the scan side shrinks ~32× (8 codes vs 64
     * floats) and the query never touches raw vectors — distance is
     * ADC: the query precomputes its exact distance to every
-    * sub-centroid (an M×K lookup table, here ≤8×80 entries riding the
-    * plan as map literals) and each row's estimate is 8 table lookups.
+    * sub-centroid (an M×K lookup table, K ≈ √N via adaptiveMod, riding
+    * the plan as map literals) and each row's estimate is 8 lookups.
     *
     * Plan shape: encoding is M map-side codegen argmin projections per
     * row against plan-bound sub-codebooks ([[graft.functions
@@ -318,14 +318,24 @@ object Extensions {
     */
   private val q96PqAdc = Q(
     "q96_pq_adc",
-    (s, d) => graft.search.Pq.search(Tables.embeddings(s, d),
-      queryId = 0L, centroidMod = 25, m = 8, k = 10),
-    Some("""WITH el AS (SELECT vec_id,
+    (s, d) => {
+      // Sub-codebooks sized C ≈ √N (adaptiveMod, the q97 conversion):
+      // a fixed modulus grows every subspace's K linearly with N and
+      // the encode argmin quadratically.
+      val e = Tables.embeddings(s, d)
+      graft.search.Pq.search(e, queryId = 0L,
+        centroidMod = graft.search.Ivf.adaptiveMod(e.count()), m = 8, k = 10)
+    },
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM embeddings),
+      el AS (SELECT vec_id,
           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
         FROM embeddings),
       es AS (SELECT vec_id, i // 8 AS m, i % 8 AS j, q FROM el),
-      cent AS (SELECT vec_id AS cid, m, j, q AS c FROM es WHERE vec_id % 25 = 1),
+      cent AS (SELECT vec_id AS cid, m, j, q AS c FROM es
+        WHERE vec_id % (SELECT md FROM prm) = 1),
       d2 AS (SELECT e.vec_id, c.m, c.cid, sum((e.q - c.c) * (e.q - c.c)) AS d2
              FROM es e JOIN cent c ON e.m = c.m AND e.j = c.j
              GROUP BY 1, 2, 3),

@@ -401,8 +401,11 @@ object Pipeline {
     "q66_embed_seam",
     (s, d) => {
       val emb = graft.annotate.Embedder.embed(Tables.documents(s, d)).toDF()
+      // Codebook sized C ≈ √N from the generated corpus (adaptiveMod):
+      // a fixed modulus made assignment cost N×(N/25) — quadratic.
       val cells = graft.search.Ivf.assignments(
-        emb.select(col("doc_id").as("vec_id"), col("embedding")), 25)
+        emb.select(col("doc_id").as("vec_id"), col("embedding")),
+        graft.search.Ivf.adaptiveMod(emb.count()))
       emb.select(col("doc_id"), posexplode(col("embedding")))
         .select(col("doc_id"), col("pos").as("dim"),
           col("col").cast("double").as("val"))
@@ -411,14 +414,18 @@ object Pipeline {
         .select(col("doc_id"), col("dim"), col("val"), col("cell"))
         .orderBy("doc_id", "dim")
     },
-    Some("""WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+    Some("""WITH prm AS (SELECT greatest(1, CAST(count(*) AS BIGINT) //
+          least(4096, greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)))) AS md
+        FROM documents),
+      docs AS (SELECT doc_id, md5(text) AS h FROM documents),
       dims AS (SELECT CAST(range AS INT) AS i FROM range(8)),
       vals AS (SELECT d.doc_id, dims.i,
           CAST(CAST(CAST('0x' || substr(md5(d.h || '_' || CAST(dims.i AS VARCHAR)), 1, 8) AS BIGINT)
             % 2001 - 1000 AS DOUBLE) / 1000.0 AS REAL) AS fval
         FROM docs d CROSS JOIN dims),
       cents AS (SELECT doc_id AS cid, i, CAST(fval AS DOUBLE) AS cx
-        FROM vals WHERE doc_id % 25 = 1),
+        FROM vals
+        WHERE doc_id % (SELECT md FROM prm) = 1 % (SELECT md FROM prm)),
       cnrm AS (SELECT cid, sum(cx * cx) AS cn2 FROM cents GROUP BY 1),
       vnrm AS (SELECT doc_id, sum(CAST(fval AS DOUBLE) * CAST(fval AS DOUBLE)) AS vn2
         FROM vals GROUP BY 1),

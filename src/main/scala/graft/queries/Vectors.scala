@@ -286,7 +286,7 @@ object Vectors {
       FROM corners GROUP BY 1 ORDER BY n_tri DESC, node_id"""))
 
   /** q181: ANN RECALL AUDIT — recall@10 of the IVF index (q47's
-    * centroidMod=25, nprobe=4 configuration) against exact brute-force
+    * adaptiveMod, nprobe=4 configuration) against exact brute-force
     * ground truth, per probe query (vec_id % 50 == 0): the index-
     * quality measurement every ANN deployment publishes, and the
     * third member of the accuracy-audit family (q164 HLL vs exact,
@@ -756,11 +756,16 @@ object Vectors {
     * (q47's SQL, verbatim shape) checks. This is the operator a
     * serving tier runs: the index is a TABLE, not session state.
     *
-    * 100 TB shape: the persisted assignment table is bucketed by
-    * cell, so a probe reads only its nprobe cells (partition
-    * pruning); the centroid table is broadcast-sized by the codebook
-    * cap; the re-rank joins candidates (bounded) to the payload
-    * co-keyed on vec_id.
+    * 100 TB shape: the persisted assignment table is PARTITIONED BY
+    * cell (Hive-style directories, the q103 layout contract applied
+    * to the vector index), and the probe ASSERTS on its own executed
+    * plan that the candidate scan prunes at planning time
+    * (`PartitionFilters` on cell + scanned directories ⊆ the nprobe
+    * probed cells) — "probing reads only nprobe cells" is a gated
+    * property of every run, not documentation. The centroid ranking
+    * is a bounded driver-side step (C ≤ 2^16 codebook rows — exactly
+    * what a serving tier keeps in memory); the re-rank joins
+    * candidates (bounded) to the payload co-keyed on vec_id.
     */
   private val q222IndexRoundtrip = Q(
     "q222_index_roundtrip",
@@ -770,7 +775,7 @@ object Vectors {
       // build + persist the index as plain tables
       val md = graft.search.Ivf.adaptiveMod(e.count())
       graft.search.Ivf.assignments(e, md)
-        .write.mode("overwrite").parquet(s"$root/assign")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assign")
       e.filter(col("vec_id") % md === 1)
         .select(col("vec_id").as("cid"), toDouble(col("embedding")).as("cv"))
         .write.mode("overwrite").parquet(s"$root/cent")
@@ -784,12 +789,27 @@ object Vectors {
         .select(col("v").as("qv"))
       def cos6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         round(dot(a, b) / sqrt(norm2(a) * norm2(b)), 6)
-      val probed = cent.crossJoin(broadcast(q))
+      // centroid ranking collects the nprobe winners to the driver (4
+      // rows; the codebook side is ≤2^16 by construction) so the cell
+      // predicate is a PLANNING-TIME literal the scan can prune on —
+      // a join would row-filter after listing every directory
+      val probedCells = cent.crossJoin(broadcast(q))
         .select(col("cid"), cos6(col("cv"), col("qv")).as("cs"))
         .orderBy(col("cs").desc, col("cid")).limit(4)
-        .select(col("cid").as("cell"))
-      val cand = assign.join(broadcast(probed), "cell")
+        .collect().map(_.getLong(0))
+      val cand = assign.filter(col("cell").isin(probedCells: _*))
         .filter(col("vec_id") =!= 0L)
+      require(
+        raw"PartitionFilters: \[[^\]]*cell".r
+          .findFirstIn(cand.queryExecution.executedPlan.toString).isDefined,
+        "cell probe must prune at planning time, not per row")
+      val scanned = cand.select(input_file_name()).distinct().collect()
+        .map(_.getString(0).replaceAll("/[^/]*$", "")).distinct
+      val probedDirs = probedCells.map(c => s"cell=$c").toSet
+      require(scanned.nonEmpty && scanned.length <= 4 &&
+          scanned.forall(p => probedDirs.contains(p.split('/').last)),
+        s"probe must touch only the nprobe probed cells' directories: " +
+          s"${scanned.toSeq} vs $probedDirs")
       cand.join(payload, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"), cos6(col("v"), col("qv")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)

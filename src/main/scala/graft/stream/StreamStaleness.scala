@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
 object StreamStaleness {
 
   private def cellsOf(df: DataFrame, centsDir: String): DataFrame = {
+    // mod=1 loads EVERY persisted row: the centroid table was already
+    // sampled (adaptively) at build time, so re-filtering here would
+    // double-sample and drop most of the frozen codebook.
     val cb = graft.search.Ivf.codebook(
-      df.sparkSession.read.parquet(centsDir), 25)
+      df.sparkSession.read.parquet(centsDir), 1)
     df.select(graft.functions.IvfOps.nearestCol(
         graft.functions.Portable.toDouble(col("embedding")), cb).as("cell"))
       .filter(col("cell").isNotNull)
@@ -66,7 +69,12 @@ object StreamStaleness {
     // nothing forever), or rebuild when the build batch is retried.
     if (built.isEmpty || built.contains(batchId)) {
       if (built.isEmpty && batch.isEmpty) return // idle pre-build tick
-      batch.filter(col("vec_id") % 25 === 1)
+      // Size the frozen codebook from the BUILD batch (C ≈ √N via
+      // adaptiveMod) — a fixed modulus grows C linearly with the batch
+      // and makes every later window's assignment pass quadratic, the
+      // exact class the round-9 sf1 sweep measured in the batch twins.
+      val md = graft.search.Ivf.adaptiveMod(batch.count())
+      batch.filter(col("vec_id") % md === lit(1L % md))
         .coalesce(1).write.mode("overwrite").parquet(centsDir)
       cellsOf(batch, centsDir).groupBy("cell").agg(count(lit(1)).as("c"))
         .coalesce(1).write.mode("overwrite").parquet(refHistDir)

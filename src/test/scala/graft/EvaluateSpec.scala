@@ -260,7 +260,8 @@ class EvaluateSpec extends AnyFunSuite {
   test("q210: purity equals the contingency recompute; NMI bounded") {
     val row = run("q210_cluster_purity").collect().head
     val e = Tables.embeddings(spark, dir)
-    val ct = graft.search.Ivf.assignments(e, 25)
+    val ct = graft.search.Ivf.assignments(e,
+        graft.search.Ivf.adaptiveMod(e.count()))
       .join(e.select(col("vec_id"), col("label")), "vec_id")
       .groupBy("cell", "label").count()
       .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
@@ -463,8 +464,9 @@ class EvaluateSpec extends AnyFunSuite {
 
   test("q222: persisted-index probe equals the in-memory expression path") {
     val roundtrip = run("q222_index_roundtrip")
-    val direct = graft.search.Ivf.search(spark,
-      Tables.embeddings(spark, dir), queryId = 0L, centroidMod = 25,
+    val e = Tables.embeddings(spark, dir)
+    val direct = graft.search.Ivf.search(spark, e, queryId = 0L,
+      centroidMod = graft.search.Ivf.adaptiveMod(e.count()),
       nprobe = 4, k = 10)
     assert(roundtrip.exceptAll(direct).isEmpty &&
       direct.exceptAll(roundtrip).isEmpty,

@@ -6,9 +6,9 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Plan-hygiene gate over the whole headline benchmark set, one
-  * execution per query so AQE's FINAL plan is checked (not the
-  * initial guess). Two plan shapes are gated, each the signature of a
+/** Plan-hygiene gate over the WHOLE query registry, one execution per
+  * query so AQE's FINAL plan is checked (not the initial guess). Two
+  * plan shapes are gated, each the signature of a
   * query that cannot survive a 100 TB input:
   *
   *  1. CartesianProduct — the one join strategy with no scale path.
@@ -34,7 +34,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  /** Bench queries whose global windows run over bounded
+  /** Registry queries whose global windows run over bounded
     * intermediates — each entry names the bound. Additions need the
     * same justification: the window INPUT must stay O(1)-ish in data
     * size (post-aggregation panels/histograms), not O(rows).
@@ -43,7 +43,55 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q195_auc_rank" ->
       ("cumulative window over the SCORE HISTOGRAM (group-by score " +
         "value with map-side combine, |distinct scores| rows — a " +
-        "bounded domain), not the document corpus")
+        "bounded domain), not the document corpus"),
+    "q198_ks_test" ->
+      ("cumulative windows over the per-arm VALUE HISTOGRAM " +
+        "(group-by n_chars, |distinct values| rows), not documents"),
+    "q200_gini_tokens" ->
+      ("telescoped rank window over the COUNT-OF-COUNTS histogram " +
+        "(|distinct frequencies| rows), never the |V|-row vocabulary"),
+    "q206_ndcg" ->
+      ("rank-attach windows over the two TakeOrdered(10) frames " +
+        "(10 rows each), not the scored corpus"),
+    "q212_water_filling" ->
+      ("sort/cumsum windows over the per-SOURCE size table " +
+        "(|sources| rows, a fixed catalog), not the document corpus"),
+    "q216_pareto_frontier" ->
+      ("prefix-max window over the LENGTH-VALUE histogram (bounded " +
+        "n_chars domain after groupBy), never all-pairs domination"),
+    "q217_sprt_trajectory" ->
+      ("cumulative LLR window over the DAY PANEL (one row per " +
+        "calendar day after groupBy(day)), not raw events"),
+    "q228_cusum_changepoint" ->
+      ("closed-form CUSUM windows over the DAY PANEL (one row per " +
+        "day), not raw events"),
+    "q233_quantile_norm" ->
+      ("cumulative-fraction windows over the value-domain histograms " +
+        "(global + per-source, bounded n_chars domain), not documents"),
+    "q238_vocab_coverage" ->
+      ("interval window over the COUNT-OF-COUNTS histogram " +
+        "(|distinct frequencies| rows), never a per-type rank"),
+    "q261_binary_segmentation" ->
+      ("CUSUM-score windows over the DAY PANEL (one row per day), " +
+        "not raw events"),
+    "q107_temp_mix" ->
+      ("whole-frame normalizer windows over the PER-LANGUAGE token " +
+        "totals (|languages| rows), not documents"),
+    "q185_rrf_fusion" ->
+      ("rank windows over the two top-50 CANDIDATE frames (each a " +
+        "TakeOrdered cap), not the corpus"),
+    "q223_join_skew_audit" ->
+      ("cumsum window over the COUNT-OF-COUNTS frequency histogram " +
+        "(|distinct frequencies| rows), never a per-key rank"),
+    "q260_kaplan_meier" ->
+      ("risk-set/survival windows over the DISTINCT-LIFETIME day " +
+        "panel (bounded by observed days), not raw events"),
+    "q264_hill_tail" ->
+      ("order-statistic window over the top-101 TakeOrdered frame " +
+        "(k+1 rows), never a full length sort"),
+    "q265_topk_drift" ->
+      ("rank windows over the two top-20 token frames (TakeOrdered " +
+        "caps), not the vocabulary")
   )
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
@@ -67,8 +115,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     (cart ++ gw).distinct
   }
 
-  test("no headline query plans a CartesianProduct or an unlisted global window") {
-    val offenders = queries.Registry.benchSet.flatMap { q =>
+  test("no registry query plans a CartesianProduct or an unlisted global window") {
+    // The FULL registry, not just the bench set: round 9's full Verify
+    // surfaced 7 single-partition windows outside the bench gate (all
+    // bounded — now allowlisted above); entry #267 must not be able to
+    // ship an unbounded one silently.
+    val offenders = queries.Registry.all.flatMap { q =>
       val df = q.fn(spark, dir)
       df.collect() // force execution so the AQE final plan is inspectable
       val off = offenses(df)
@@ -92,10 +144,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "detector must see the single-partition window q108 used to plan")
   }
 
-  test("allowlisted names exist in the bench set") {
-    val bench = queries.Registry.benchSet.map(_.name).toSet
-    val ghosts = boundedGlobalWindows.keySet.filterNot(bench)
+  test("allowlisted names exist in the registry") {
+    val names = queries.Registry.all.map(_.name).toSet
+    val ghosts = boundedGlobalWindows.keySet.filterNot(names)
     assert(ghosts.isEmpty,
-      s"allowlist entries no longer in the bench set: ${ghosts.mkString(", ")}")
+      s"allowlist entries no longer in the registry: ${ghosts.mkString(", ")}")
   }
 }

@@ -10,7 +10,10 @@ for dir in /root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1 /tm
   sf=$(basename "$dir")
   [ "$sf" = graft_sf1 ] && sf=sf1
   echo "=== $sf ($dir) ==="
-  SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench" 2>&1 \
-    | grep '"metric"' | tail -1 > "${prefix}_${sf}.json"
+  # Capture the FULL long-name JSON via the file sink (the last stdout
+  # line is the compact short-id form; sbt also prefixes echoed lines
+  # with "[info] ") — one file per scale, not the shared default path.
+  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_OUT="${prefix}_${sf}.json" \
+    sbt -batch "runMain graft.Bench" > /dev/null 2>&1
   python3 -c "import json;d=json.load(open('${prefix}_${sf}.json'));print('$sf total', d['value'], 'errors', d.get('errors'))"
 done

@@ -13,7 +13,8 @@ import graft.stream.StreamStaleness
 class StreamStalenessSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // vec_ids chosen so %25==1 sampling yields two centroids (1, 26)
+  // Tiny batches: adaptiveMod(N<=32) = 1, so EVERY vector is its own
+  // centroid — the degenerate-but-valid small-stream regime
   private def mkBatch(ids: Seq[Long]) = {
     import spark.implicits._
     ids.map(i => (i, Array(1.0f * (i % 7), 1.0f, 2.0f + (i % 3))))
@@ -87,6 +88,31 @@ class StreamStalenessSpec extends AnyFunSuite {
       s"$root/c", s"$root/r", s"$root/v")
     assert(!new java.io.File(s"$root/v/b1").exists(),
       "a retried build batch must rebuild, not emit a verdict")
+    graft.queries.Scratch.rmTree(root)
+  }
+
+  test("q254 step: codebook sizes adaptively from the build batch and is loaded whole") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stl-spec-").toString
+    // two clean clusters: ids 1..220 point along (1,0), 221..400 along
+    // (0,1); sampled centroids (adaptiveMod(400)=20 -> cids ≡ 1 mod 20)
+    // exist in both clusters, so every A-vector ties to cid 1 and every
+    // B-vector to cid 221
+    val batch = (1L to 400L).map { i =>
+      (i, if (i <= 220L) Array(1.0f, 0.0f) else Array(0.0f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    StreamStaleness.step(batch, 0L, s"$root/c", s"$root/r", s"$root/v")
+    val cids = spark.read.parquet(s"$root/c")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(cids.toSeq === (1L to 400L by 20L).toSeq,
+      "build must sample the codebook at adaptiveMod(batch size)")
+    val hist = spark.read.parquet(s"$root/r").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("c")).toMap
+    // cell 221 is NOT ≡ 1 mod 25: a cellsOf that re-sampled the
+    // persisted codebook with a fixed modulus would lose it and land
+    // the B cluster on a surviving A-side centroid instead
+    assert(hist === Map(1L -> 220L, 221L -> 180L),
+      "scoring must load the persisted codebook whole (no re-sampling)")
     graft.queries.Scratch.rmTree(root)
   }
 

@@ -2096,36 +2096,61 @@ object Evaluate {
     * are what the miner must precompute — this is that precompute,
     * with q220 (preference pairs) as the pointwise sibling.
     *
-    * 100 TB shape: the bucket join keys on the uniform coarse prefix
-    * (64 buckets here; width scales with the corpus — the q214
-    * block-signature family); the per-anchor top-2 is a bounded
-    * window over bucket-local candidates, and everything upstream is
-    * q23's audited path.
+    * 100 TB shape: the bucket join keys on the uniform coarse simhash
+    * prefix, whose WIDTH GROWS WITH THE CORPUS — B =
+    * clamp(floor(log2(N/16)), 4, 16) bits, the q169 adaptive-bits
+    * sizing, keeping bucket size ~16–32 at any N so the pair×bucket
+    * candidate join stays linear in the pair count. (A fixed 6-bit
+    * prefix made bucket size N/64: the first full-registry sf1 run
+    * caught this entry sort-spilling 10 GB on a pairs×(N/64) blowup —
+    * the same fixed-constant class as the round-9 codebook bug.)
+    * Ranking runs per ANCHOR through [[graft.plans.NativeTopK]]
+    * (bounded state, map-side combine, no sort of the candidate
+    * stream); the per-(anchor,pos) re-rank is a window over ≤3-row
+    * partitions. Everything upstream is q23's audited path.
     */
   private val q239HardNegatives = Q(
     "q239_hard_negatives",
     (s, d) => {
-      val doc = Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
+      val nBits = math.min(16, math.max(4,
+        63 - java.lang.Long.numberOfLeadingZeros(base.count() / 16)))
+      val doc = base
         .select(col("doc_id"),
           graft.functions.Hash32.shingleHashes(col("text")).as("hs"),
-          shiftright(graft.functions.Hash32.simhashCol(col("text")), 26)
-            .as("bkt"))
+          shiftright(graft.functions.Hash32.simhashCol(col("text")),
+            32 - nBits).as("bkt"))
       val pairs = graft.ops.Dedup
         .candidates(graft.ops.Dedup.bandSignatures(doc.select("doc_id", "hs")))
         .select(col("a_id").as("anchor_id"), col("b_id").as("pos_id"))
-      val buckets = doc.select(col("doc_id").as("cand_id"), col("bkt"))
-      val anchorBkt = doc.select(col("doc_id").as("anchor_id"), col("bkt"))
-      val cands = pairs.join(anchorBkt, "anchor_id")
-        .join(buckets, "bkt")
-        .filter(col("cand_id") =!= col("anchor_id") &&
-          col("cand_id") =!= col("pos_id"))
+      // hk depends only on (anchor, cand), so rank candidates once PER
+      // ANCHOR — the per-(anchor,pos) top-2 is exactly the anchor's
+      // top-3 minus at most one excluded pos. NativeTopK's partial
+      // aggregate consumes the anchor×bucket-mate stream pipelined
+      // (bounded 3-row state per anchor, map-side combine, ONE
+      // exchange) where the old pairs×bucket window SORTED the whole
+      // candidate blowup: with simhash-prefix skew a hot bucket holds
+      // a double-digit corpus share, and the sf1 run spilled 10 GB.
+      // Residual skew in the bkt equi-join is AQE skew-split territory
+      // (join output, not aggregate state).
+      val anchors = pairs.select("anchor_id").distinct()
+        .join(doc.select(col("doc_id").as("anchor_id"), col("bkt")),
+          "anchor_id")
+      val perAnchor = anchors
+        .join(doc.select(col("doc_id").as("cand_id"), col("bkt")), "bkt")
+        .filter(col("cand_id") =!= col("anchor_id"))
         .withColumn("hk", h32(concat(lit("neg:"),
           col("anchor_id").cast("string"), lit(":"),
           col("cand_id").cast("string"))))
+      val top3 = graft.plans.NativeTopK.topK(
+        perAnchor.select("anchor_id", "hk", "cand_id"),
+        Seq("anchor_id"), Seq("hk" -> true, "cand_id" -> true), 3)
       val w = Window.partitionBy("anchor_id", "pos_id")
         .orderBy(col("hk"), col("cand_id"))
-      cands.withColumn("neg_rank", row_number().over(w))
+      pairs.join(top3, "anchor_id")
+        .filter(col("cand_id") =!= col("pos_id"))
+        .withColumn("neg_rank", row_number().over(w))
         .filter(col("neg_rank") <= 2)
         .select(col("anchor_id"), col("pos_id"),
           col("neg_rank").cast("long").as("neg_rank"),
@@ -2158,7 +2183,11 @@ object Evaluate {
           CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END)
             * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
         FROM bits GROUP BY 1),
-      bkt AS (SELECT doc_id, simhash >> 26 AS bkt FROM shh),
+      prm AS (SELECT least(16, greatest(4, length(printf('%b',
+            (SELECT count(*) FROM ws WHERE len(w) >= 4) // 16)) - 1))
+          AS nbits),
+      bkt AS (SELECT doc_id,
+          simhash >> (32 - (SELECT nbits FROM prm)) AS bkt FROM shh),
       cand AS (SELECT p.anchor_id, p.pos_id, c.doc_id AS cand_id,
           CAST('0x' || substr(md5('neg:' || CAST(p.anchor_id AS VARCHAR)
             || ':' || CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk

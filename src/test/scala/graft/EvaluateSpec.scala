@@ -706,11 +706,17 @@ class EvaluateSpec extends AnyFunSuite {
   test("q239: hard negatives share the anchor's bucket and exclude the pair") {
     val rows = run("q239_hard_negatives").collect()
     assert(rows.nonEmpty)
-    val bkt = Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= 4)
+    // Adaptive prefix width, same sizing as the query (a fixed 6-bit
+    // pin here would fight the adaptive-bits fix exactly as the old
+    // EvaluateSpec mod-25 pin fought the codebook conversion).
+    val nBits = math.min(16, math.max(4,
+      63 - java.lang.Long.numberOfLeadingZeros(base.count() / 16)))
+    val bkt = base
       .select(col("doc_id"),
-        shiftright(graft.functions.Hash32.simhashCol(col("text")), 26)
-          .as("b"))
+        shiftright(graft.functions.Hash32.simhashCol(col("text")),
+          32 - nBits).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.groupBy(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("pos_id")))
       .foreach { case ((a, p), g) =>

@@ -33,6 +33,16 @@ object Portable {
     * rounded into DECIMAL(28,6) (deterministic given identical input
     * doubles), then summed exactly.
     * DuckDB: `CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`
+    *
+    * 17-digit caveat: once the exact decimal needs more significant
+    * digits than a double holds, the two engines' decimal→double
+    * conversions must BOTH be correctly rounded for the driver's typed
+    * hash to match. Spark's (BigDecimal.doubleValue) is; DuckDB's cast
+    * was observed 1 ULP off on GROUPING-SETS supergroup rows at the
+    * sf1 scale (q105's grand total, the only affected site). Oracles
+    * whose sums can cross ~2^53 route the final cast through VARCHAR —
+    * `CAST(CAST(sum(...) AS VARCHAR) AS DOUBLE)` — which is strtod and
+    * correctly rounded.
     */
   def dsum6(c: Column): Column =
     sum(c.cast("decimal(28,6)")).cast("double")

@@ -381,14 +381,14 @@ ${arts.mkString("\n")}
           md5(text) AS h
         FROM documents),
       s1 AS (SELECT * FROM base WHERE nt >= 25),
-      s2 AS (SELECT * FROM s1 WHERE doc_id % 97 <> 0),
+      s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id % 97 <> 0),
       ke AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
       s3 AS (SELECT s2.* FROM s2 JOIN ke USING (doc_id)),
-      cl AS (SELECT s3.*, c.cluster FROM s3
+      cl AS MATERIALIZED (SELECT s3.*, c.cluster FROM s3
         LEFT JOIN comp c ON c.id = s3.doc_id),
       ms AS (SELECT cluster, min(doc_id) AS keep_id FROM cl
         WHERE cluster IS NOT NULL GROUP BY 1),
-      s4 AS (SELECT cl.doc_id, cl.text, cl.nt FROM cl
+      s4 AS MATERIALIZED (SELECT cl.doc_id, cl.text, cl.nt FROM cl
         LEFT JOIN ms ON cl.cluster = ms.cluster
         WHERE cl.cluster IS NULL OR cl.doc_id = ms.keep_id),
       esh AS (SELECT DISTINCT
@@ -402,10 +402,10 @@ ${arts.mkString("\n")}
         FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
             i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS sx
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s4))),
-      bad AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN esh ON d.hh = esh.hh),
-      s5 AS (SELECT * FROM s4
+      bad AS MATERIALIZED (SELECT DISTINCT d.doc_id FROM dsh d JOIN esh ON d.hh = esh.hh),
+      s5 AS MATERIALIZED (SELECT * FROM s4
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-      s6 AS (SELECT * FROM s5
+      s6 AS MATERIALIZED (SELECT * FROM s5
         WHERE round(CAST(len(list_filter(string_split(text, ' '),
             t -> t IN ('the', 'a'))) AS DOUBLE) / nt, 6) <= 0.08
           AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / nt, 6)
@@ -416,7 +416,7 @@ ${arts.mkString("\n")}
       pk AS (SELECT CAST(sum((tot + 255) // 256) AS BIGINT) AS n
         FROM (SELECT shard, CAST(sum(nt) AS BIGINT) AS tot
           FROM shd GROUP BY 1)),
-      cnts AS (SELECT (SELECT count(*) FROM base) AS n0,
+      cnts AS MATERIALIZED (SELECT (SELECT count(*) FROM base) AS n0,
         (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2,
         (SELECT count(*) FROM s3) AS n3, (SELECT count(*) FROM s4) AS n4,
         (SELECT count(*) FROM s5) AS n5, (SELECT count(*) FROM s6) AS n6)

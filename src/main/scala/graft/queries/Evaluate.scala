@@ -1560,8 +1560,11 @@ object Evaluate {
         count_distinct(col("source")).as("ns"))
       // e6-scaled products widen to DECIMAL(38,0) before the integer
       // division: tt*1e6 and 2*w*target wrap int64 silently in Spark at
-      // real scale while DuckDB evaluates them in HUGEINT (the
-      // q195/q196/q198 discipline); `div` on decimals returns BIGINT
+      // real scale; the oracle widens the same products with explicit
+      // HUGEINT casts — DuckDB does NOT auto-promote BIGINT*BIGINT, it
+      // throws on overflow (the sf1 probe hit 2.16e9 * 2.06e10 in round
+      // 1's row scale) — the q195/q196/q198 discipline; `div` on
+      // decimals returns BIGINT
       var w = ct.crossJoin(broadcast(tot))
         .withColumn("w", col("n") * lit(1000000L))
         .withColumn("row_target",
@@ -1594,12 +1597,14 @@ object Evaluate {
         s"""rs$k AS (SELECT source, CAST(sum(w) AS BIGINT) AS rs
           FROM w${k - 1} GROUP BY 1),
       wr$k AS (SELECT w.source, w.lang, w.n, w.row_target,
-          (2 * w.w * w.row_target + r.rs) // (2 * r.rs) AS w
+          (2 * CAST(w.w AS HUGEINT) * w.row_target + r.rs)
+            // (2 * CAST(r.rs AS HUGEINT)) AS w
         FROM w${k - 1} w JOIN rs$k r ON w.source = r.source),
       cs$k AS (SELECT lang, CAST(sum(w) AS BIGINT) AS cs
           FROM wr$k GROUP BY 1),
       w$k AS (SELECT w.source, w.lang, w.n, w.row_target,
-          (2 * w.w * ct.col_target + c.cs) // (2 * c.cs) AS w
+          (2 * CAST(w.w AS HUGEINT) * ct.col_target + c.cs)
+            // (2 * CAST(c.cs AS HUGEINT)) AS w
         FROM wr$k w JOIN cs$k c ON w.lang = c.lang
         JOIN coltarget ct ON w.lang = ct.lang)"""
       }.mkString(",\n      ")
@@ -2271,6 +2276,14 @@ object Evaluate {
     * of the statistic in exact millionths, and the between-fold
     * variance of fold means from DECIMAL moments — the number that
     * says whether a quality metric is stable enough to gate releases.
+    * The variance is emitted as an exact half-up INTEGER (then one
+    * correctly-rounded int64→double conversion): fold means are e6
+    * integers ~3e8, so the variance sits at ~2.5e12 where
+    * `round(double, 6)` needs 19 significant digits — engine-
+    * divergent by construction (the q224/q105 sf1 finding), and
+    * sub-unit decimals of an e12 variance carry no information.
+    * num = k·s2 − s1² ≥ 0 (Cauchy–Schwarz) keeps div == floor ==
+    * half-up under the (2·num + den) div (2·den) form.
     *
     * 100 TB shape: fold id is scan-stage hash arithmetic; one
     * exchange to 5 rows; the variance combines the 5-row frame.
@@ -2289,9 +2302,8 @@ object Evaluate {
         sum("mean_e6").cast("decimal(38,0)").as("s1"),
         sum(col("mean_e6").cast("decimal(38,0)") * col("mean_e6"))
           .cast("decimal(38,0)").as("s2"))
-        .select(round((col("k") * col("s2") - col("s1") * col("s1"))
-          .cast("double") / (col("k") * col("k")).cast("double"), 6)
-          .as("between_fold_var"))
+        .select(expr("(2 * (k * s2 - s1 * s1) + k * k) div (2 * k * k)")
+          .cast("double").as("between_fold_var"))
       per.crossJoin(broadcast(varr))
         .select(col("fold"), col("n_docs"), col("mean_e6"),
           col("between_fold_var"))
@@ -2304,11 +2316,14 @@ object Evaluate {
       per AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
           (CAST(sum(n_chars) AS BIGINT) * 1000000) // count(*) AS mean_e6
         FROM f GROUP BY 1),
-      v AS (SELECT round(CAST(count(*) * sum(CAST(mean_e6 AS DECIMAL(38,0))
-              * mean_e6) - sum(CAST(mean_e6 AS DECIMAL(38,0)))
-              * sum(CAST(mean_e6 AS DECIMAL(38,0))) AS DOUBLE)
-          / CAST(CAST(count(*) AS DECIMAL(38,0)) * count(*) AS DOUBLE), 6)
-          AS between_fold_var FROM per)
+      v AS (SELECT CAST(CAST(
+          (2 * (CAST(count(*) AS HUGEINT)
+              * sum(CAST(mean_e6 AS HUGEINT) * mean_e6)
+            - sum(CAST(mean_e6 AS HUGEINT))
+              * sum(CAST(mean_e6 AS HUGEINT)))
+            + CAST(count(*) AS HUGEINT) * count(*))
+          // (2 * CAST(count(*) AS HUGEINT) * count(*))
+          AS BIGINT) AS DOUBLE) AS between_fold_var FROM per)
       SELECT CAST(per.fold AS BIGINT) AS fold, per.n_docs,
         CAST(per.mean_e6 AS BIGINT) AS mean_e6, v.between_fold_var
       FROM per, v ORDER BY 1"""))

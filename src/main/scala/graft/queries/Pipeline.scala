@@ -592,11 +592,17 @@ object Pipeline {
       bk AS MATERIALIZED (SELECT band, sig, count(*) AS bucket_n
         FROM bands GROUP BY 1, 2),
       over AS MATERIALIZED (SELECT * FROM bk WHERE bucket_n > 20),
+      -- restrict to small buckets BEFORE the self-join: joining the raw
+      -- bands table first is quadratic in the hot buckets (the fixture
+      -- plants ~N/2-doc buckets, ~3e10 pairs at sf1) and exhausted
+      -- DuckDB's temp spill in the sf1 probe; the cap filter is the
+      -- engine side's pre-join semantics anyway (Dedup.bucketPairs)
+      small AS MATERIALIZED (SELECT b.doc_id, b.band, b.sig
+        FROM bands b JOIN bk ON bk.band = b.band AND bk.sig = b.sig
+        WHERE bk.bucket_n <= 20),
       surv AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-        JOIN bk ON bk.band = x.band AND bk.sig = x.sig
-        WHERE bk.bucket_n <= 20)
+        FROM small x JOIN small y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
       SELECT 'oversized' AS kind, CAST(band AS BIGINT) AS band,
         CAST(bucket_n AS BIGINT) AS n FROM over
       UNION ALL

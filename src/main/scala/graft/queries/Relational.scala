@@ -574,6 +574,15 @@ object Relational {
     * NULL-as-ALL supergroup rows; sums go through exact decimals and
     * the sort key coalesces the supergroup NULLs so row order is
     * engine-independent.
+    *
+    * Oracle caveat (caught by the sf1 probe, where the grand total
+    * first needs 17 significant digits): DuckDB's decimal→double cast
+    * is not correctly rounded on the GROUPING-SETS path — supergroup
+    * rows came back 1 ULP off the exact decimal while Spark's
+    * BigDecimal.doubleValue() was correct on every row. The oracle
+    * routes the final conversion through VARCHAR (strtod IS correctly
+    * rounded), which keeps the driver's typed hash exact at any scale.
+    * See the same note on [[graft.functions.Portable.dsum6]].
     */
   private val q105Rollup = Q(
     "q105_rollup",
@@ -591,9 +600,10 @@ object Relational {
           coalesce(col("l_linestatus"), lit("")))
     },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))
-          AS DOUBLE) AS revenue,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS VARCHAR)
+          AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
       FROM lineitem

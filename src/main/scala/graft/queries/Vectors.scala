@@ -852,10 +852,19 @@ object Vectors {
     * statistics pass that feeds it, and the drift audit that catches
     * a dimension collapsing between model versions). Embeddings
     * quantize to e6 longs FIRST, moments accumulate in DECIMAL(38,0)
-    * (Σq² at billions of vectors overflows int64), and mean/var are
-    * final rounded double ratios of exact moments (negative means
-    * make integer div engine-divergent — truncation vs floor — so
-    * the exact-input double path is the portable one).
+    * (Σq² at billions of vectors overflows int64), and the emitted
+    * ratios stay engine-exact at ANY magnitude: the variance is
+    * rounded to 6 decimals IN EXACT DECIMAL ARITHMETIC — half-up via
+    * (2·num·10⁶ + den) div (2·den), num = n·s2 − s1² ≥ 0 by
+    * Cauchy–Schwarz so floor==truncate — and only then converted
+    * int64→double (one correctly-rounded hardware op) and divided by
+    * the exactly-representable 10⁶. The sf1 probe caught the previous
+    * `round(double, 6)` emission: at var ≈ 1.6e10 the 6-decimal value
+    * needs 17 significant digits, where Spark rounds via exact
+    * BigDecimal but DuckDB's double round is ULP-inexact (and its
+    * decimal→double cast is 1 ULP off — the q105 finding), so the two
+    * engines disagreed in the last digit. The mean keeps the double
+    * ratio (|mean| is e6-bounded, far inside the 15-digit safe zone).
     *
     * 100 TB shape: posexplode fans out × dim but partial-aggregates
     * map-side to the 64-row dim domain before the one exchange —
@@ -876,8 +885,8 @@ object Vectors {
         .select(col("dim"), col("n").cast("long").as("n_vecs"),
           round(col("s1").cast("double") / col("n").cast("double"), 6)
             .as("mean_q6"),
-          round((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("n") * col("n")).cast("double"), 6).as("var_q6"))
+          (expr("(2 * (n * s2 - s1 * s1) * 1000000 + n * n)" +
+            " div (2 * n * n)").cast("double") / lit(1e6)).as("var_q6"))
         .orderBy("dim")
     },
     Some("""WITH el AS (SELECT
@@ -891,8 +900,13 @@ object Vectors {
         FROM el GROUP BY 1)
       SELECT dim, CAST(n AS BIGINT) AS n_vecs,
         round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q6,
-        round(CAST(n * s2 - s1 * s1 AS DOUBLE)
-          / CAST(n * n AS DOUBLE), 6) AS var_q6
+        -- HUGEINT, not DECIMAL: DuckDB rejects DECIMAL(38)*DECIMAL(38)
+        -- (result precision > 38) where Spark saturates at 38
+        CAST(CAST((2 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+            - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) * 1000000
+            + CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+          // (2 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+          AS BIGINT) AS DOUBLE) / 1000000 AS var_q6
       FROM m ORDER BY 1"""))
 
   /** q229: k-CORE PEELING (3 synchronous rounds, k=3) over the q169

@@ -758,7 +758,10 @@ class EvaluateSpec extends AnyFunSuite {
     val varr = means.map(m => (m - mu) * (m - mu)).sum / k
     val got = rows.head.getAs[Double]("between_fold_var")
     assert(rows.forall(_.getAs[Double]("between_fold_var") === got))
-    assert(math.abs(got - varr) < math.abs(varr) * 1e-9 + 1e-3)
+    // emitted as exact half-up INTEGER (e12-magnitude variance; 6-decimal
+    // doubles there are engine-divergent) — allow the ±0.5 integer step
+    assert(math.abs(got - varr) < math.abs(varr) * 1e-9 + 0.5 + 1e-3)
+    assert(got === math.rint(got), "between_fold_var is integer-valued")
   }
 
   test("q246: lang-id metrics conserve the corpus and match the matrix") {

@@ -15,6 +15,17 @@ TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
 
 con = duckdb.connect()
+# Optional resource guards for large-SF runs (results are unaffected):
+# an oracle that would exhaust the shared disk fails loudly instead of
+# taking down every concurrent job — the sf1 probe lost a bench run and
+# two oracle queries to exactly that before q189/q266's oracles were
+# made spill-feasible.
+import os
+if os.environ.get('GRAFT_ORACLE_TEMP_CAP'):
+    con.execute(f"SET max_temp_directory_size="
+                f"'{os.environ['GRAFT_ORACLE_TEMP_CAP']}'")
+if os.environ.get('GRAFT_ORACLE_MEM'):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_ORACLE_MEM']}'")
 for t in TABLES:
     con.execute(f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')")
 

@@ -4,7 +4,7 @@
 Usage: compare.py [sfDir] [verifyOutDir]
 Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.
 """
-import duckdb, json, sys, glob
+import duckdb, json, sys, glob, os, re
 import pandas as pd
 import numpy as np
 
@@ -20,12 +20,23 @@ con = duckdb.connect()
 # taking down every concurrent job — the sf1 probe lost a bench run and
 # two oracle queries to exactly that before q189/q266's oracles were
 # made spill-feasible.
-import os
-if os.environ.get('GRAFT_ORACLE_TEMP_CAP'):
-    con.execute(f"SET max_temp_directory_size="
-                f"'{os.environ['GRAFT_ORACLE_TEMP_CAP']}'")
-if os.environ.get('GRAFT_ORACLE_MEM'):
-    con.execute(f"SET memory_limit='{os.environ['GRAFT_ORACLE_MEM']}'")
+def _size_env(name):
+    """Validated size literal from the environment (e.g. '40GB',
+    '1.5GiB') — the value is interpolated into a SET statement, so
+    anything that isn't a plain size literal is rejected loudly."""
+    v = os.environ.get(name)
+    if not v:
+        return None
+    if not re.fullmatch(r'[0-9]+(\.[0-9]+)?\s*[KMGT]?i?B', v.strip()):
+        sys.exit(f"{name}={v!r} is not a size literal like '40GB'")
+    return v.strip()
+
+cap = _size_env('GRAFT_ORACLE_TEMP_CAP')
+if cap:
+    con.execute(f"SET max_temp_directory_size='{cap}'")
+mem = _size_env('GRAFT_ORACLE_MEM')
+if mem:
+    con.execute(f"SET memory_limit='{mem}'")
 for t in TABLES:
     con.execute(f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')")
 

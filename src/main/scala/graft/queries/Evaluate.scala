@@ -2104,11 +2104,19 @@ object Evaluate {
     * 100 TB shape: the bucket join keys on the uniform coarse simhash
     * prefix, whose WIDTH GROWS WITH THE CORPUS — B =
     * clamp(floor(log2(N/16)), 4, 16) bits, the q169 adaptive-bits
-    * sizing, keeping bucket size ~16–32 at any N so the pair×bucket
-    * candidate join stays linear in the pair count. (A fixed 6-bit
-    * prefix made bucket size N/64: the first full-registry sf1 run
-    * caught this entry sort-spilling 10 GB on a pairs×(N/64) blowup —
-    * the same fixed-constant class as the round-9 codebook bug.)
+    * sizing. N is the UNFILTERED corpus count (a metadata-only
+    * parquet count — no tokenize pass; the oracle's prm CTE uses the
+    * same count), so plan construction costs one footer read, not a
+    * second scan. The 16-bit cap is the simhash width budget (the
+    * fingerprint is 32-bit; a longer prefix stops being "coarse"), so
+    * bucket size is ~16–32 only up to N ≈ 2^20 — past that it grows
+    * as N/65536 again and the blowup guard is NativeTopK's BOUNDED
+    * per-anchor state (3 rows, map-side combine), not small buckets;
+    * at 100 TB the fingerprint widens to simhash-64 (q152's setting)
+    * and the cap moves with it. (A fixed 6-bit prefix made bucket
+    * size N/64: the first full-registry sf1 run caught this entry
+    * sort-spilling 10 GB on a pairs×(N/64) blowup — the same
+    * fixed-constant class as the round-9 codebook bug.)
     * Ranking runs per ANCHOR through [[graft.plans.NativeTopK]]
     * (bounded state, map-side combine, no sort of the candidate
     * stream); the per-(anchor,pos) re-rank is a window over ≤3-row
@@ -2117,10 +2125,14 @@ object Evaluate {
   private val q239HardNegatives = Q(
     "q239_hard_negatives",
     (s, d) => {
+      // sizing count: unfiltered corpus rows — parquet-footer
+      // metadata, not a tokenizing scan of `base` (which would read
+      // the text column twice per run)
+      val nDocs = Tables.documents(s, d).count()
       val base = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
       val nBits = math.min(16, math.max(4,
-        63 - java.lang.Long.numberOfLeadingZeros(base.count() / 16)))
+        63 - java.lang.Long.numberOfLeadingZeros(nDocs / 16)))
       val doc = base
         .select(col("doc_id"),
           graft.functions.Hash32.shingleHashes(col("text")).as("hs"),
@@ -2189,7 +2201,7 @@ object Evaluate {
             * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
         FROM bits GROUP BY 1),
       prm AS (SELECT least(16, greatest(4, length(printf('%b',
-            (SELECT count(*) FROM ws WHERE len(w) >= 4) // 16)) - 1))
+            (SELECT count(*) FROM documents) // 16)) - 1))
           AS nbits),
       bkt AS (SELECT doc_id,
           simhash >> (32 - (SELECT nbits FROM prm)) AS bkt FROM shh),

@@ -901,7 +901,9 @@ object Vectors {
       SELECT dim, CAST(n AS BIGINT) AS n_vecs,
         round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q6,
         -- HUGEINT, not DECIMAL: DuckDB rejects DECIMAL(38)*DECIMAL(38)
-        -- (result precision > 38) where Spark saturates at 38
+        -- (result precision > 38) where Spark keeps DECIMAL(38,0) and
+        -- returns NULL on value overflow (non-ANSI mode) — a silent-vs-
+        -- loud divergence that only matters past ~1e38 intermediates
         CAST(CAST((2 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
             - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) * 1000000
             + CAST(n AS HUGEINT) * CAST(n AS HUGEINT))

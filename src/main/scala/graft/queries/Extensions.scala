@@ -143,49 +143,69 @@ object Extensions {
       ORDER BY 1"""))
 
   /** q77: k-means (Lloyd) TRAINING of the IVF coarse codebook — the
-    * real "train" step behind q47's sampled-centroid shortcut. Two
-    * full Lloyd iterations from the q47 seeds (vec_id%25==1), codebook
-    * CAPPED at K=100 (per-iteration cost is O(N·K·D); an uncapped
-    * mod-sample grows K with N and goes quadratic — the measured 3.8x
-    * step ratio before the cap), all arithmetic in quantized integers
-    * (floor(x*1e6)) so assignment and centroid update are
-    * summation-order-proof and the DuckDB oracle can replay both
-    * iterations exactly (unrolled CTEs).
+    * real "train" step behind q47's sampled-centroid shortcut, in the
+    * PRODUCTION build shape: K ≈ √N adaptive (the q47/q89 sizing, not
+    * a fixed cap) and the Lloyd loop over a BOUNDED TRAIN SAMPLE of
+    * ~32·K vectors (vec_id % sampleMod == 0) — per-iteration cost
+    * O(32·K²·D) at ANY corpus size, where the earlier full-N variant
+    * paid O(N·K·D) passes per iteration for a codebook whose quality
+    * only needs a constant number of members per cell. Two unrolled
+    * iterations, all arithmetic in quantized integers (floor(x*1e6))
+    * so assignment and centroid update are summation-order-proof and
+    * the DuckDB oracle replays both iterations exactly, with the prm
+    * CTE re-deriving K, the seed modulus, and the sample modulus from
+    * count(*) the same way [[graft.search.IvfKmeans.adaptiveParams]]
+    * does.
     * Output: final centroid matrix (cell, dim, cval) + each cell's
-    * member count under the assignment that produced it; empty cells
-    * keep their previous centroid with 0 members.
+    * member count over the train sample under the assignment that
+    * produced it; empty cells keep their previous centroid with 0
+    * members.
     */
   private val q77IvfKmeans = Q(
     "q77_ivf_kmeans",
-    (s, d) => graft.search.IvfKmeans
-      .train(Tables.embeddings(s, d), centroidMod = 25, iters = 2, maxK = 100)
-      .orderBy("cell", "dim"),
-    Some("""WITH el AS (SELECT vec_id,
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (seedMod, sampleMod) =
+        graft.search.IvfKmeans.adaptiveParams(e.count())
+      graft.search.IvfKmeans
+        .train(e, centroidMod = seedMod.toInt, iters = 2,
+          sampleMod = sampleMod)
+        .orderBy("cell", "dim")
+    },
+    Some("""WITH prm AS (SELECT
+          greatest(1, count(*) // least(4096, greatest(16,
+            CAST(floor(sqrt(count(*))) AS BIGINT)))) AS seedmod,
+          greatest(1, count(*) // (32 * least(4096, greatest(16,
+            CAST(floor(sqrt(count(*))) AS BIGINT))))) AS smod
+        FROM embeddings),
+      el AS (SELECT vec_id,
           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
         FROM embeddings),
+      tr AS (SELECT * FROM el
+             WHERE vec_id % (SELECT smod FROM prm) = 0),
       c0 AS (SELECT vec_id AS cell, dim, q AS c FROM el
-             WHERE vec_id % 25 = 1 AND vec_id < 2501),
+             WHERE vec_id % (SELECT seedmod FROM prm) = 1),
       d1 AS (SELECT e.vec_id, c.cell, sum((e.q - c.c) * (e.q - c.c)) AS d2
-             FROM el e JOIN c0 c ON e.dim = c.dim GROUP BY 1, 2),
+             FROM tr e JOIN c0 c ON e.dim = c.dim GROUP BY 1, 2),
       a1 AS (SELECT vec_id, cell FROM (
           SELECT vec_id, cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
           FROM d1) t WHERE rn = 1),
       u1 AS (SELECT a.cell, e.dim,
                CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS c
-             FROM a1 a JOIN el e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+             FROM a1 a JOIN tr e ON a.vec_id = e.vec_id GROUP BY 1, 2),
       c1 AS (SELECT c0.cell, c0.dim, COALESCE(u1.c, c0.c) AS c
              FROM c0 LEFT JOIN u1 ON c0.cell = u1.cell AND c0.dim = u1.dim),
       d2_ AS (SELECT e.vec_id, c.cell, sum((e.q - c.c) * (e.q - c.c)) AS d2
-              FROM el e JOIN c1 c ON e.dim = c.dim GROUP BY 1, 2),
+              FROM tr e JOIN c1 c ON e.dim = c.dim GROUP BY 1, 2),
       a2 AS (SELECT vec_id, cell FROM (
           SELECT vec_id, cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
           FROM d2_) t WHERE rn = 1),
       u2 AS (SELECT a.cell, e.dim,
                CAST(floor(CAST(sum(e.q) AS DOUBLE) / count(*)) AS BIGINT) AS c
-             FROM a2 a JOIN el e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+             FROM a2 a JOIN tr e ON a.vec_id = e.vec_id GROUP BY 1, 2),
       c2 AS (SELECT c1.cell, c1.dim, COALESCE(u2.c, c1.c) AS c
              FROM c1 LEFT JOIN u2 ON c1.cell = u2.cell AND c1.dim = u2.dim),
       nn AS (SELECT cell, count(*) AS n FROM a2 GROUP BY 1)

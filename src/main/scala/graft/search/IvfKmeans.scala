@@ -41,26 +41,49 @@ object IvfKmeans {
       transform(toDouble(col("embedding")), x => floor(x * lit(1e6)).cast("long"))
         .as("q"))
 
+  /** Production-shaped build parameters for [[train]]: K ≈ √N (the
+    * [[Ivf.adaptiveMod]] clamp, 16..4096) and a TRAIN SAMPLE bounded
+    * at ~32·K vectors — per-iteration cost O(32·K²·D) regardless of N,
+    * where full-N Lloyd pays O(N·K·D) passes a sampled trainer never
+    * needs (standard IVF practice: train on a bounded sample, assign
+    * the full corpus once with the frozen codebook — the [[Ivf]]
+    * serving seam). Returns (seedMod, sampleMod): seeds are
+    * vec_id % seedMod == 1 (≈K of them), the train set is
+    * vec_id % sampleMod == 0 (≈32·K rows).
+    */
+  def adaptiveParams(n: Long): (Long, Long) = {
+    val k = math.min(4096L, math.max(16L, math.sqrt(n.toDouble).toLong))
+    (math.max(1L, n / k), math.max(1L, n / (32L * k)))
+  }
+
   /** `iters` Lloyd iterations from sampled seeds
     * (vec_id % centroidMod == 1, at most `maxK` of them — the codebook
     * size is CAPPED, as in any real IVF build: per-iteration cost is
-    * O(N·K·D) and K must stay ~√N / fixed, not grow with the corpus).
+    * O(S·K·D) and K must stay ~√N / fixed, not grow with the corpus).
+    * With `sampleMod` > 1 the assignment/update loop runs over the
+    * BOUNDED TRAIN SAMPLE vec_id % sampleMod == 0 (S ≈ N/sampleMod
+    * rows — pair with [[adaptiveParams]] for the ~32·K production
+    * shape); seeds are drawn from the full id domain independently of
+    * the sample.
     * Returns (cell, dim, cval, n_members): the final centroid matrix
-    * and each cell's member count under the assignment that produced
-    * it (an empty cell keeps its seed/previous centroid and reports 0
-    * members).
+    * and each cell's member count — over the train sample — under the
+    * assignment that produced it (an empty cell keeps its
+    * seed/previous centroid and reports 0 members).
     */
   def train(e: DataFrame, centroidMod: Int, iters: Int,
-      maxK: Int = Int.MaxValue): DataFrame = {
+      maxK: Int = Int.MaxValue, sampleMod: Long = 1L): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val q = quantize(e)
+    val qAll = quantize(e)
+    val q =
+      if (sampleMod > 1L) qAll.filter(col("vec_id") % sampleMod === 0)
+      else qAll
 
     // seeds, ascending by vec_id so the argmin tie-break is the
     // smallest centroid id; the id bound keeps the seed predicate a
     // pure scan filter (oracle-mirrorable), no limit/order needed
     val seedBound = centroidMod.toLong * maxK + 1
-    val seeds = q.filter(col("vec_id") % centroidMod === 1 &&
+    val seeds = qAll.filter(col("vec_id") % centroidMod === 1 &&
         col("vec_id") < seedBound)
       .orderBy(col("vec_id"))
       .collect()

@@ -17,13 +17,15 @@ class KmeansSpec extends AnyFunSuite {
     * tie-break, and floor(sum/n) update as the distributed operator.
     */
   private def referenceLloyd(
-      data: Seq[(Long, Seq[Float])], mod: Int, iters: Int)
+      data: Seq[(Long, Seq[Float])], mod: Int, iters: Int,
+      sampleMod: Long = 1L)
       : Map[(Long, Int), (Long, Long)] = {
-    val q = data.map { case (id, v) =>
+    val qAll = data.map { case (id, v) =>
       id -> v.map(x => math.floor(x.toDouble * 1e6).toLong).toArray
     }
-    val seedIds = q.collect { case (id, _) if id % mod == 1 => id }.sorted
-    var cents: Map[Long, Array[Long]] = q.toMap.view.filterKeys(seedIds.contains).toMap
+    val q = qAll.filter { case (id, _) => id % sampleMod == 0 }
+    val seedIds = qAll.collect { case (id, _) if id % mod == 1 => id }.sorted
+    var cents: Map[Long, Array[Long]] = qAll.toMap.view.filterKeys(seedIds.contains).toMap
     var counts: Map[Long, Long] = seedIds.map(_ -> 0L).toMap
     for (_ <- 0 until iters) {
       val assign = q.map { case (id, v) =>
@@ -64,6 +66,44 @@ class KmeansSpec extends AnyFunSuite {
       .toMap
     val expected = referenceLloyd(data, mod = 20, iters = 3)
     assert(trained === expected)
+  }
+
+  test("sampled Lloyd (sampleMod) == naive reference over the sample") {
+    // the q77 production shape: seeds from the full id domain, the
+    // assignment/update loop over vec_id % sampleMod == 0 only
+    val rnd = new scala.util.Random(23)
+    val data = (0 until 180).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextGaussian().toFloat * 0.5f)))
+    val trained = IvfKmeans
+      .train(data.toDF("vec_id", "embedding"), centroidMod = 20,
+        iters = 2, sampleMod = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val expected = referenceLloyd(data, mod = 20, iters = 2, sampleMod = 3L)
+    assert(trained === expected)
+    // member counts cover the SAMPLE (60 of 180), not the corpus
+    val totalMembers = trained.collect {
+      case ((_, dim), (_, n)) if dim == 0 => n
+    }.sum
+    assert(totalMembers === 60L)
+  }
+
+  test("adaptiveParams: K≈√N clamped, sample bounded at ~32·K") {
+    // tiny N: clamps to K=16, sample is the whole corpus
+    assert(IvfKmeans.adaptiveParams(500L) === ((500L / 22L, 1L)))
+    // big N: K=√N, sample modulus engages (N / (32·K))
+    val (seedMod, sampleMod) = IvfKmeans.adaptiveParams(20000L)
+    assert(seedMod === 20000L / 141L)
+    assert(sampleMod === 20000L / (32L * 141L))
+    // the train-sample size is ~32·K at any N past the clamp
+    for (n <- Seq(1e5.toLong, 1e7.toLong, 1e9.toLong)) {
+      val (_, sm) = IvfKmeans.adaptiveParams(n)
+      val k = math.min(4096L, math.max(16L, math.sqrt(n.toDouble).toLong))
+      val sampleSize = n / sm
+      assert(sampleSize >= 16L * k && sampleSize <= 66L * k,
+        s"n=$n sample=$sampleSize k=$k out of the ~32K envelope")
+    }
   }
 
   test("planted clusters are recovered as centroids") {

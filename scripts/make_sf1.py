@@ -11,8 +11,42 @@ i * (max_key + 1) of its table, consistently on both sides of each FK
 customer.c_custkey, lineitem.l_partkey/l_suppkey <-> part/supplier,
 events.user_id re-keyed to scale the user universe too). Dimension
 tables nation/region stay fixed (25/5 rows — they do not scale with
-data volume in TPC-H either). Timestamps and payloads are copied
-verbatim: the fixture measures VOLUME growth, not drift.
+data volume in TPC-H either).
+
+CONTENT scheme (round-11 change — the earlier fixture cloned text and
+embeddings VERBATIM, so every duplicate group grew 10x and the
+pair-emitting queries' true output grew ~100x/decade, a fixture
+artifact, where a real decade grows pairs ~10x):
+
+- documents.text: clone i > 0 applies a per-clone caesar shift to
+  letters (translate, length-preserving, so n_chars stays exact and
+  token/whitespace structure is untouched). Two docs inside the SAME
+  clone keep their original token-overlap structure (both shifted
+  alike), so each clone universe retains internal near-dup structure,
+  while cross-clone token overlap drops to zero (below every
+  shingle/simhash threshold — measured cross-clone hamming pairs are
+  ~2.5% of the total, vs ~90% under the verbatim clones this
+  replaces). A shift re-rolls every token's HASH, and the corpus's
+  fingerprint-collision density is a high-variance function of that
+  draw (hamming<=1 pairs range 95k..1.58M across the 25 possible
+  shifts, vs 272k for the unshifted corpus), so the nine clone shifts
+  are PINNED to the draws whose density is closest to the base
+  corpus's — the fixture models a decade of STATIONARY-density data
+  (summed within-clone density 9.6x the base draw) instead of
+  inheriting hash-draw variance that would swamp the volume signal.
+- a deterministic ~2% of (doc, clone) slots keep the text VERBATIM
+  (md5(doc_id*16+i) % 50 == 0): real corpora do carry cross-shard
+  exact duplicates, and the dedup family needs true positives that
+  span clones. Expected extra exact pairs ~0.19/doc — a bounded
+  constant per decade, not a quadratic blowup.
+- embeddings.embedding: clone i > 0 cyclically rotates the float
+  array by (7*i) % dim positions — exactly distribution-preserving
+  per clone, within-clone cosines unchanged (both operands rotate),
+  cross-clone cosines ~0. The same 2% verbatim flag (on vec_id)
+  plants true cross-clone duplicates.
+
+Timestamps and the other fact-table payloads are copied verbatim: the
+fixture measures VOLUME growth, not drift.
 
 Usage: python3 scripts/make_sf1.py [srcDir] [outDir]
 """
@@ -41,19 +75,60 @@ OFF = {
     'prt': mx('part', 'p_partkey'),
 }
 
-def clone(table, keyed_cols, plain_cols):
+LOWER = 'abcdefghijklmnopqrstuvwxyz'
+UPPER = LOWER.upper()
+DIGIT = '0123456789'
+
+def verbatim_flag(key_col, i):
+    """Deterministic ~2% of (row, clone) slots keep content verbatim."""
+    return (f"CAST('0x' || substr(md5(CAST({key_col} * 16 + {i} AS VARCHAR)),"
+            f" 1, 8) AS BIGINT) % 50 = 0")
+
+# Clone i (1..9) uses SHIFTS[i-1]: the nine letter-shifts whose
+# within-clone simhash-collision density is nearest the unshifted
+# corpus's 271,878 (see module docstring — density across all shifts
+# spans 95k..1.58M, pure hash-draw variance).
+SHIFTS = [21, 9, 12, 19, 1, 8, 24, 22, 11]
+
+def caesar(col, i):
+    """Per-clone rotation of letters and digits (the corpus has no
+    digit tokens today; rotating them keeps the zero-cross-overlap
+    property if that changes)."""
+    s = SHIFTS[i - 1] % 26
+    sd = SHIFTS[i - 1] % 10 or 3
+    to = (LOWER[s:] + LOWER[:s] + UPPER[s:] + UPPER[:s]
+          + DIGIT[sd:] + DIGIT[:sd])
+    return f"translate({col}, '{LOWER}{UPPER}{DIGIT}', '{to}')"
+
+def rotate(col, i, dim_expr):
+    s = (7 * i) % 64
+    return (f"list_concat({col}[{s + 1}:{dim_expr}], "
+            f"{col}[1:{s}])")
+
+def clone(table, keyed_cols, plain_cols, content=None):
+    """content: optional fn(i) -> list of SQL select items replacing
+    the plain columns for clone i (i=0 is always verbatim)."""
     sels = []
     for i in range(10):
         ks = ', '.join(f"{c} + {i} * {OFF[o]} AS {c}" for c, o in keyed_cols)
-        ps = ', '.join(plain_cols)
+        ps = ', '.join(plain_cols if (i == 0 or content is None)
+                       else content(i))
         sels.append(f"SELECT {ks}, {ps} FROM t")
     con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{src}/{table}.parquet')")
     con.execute(f"COPY ({' UNION ALL '.join(sels)}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"select count(*) from read_parquet('{out}/{table}.parquet')").fetchone()[0]
     print(f"{table}: {n}")
 
-clone('documents', [('doc_id', 'doc')], ['text', 'lang', 'source', 'n_chars'])
-clone('embeddings', [('vec_id', 'vec')], ['embedding', 'label'])
+clone('documents', [('doc_id', 'doc')], ['text', 'lang', 'source', 'n_chars'],
+      content=lambda i: [
+          f"CASE WHEN {verbatim_flag('doc_id', i)} THEN text "
+          f"ELSE {caesar('text', i)} END AS text",
+          'lang', 'source', 'n_chars'])
+clone('embeddings', [('vec_id', 'vec')], ['embedding', 'label'],
+      content=lambda i: [
+          f"CASE WHEN {verbatim_flag('vec_id', i)} THEN embedding "
+          f"ELSE {rotate('embedding', i, 'len(embedding)')} END AS embedding",
+          'label'])
 clone('events', [('event_id', 'evt'), ('user_id', 'usr')],
       ['ts', 'event_type', 'value', 'props'])
 clone('orders', [('o_orderkey', 'ord'), ('o_custkey', 'cst')],

@@ -32,7 +32,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanHygieneSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val dir = "/root/testdata/sf0.001"
+  // sf0.1 (round-11 change, was sf0.001): the gate executes the
+  // registry at the LARGEST committed testdata scale so the AQE final
+  // plans it inspects are the ones real data produces — at sf0.001
+  // every join broadcasts and a shape regression that only appears
+  // past the toy scale is invisible. Counter-example controls below
+  // keep sf0.001 (shape-only, scale-irrelevant).
+  private val dir =
+    sys.env.getOrElse("GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.1")
 
   /** Registry queries whose global windows run over bounded
     * intermediates — each entry names the bound. Additions need the
@@ -137,11 +144,57 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("the global-window detector fires on a seeded counter-example") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("b", ntile(64).over(Window.orderBy("event_id")))
     df.collect()
     assert(offenses(df).contains("GlobalWindow"),
       "detector must see the single-partition window q108 used to plan")
+  }
+
+  /** Broadcast-vs-sort-merge contracts at sf1 — the scale where the
+    * 10 MB threshold is a real decision (committed testdata never
+    * crosses it; PLANS.md's scale matrix shows every join broadcast
+    * at sf0.1). Three named contracts, each the signature of a
+    * different regression class:
+    *  - q05: the BOUNDED dimension side must STAY broadcast — a flip
+    *    to sort-merge means a lost hint or a stats regression
+    *    shuffling the probe side for nothing;
+    *  - q04: both sides GROW with data, so sort-merge is the correct
+    *    asymptote — a broadcast here means Spark is materializing a
+    *    growing side on every executor (OOM at 100 TB);
+    *  - q47: the IVF codebook rides the plan (BroadcastNestedLoop for
+    *    the bounded centroid frames) and the N-row side must never
+    *    shuffle for assignment — SMJ appearing means the codebook
+    *    seam regressed to a join.
+    * Runs only when the scripts/make_sf1.py fixture exists (the
+    * driver environment always builds it for the sf1 sweeps).
+    */
+  test("sf1 join-strategy contracts: bounded sides broadcast, growing sides sort-merge") {
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/tmp/graft_sf1")),
+      "sf1 fixture not built (scripts/make_sf1.py)")
+    def strategies(name: String): Map[String, Int] = {
+      val df = queries.Registry.byName(name).fn(spark, "/tmp/graft_sf1")
+      df.collect()
+      val nodes = collectAll(df.queryExecution.executedPlan)
+      Map(
+        "BHJ" -> nodes.count(_.nodeName.contains("BroadcastHashJoin")),
+        "SMJ" -> nodes.count(_.nodeName.contains("SortMergeJoin")),
+        "BNLJ" -> nodes.count(_.nodeName.contains("BroadcastNestedLoop")))
+    }
+    // counts are over the deduplicated node tree (a reused broadcast
+    // exchange appears once), so the contracts are ≥1 presence plus
+    // zero-of-the-wrong-strategy — the regression signal, not an
+    // exact operator census
+    val q05 = strategies("q05_broadcast_join")
+    assert(q05("BHJ") >= 1 && q05("SMJ") == 0,
+      s"q05's bounded dims lost their broadcast at sf1: $q05")
+    val q04 = strategies("q04_search_join")
+    assert(q04("SMJ") >= 1 && q04("BHJ") == 0,
+      s"q04's growing sides must sort-merge at sf1, not broadcast: $q04")
+    val q47 = strategies("q47_ann_ivf")
+    assert(q47("SMJ") == 0 && q47("BNLJ") >= 1,
+      s"q47's codebook must ride the plan, never shuffle the N side: $q47")
   }
 
   test("allowlisted names exist in the registry") {

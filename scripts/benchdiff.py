@@ -53,16 +53,18 @@ print(f"total over {len(rows)} common queries: {tot_old:.2f}s -> "
 
 regs = [r for r in rows if r[0] > thresh]
 label = "normalized" if host else "raw"
+def line(q, a, b, raw, norm):
+    base = f"  {q}: {a:.3f}s -> {b:.3f}s raw {raw:.2f}x"
+    return base + (f" normalized {norm:.2f}x" if host else "")
+
 if regs:
     print(f"\n{label} regressions > {thresh}x:")
     for norm, raw, a, b, q in regs:
-        print(f"  {q}: {a:.3f}s -> {b:.3f}s raw {raw:.2f}x "
-              f"{label} {norm:.2f}x")
+        print(line(q, a, b, raw, norm))
 else:
     print(f"no {label} regression exceeds {thresh}x")
 imps = [r for r in rows if r[0] < 1 / thresh]
 if imps:
     print(f"\n{label} improvements < {1/thresh:.2f}x:")
     for norm, raw, a, b, q in sorted(imps):
-        print(f"  {q}: {a:.3f}s -> {b:.3f}s raw {raw:.2f}x "
-              f"{label} {norm:.2f}x")
+        print(line(q, a, b, raw, norm))

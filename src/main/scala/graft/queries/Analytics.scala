@@ -265,8 +265,16 @@ object Analytics {
     * report the true overcount). w=16 < |vocab|=31 is deliberately
     * undersized so collisions actually exercise the min-estimator —
     * with w ≥ 2/ε the same plan gives εN-accurate counts. All
-    * arithmetic is integer (md5-derived h32, counts, min), so the
+    * arithmetic is integer (md5-derived halves, counts, min), so the
     * oracle replays the grid bit-for-bit.
+    *
+    * Hash cost: the d row hashes are the Kirsch–Mitzenmacher
+    * construction h_i = h1 + i·h2 ("Less Hashing, Same Performance",
+    * 2006) over the two 32-bit HALVES of ONE md5 digest per
+    * occurrence — the sf1 stage profile showed the original
+    * 4-independent-md5 variant spending 94% of the query in that one
+    * scan stage (md5 per (occurrence, seed)); same estimator
+    * guarantees, one digest per row.
     */
   private val q100CmsSketch = Q(
     "q100_cms_sketch",
@@ -274,16 +282,24 @@ object Analytics {
       val toks = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
-      def bucket(seed: Int, w: org.apache.spark.sql.Column) =
-        pmod(h32(concat(lit(s"$seed:"), w)), lit(16L))
-      val cells = array((0 until 4).map(i => bucket(i, col("w"))): _*)
-      val cms = toks
-        .select(posexplode(cells).as(Seq("seed", "b")))
+      val hashed = toks.withColumn("dg", md5(col("w")))
+        .withColumn("h1", conv(substring(col("dg"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("dg"), 9, 8), 16, 10).cast("long"))
+      def cells(h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column) =
+        array((0 until 4).map(i =>
+          pmod(h1 + lit(i.toLong) * h2, lit(16L))): _*)
+      val cms = hashed
+        .select(posexplode(cells(col("h1"), col("h2"))).as(Seq("seed", "b")))
         .groupBy("seed", "b").agg(count(lit(1)).as("c"))
+      // exact counts need no per-occurrence hash: group first (31
+      // keys), digest the distinct tokens after the aggregate
       val probes = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("dg", md5(col("w")))
+        .withColumn("h1", conv(substring(col("dg"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("dg"), 9, 8), 16, 10).cast("long"))
       probes
         .select(col("w"), col("exact_cnt"),
-          posexplode(cells).as(Seq("seed", "b")))
+          posexplode(cells(col("h1"), col("h2"))).as(Seq("seed", "b")))
         .join(broadcast(cms), Seq("seed", "b"))
         .groupBy("w", "exact_cnt")
         .agg(min(col("c")).as("est_cnt"))
@@ -292,16 +308,19 @@ object Analytics {
         .orderBy("w")
     },
     Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-      tt AS (SELECT w FROM t WHERE len(w) > 0),
+      tt AS (SELECT w, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS h2
+             FROM t WHERE len(w) > 0),
       seeds(i) AS (VALUES (0), (1), (2), (3)),
-      cms AS (SELECT i, CAST('0x' || substr(md5(i || ':' || w), 1, 8) AS BIGINT) % 16 AS b,
-                count(*) AS c
+      cms AS (SELECT i, (h1 + i * h2) % 16 AS b, count(*) AS c
               FROM tt CROSS JOIN seeds GROUP BY 1, 2),
-      ex AS (SELECT w, count(*) AS exact_cnt FROM tt GROUP BY 1),
+      ex AS (SELECT w, count(*) AS exact_cnt,
+               CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS h2
+             FROM tt GROUP BY 1),
       pb AS (SELECT e.w, e.exact_cnt, min(c.c) AS est_cnt
              FROM ex e CROSS JOIN seeds s
-             JOIN cms c ON c.i = s.i
-               AND c.b = CAST('0x' || substr(md5(s.i || ':' || e.w), 1, 8) AS BIGINT) % 16
+             JOIN cms c ON c.i = s.i AND c.b = (e.h1 + s.i * e.h2) % 16
              GROUP BY 1, 2)
       SELECT w, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
       FROM pb ORDER BY w"""),

@@ -29,22 +29,31 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(3) === est - exact)
     }
     // differential: the distributed grid equals a single-threaded CMS
-    // built from the same tokens with the same md5-derived hashes
+    // built from the same tokens with the same Kirsch–Mitzenmacher
+    // hashes (h_i = h1 + i·h2 over the two 32-bit halves of one md5
+    // digest — the q100 construction)
+    def km(w: String): IndexedSeq[Int] = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      def half(off: Int) = java.lang.Long.parseLong(
+        dg.slice(off, off + 4).map(b => f"$b%02x").mkString, 16)
+      val (h1, h2) = (half(0), half(4))
+      (0 until 4).map(i => ((h1 + i * h2) % 16).toInt)
+    }
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .collect().map(_.getString(0))
     val grid = Array.fill(4, 16)(0L)
     toks.foreach { w =>
-      for (i <- 0 until 4)
-        grid(i)((graft.functions.Portable.h32s(s"$i:$w") % 16).toInt) += 1
+      val bs = km(w)
+      for (i <- 0 until 4) grid(i)(bs(i)) += 1
     }
     val exactCnt = toks.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
     rows.foreach { r =>
       val w = r.getString(0)
-      val naiveEst = (0 until 4)
-        .map(i => grid(i)((graft.functions.Portable.h32s(s"$i:$w") % 16).toInt))
-        .min
+      val bs = km(w)
+      val naiveEst = (0 until 4).map(i => grid(i)(bs(i))).min
       assert(r.getLong(2) === naiveEst, s"grid mismatch for $w")
       assert(r.getLong(1) === exactCnt(w))
     }

@@ -127,13 +127,21 @@ object Vectors {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), quantized.as("q"))
       .select(col("vec_id"), col("v"), norm2(col("v")).as("n2"),
         bitCols.reduce(_ + _).as("bucket"))
-    val a = vecs.select(col("bucket"), col("vec_id").as("src"),
-      col("v").as("va"), col("n2").as("na"))
-    val b = vecs.select(col("bucket"), col("vec_id").as("dst"),
-      col("v").as("vb"), col("n2").as("nb"))
-    val cand = a.join(b, "bucket").filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6)
+    // within-bucket candidates via the q89 shape: ONE corpus scan and
+    // ONE bucket-keyed exchange (groupBy + two pipelined generators),
+    // where the earlier a⋈b self-join scanned the corpus twice and
+    // shuffled BOTH sides' 64-dim vector payloads — the sf1 stage
+    // profile showed that join's two array-carrying exchanges as the
+    // dominant cost. collect_list is bounded by construction: the
+    // adaptive-bits sizing keeps buckets ~16-32 vectors.
+    val cells = vecs.groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("n2"))).as("ms"))
+    val cand = cells
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(dot(col("a.v"), col("b.v")) / sqrt(col("a.n2") * col("b.n2")), 6)
           .as("cos_sim"))
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
     val dir = cand.withColumn("rn", row_number().over(w))

@@ -505,17 +505,23 @@ object ScaleOps {
       // in SCALING.md
       val sigs = all.select(col("doc_id"),
         graft.functions.Hash32.blockSigCol(col("text")).as("sig"))
-      val blocks = sigs.select(col("doc_id"),
+      // the 60-bit signature won't fit beside the shadow-offset ids in
+      // one packed long (q152's move), so it rides bucketPairs as a
+      // (doc_id, sig) STRUCT key — struct `<` orders on doc_id first
+      // (unique), so pair order matches the oracle's doc_id order.
+      // One signature pass, one bucket exchange, ZERO verify-stage
+      // joins: the previous sa/sb join-backs re-derived the 60-block
+      // md5 signature over the whole corpus twice more (the sf1 stage
+      // profile's 6.3 s no-shuffle stage).
+      val blocks = sigs
+        .select(struct(col("doc_id"), col("sig")).as("id"),
           posexplode(array((0 to 3).map(j =>
             shiftright(col("sig"), 15 * j).bitwiseAND(lit(32767L))): _*)))
-        .toDF("doc_id", "blk", "bv")
-      val pairs = graft.ops.Dedup.bucketPairs(blocks, "doc_id", Seq("blk", "bv"))
+        .toDF("id", "blk", "bv")
+      graft.ops.Dedup.bucketPairs(blocks, "id", Seq("blk", "bv"))
         .distinct()
-      val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
-      val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
-      pairs.join(sa, "a_id").join(sb, "b_id")
-        .select(col("a_id"), col("b_id"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+        .select(col("a_id.doc_id").as("a_id"), col("b_id.doc_id").as("b_id"),
+          bit_count(col("a_id.sig").bitwiseXOR(col("b_id.sig"))).cast("long")
             .as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("a_id", "b_id")

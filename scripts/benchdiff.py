@@ -22,6 +22,10 @@ old = json.load(open(sys.argv[1]))
 new = json.load(open(sys.argv[2]))
 thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
 
+for path, art in ((sys.argv[1], old), (sys.argv[2], new)):
+    if not isinstance(art.get("queries"), dict):
+        sys.exit(f"{path}: no 'queries' map — not a bench artifact")
+
 host = None
 if "calib" in old and "calib" in new:
     host = new["calib"] / old["calib"]
@@ -42,6 +46,9 @@ for q in common:
     norm = raw / host if host else raw
     rows.append((norm, raw, a, b, q))
 rows.sort(reverse=True)
+if not rows:
+    sys.exit("no comparable queries between the two artifacts "
+             "(disjoint query sets, or every common entry errored)")
 
 tot_old = sum(r[2] for r in rows)
 tot_new = sum(r[3] for r in rows)

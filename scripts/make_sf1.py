@@ -100,8 +100,17 @@ def caesar(col, i):
           + DIGIT[sd:] + DIGIT[:sd])
     return f"translate({col}, '{LOWER}{UPPER}{DIGIT}', '{to}')"
 
+# Rotation shifts are modulo the ACTUAL embedding dim (asserted below,
+# after the connection opens): with a hardcoded %64 and dim < 64, any
+# shift >= dim makes col[s+1:dim] empty and col[1:s] the full list —
+# verbatim clones, silently reintroducing the quadratic cross-clone
+# duplicate artifact this fixture exists to remove. A shift of 0 has
+# the same effect, so dim must not divide 7*i for any clone (checked).
+EMB_DIM = None  # set in main flow once the connection is open
+
 def rotate(col, i, dim_expr):
-    s = (7 * i) % 64
+    s = (7 * i) % EMB_DIM
+    assert s != 0, f"rotate: shift 0 for clone {i} (dim {EMB_DIM}) would clone verbatim"
     return (f"list_concat({col}[{s + 1}:{dim_expr}], "
             f"{col}[1:{s}])")
 
@@ -118,6 +127,15 @@ def clone(table, keyed_cols, plain_cols, content=None):
     con.execute(f"COPY ({' UNION ALL '.join(sels)}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"select count(*) from read_parquet('{out}/{table}.parquet')").fetchone()[0]
     print(f"{table}: {n}")
+
+dims = con.execute(
+    f"select distinct len(embedding) from read_parquet('{src}/embeddings.parquet')"
+).fetchall()
+assert dims == [(64,)], (
+    f"embedding dim changed ({dims}): re-check the rotate() shifts (7*i % dim "
+    "must be nonzero for i in 1..9) and re-run the shift-density scan that "
+    "pinned SHIFTS before trusting this fixture")
+EMB_DIM = dims[0][0]
 
 clone('documents', [('doc_id', 'doc')], ['text', 'lang', 'source', 'n_chars'],
       content=lambda i: [

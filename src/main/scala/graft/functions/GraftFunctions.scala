@@ -17,10 +17,25 @@ object GraftFunctions {
       clazz: Class[_],
       arity: Int,
       builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    descRange(name, clazz, arity, arity, builder)
+
+  /** Like [[desc]] but with an optional trailing argument range
+    * (`rh_band_keys(v)` vs `rh_band_keys(v, ppb)`).
+    */
+  private def descRange(
+      name: String,
+      clazz: Class[_],
+      minArity: Int,
+      maxArity: Int,
+      builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
     val checked = (exprs: Seq[Expression]) => {
-      require(exprs.length == arity,
-        s"$name expects $arity argument(s), got ${exprs.length}")
+      require(exprs.length >= minArity && exprs.length <= maxArity,
+        if (minArity == maxArity)
+          s"$name expects $minArity argument(s), got ${exprs.length}"
+        else
+          s"$name expects $minArity to $maxArity arguments, got ${exprs.length}")
       builder(exprs)
     }
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), checked)
@@ -49,7 +64,10 @@ object GraftFunctions {
       es => MeshFor(es.head, literalInt(es(1), "mesh_for"))),
     desc("dot_product", classOf[DotProduct], 2, es => DotProduct(es.head, es(1))),
     desc("squared_norm", classOf[SquaredNorm], 1, es => SquaredNorm(es.head)),
-    desc("rh_band_keys", classOf[RhBandKeys], 1, es => RhBandKeys(es.head)),
+    descRange("rh_band_keys", classOf[RhBandKeys], 1, 2,
+      es => RhBandKeys(es.head,
+        if (es.length > 1) literalInt(es(1), "rh_band_keys")
+        else RhOps.minPlanesPerBand)),
     desc("rct_class", classOf[graft.domain.RctClass], 1,
       es => graft.domain.RctClass(es.head)))
 

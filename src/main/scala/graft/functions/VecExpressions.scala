@@ -64,16 +64,48 @@ object VecOps {
   */
 object RhOps {
   val bands = 4
-  val planesPerBand = 8
   val dim = 64
-  private val nPlanes = bands * planesPerBand
 
-  /** ±1 sign matrix, same formula as the DuckDB oracle regenerates. */
+  /** Historical fixed band width, retained as the adaptive FLOOR (all
+    * committed testdata scales resolve to it, so their results are
+    * byte-identical to the fixed-width era) and as the 1-arg SQL
+    * default.
+    */
+  val minPlanesPerBand = 8
+
+  /** 2^24 keys per band bounds the Int band key and is already far
+    * past any single band's useful resolution (16 M buckets/band).
+    */
+  val maxPlanesPerBand = 24
+  private val maxPlanes = bands * maxPlanesPerBand
+
+  /** Planes per band sized from the corpus count so each band's
+    * 2^ppb key space keeps expected bucket size ~16 at ANY N:
+    * ppb = clamp(floor(log2(N/16)), 8, 24) — the same integer
+    * bit-length arithmetic as q169's adaptiveBits, so a DuckDB oracle
+    * replays it exactly as
+    * `least(24, greatest(8, length(printf('%b', N // 16)) - 1))`.
+    * A FIXED width makes expected candidate pairs grow N²/2^ppb per
+    * band — the fixed-width quadratic class rounds 9–11 eliminated
+    * everywhere else (q169 adaptiveBits, q239 adaptive prefix, q47
+    * adaptive codebooks); this closes its last member (q25).
+    */
+  def planesFor(n: Long): Int =
+    math.min(maxPlanesPerBand,
+      math.max(minPlanesPerBand, 63 - java.lang.Long.numberOfLeadingZeros(n / 16)))
+
+  /** ±1 sign matrix over the MAXIMUM plane domain (96 planes); a run
+    * with ppb planes per band uses planes 0 until bands·ppb — the
+    * weight depends only on the GLOBAL plane index p, exactly the
+    * md5("p_i") formula the oracle regenerates, so one table serves
+    * every width.
+    */
   lazy val weights: Array[Array[Int]] =
-    Array.tabulate(nPlanes)(p =>
+    Array.tabulate(maxPlanes)(p =>
       Array.tabulate(dim)(i0 => if (Portable.h32s(s"${p}_${i0 + 1}") % 2 == 1) 1 else -1))
 
-  def bandKeys(a: ArrayData): ArrayData = {
+  def bandKeys(a: ArrayData, planesPerBand: Int): ArrayData = {
+    val nPlanes = bands * planesPerBand
     val out = new Array[Int](bands)
     val n = a.numElements()
     var usable = n == dim
@@ -96,22 +128,30 @@ object RhOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  def bandKeysCol(a: Column): Column =
-    GraftShim.column(RhBandKeys(GraftShim.expression(a)))
+  def bandKeysCol(a: Column, planesPerBand: Int = minPlanesPerBand): Column =
+    GraftShim.column(RhBandKeys(GraftShim.expression(a), planesPerBand))
 }
 
-/** Band-key array (one int key per LSH band) for a vector column. */
-case class RhBandKeys(child: Expression) extends UnaryExpression {
+/** Band-key array (one int key per LSH band) for a vector column;
+  * `planesPerBand` parameterizes the band width (a plan-time constant
+  * derived from the corpus count via [[RhOps.planesFor]], baked into
+  * the generated code — it is NOT per-row data).
+  */
+case class RhBandKeys(
+    child: Expression,
+    planesPerBand: Int = RhOps.minPlanesPerBand) extends UnaryExpression {
+  require(planesPerBand >= 1 && planesPerBand <= RhOps.maxPlanesPerBand,
+    s"rh_band_keys: planesPerBand must be in [1, ${RhOps.maxPlanesPerBand}], got $planesPerBand")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def prettyName: String = "rh_band_keys"
 
   override protected def nullSafeEval(input: Any): Any =
-    RhOps.bandKeys(input.asInstanceOf[ArrayData])
+    RhOps.bandKeys(input.asInstanceOf[ArrayData], planesPerBand)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RhOps.bandKeys($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RhOps.bandKeys($c, $planesPerBand)")
 
   override protected def withNewChildInternal(newChild: Expression): RhBandKeys =
     copy(child = newChild)

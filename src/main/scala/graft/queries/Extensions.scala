@@ -168,7 +168,7 @@ object Extensions {
       val (seedMod, sampleMod) =
         graft.search.IvfKmeans.adaptiveParams(e.count())
       graft.search.IvfKmeans
-        .train(e, centroidMod = seedMod.toInt, iters = 2,
+        .train(e, centroidMod = seedMod, iters = 2,
           sampleMod = sampleMod)
         .orderBy("cell", "dim")
     },

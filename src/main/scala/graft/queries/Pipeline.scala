@@ -192,23 +192,32 @@ object Pipeline {
       FROM bits GROUP BY 1 ORDER BY 1"""))
 
   /** Embedding-cosine near-dup pairs (pipeline op), blocked by
-    * random-hyperplane LSH bands (4 bands × 8 planes — the scale-safe
-    * replacement for the round-1 label blocking, which was
-    * O(n²/|labels|)). Band keys are computed map-side; candidates = vectors sharing any band key;
-    * exact cosine verifies candidates only. Work is proportional to
-    * bucket sizes — never all-pairs — and buckets split exponentially
-    * in the number of planes per band.
+    * random-hyperplane LSH bands — 4 bands × ADAPTIVE planes per band
+    * ([[graft.functions.RhOps.planesFor]]: ppb = clamp(floor(log2(
+    * N/16)), 8, 24), so each band's 2^ppb key space keeps expected
+    * bucket size ~16 at ANY corpus size). A fixed width made expected
+    * candidate pairs grow N²/2^ppb per band — the last member of the
+    * fixed-width quadratic class (q169's adaptiveBits closed the
+    * sibling); the width is derived from the parquet count exactly as
+    * the oracle's prm CTE re-derives it, so both engines block
+    * identically at every scale. Band keys are computed map-side;
+    * candidates = vectors sharing any band key; exact cosine verifies
+    * candidates only. Work is proportional to bucket sizes — never
+    * all-pairs. At 100 TB the width grows with N (more, smaller
+    * buckets); multi-probe buys back the recall narrower buckets cost
+    * (q267 measures that recall at the adaptive width).
     */
   private val q25NeardupCosine = Q(
     "q25_neardup_cosine",
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      // all 32 hyperplane bits + 4 band keys in one codegen'd pass
+      val ppb = graft.functions.RhOps.planesFor(Tables.embeddings(s, d).count())
+      // all 4·ppb hyperplane bits + 4 band keys in one codegen'd pass
       // (graft.functions.RhBandKeys; md5-derived ±1 weights identical
       // to what the oracle regenerates)
       val keys = e.select(col("vec_id"),
-          posexplode(graft.functions.RhOps.bandKeysCol(col("v"))))
+          posexplode(graft.functions.RhOps.bandKeysCol(col("v"), ppb)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bkey")
       val cand = graft.ops.Dedup
@@ -223,17 +232,20 @@ object Pipeline {
         .filter(col("cos_sim") >= 0.35)
         .orderBy("a_id", "b_id")
     },
-    Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    Some("""WITH prm AS (SELECT least(24, greatest(8,
+          length(printf('%b', count(*) // 16)) - 1)) AS ppb FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       w AS (SELECT p, i,
           CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 1
                THEN 1 ELSE -1 END AS w
-          FROM range(0, 32) t(p), range(1, 65) u(i)),
+          FROM range(0, 96) t(p), range(1, 65) u(i)
+          WHERE p < 4 * (SELECT ppb FROM prm)),
       bits AS (SELECT vec_id, p,
           CASE WHEN sum(CAST(floor(x * 1e9) AS BIGINT) * w) >= 0 THEN 1 ELSE 0 END AS bit
           FROM el JOIN w ON el.i = w.i GROUP BY 1, 2),
-      keys AS (SELECT vec_id, p // 8 AS band,
-          sum(bit * CAST(pow(2, p % 8) AS BIGINT)) AS bkey
+      keys AS (SELECT vec_id, p // (SELECT ppb FROM prm) AS band,
+          sum(bit * CAST(pow(2, p % (SELECT ppb FROM prm)) AS BIGINT)) AS bkey
           FROM bits GROUP BY 1, 2),
       cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
           FROM keys x JOIN keys y

@@ -70,7 +70,7 @@ object IvfKmeans {
     * assignment that produced it (an empty cell keeps its
     * seed/previous centroid and reports 0 members).
     */
-  def train(e: DataFrame, centroidMod: Int, iters: Int,
+  def train(e: DataFrame, centroidMod: Long, iters: Int,
       maxK: Int = Int.MaxValue, sampleMod: Long = 1L): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -82,7 +82,15 @@ object IvfKmeans {
     // seeds, ascending by vec_id so the argmin tie-break is the
     // smallest centroid id; the id bound keeps the seed predicate a
     // pure scan filter (oracle-mirrorable), no limit/order needed
-    val seedBound = centroidMod.toLong * maxK + 1
+    // centroidMod is Long end-to-end: adaptiveParams' seedMod is
+    // N/K, and truncating it through Int past N > K·2^31 would
+    // silently diverge the Spark seed set from the oracle's
+    // prm-derived seedmod (a wrong answer, not an error). Saturate
+    // the bound instead of overflowing it.
+    val seedBound = {
+      val p = BigInt(centroidMod) * maxK + 1
+      if (p > Long.MaxValue) Long.MaxValue else p.toLong
+    }
     val seeds = qAll.filter(col("vec_id") % centroidMod === 1 &&
         col("vec_id") < seedBound)
       .orderBy(col("vec_id"))

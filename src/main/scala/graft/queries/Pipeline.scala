@@ -261,6 +261,99 @@ object Pipeline {
       ORDER BY 1, 2"""),
     bench = true)
 
+  /** q267: LSH RECALL AUDIT for the hyperplane-bucket family — the
+    * measured counterpart of the "multi-probe buys recall back"
+    * assertion the adaptive sizing (q25's [[graft.functions.RhOps
+    * .planesFor]], q169's adaptiveBits) rests on. Ground truth NEEDS
+    * exhaustive pairs, so the cost knob is a DETERMINISTIC BOUNDED
+    * SAMPLE (vec_id % max(1, N/256) == 0, ~256–512 vectors at any N):
+    * exhaustive round-6 cosine within the sample defines the true
+    * near-dup pairs at q25's tau (0.35), and recall is the fraction
+    * of those pairs that share at least one band key at the
+    * FULL-CORPUS adaptive width ppb(N) — the width the production
+    * blocking would use, measured honestly as N (and with it ppb)
+    * grows. Completes the accuracy-audit family: q164 HLL, q179
+    * MinHash, q181 IVF, q267 hyperplane LSH.
+    *
+    * 100 TB shape: the sample is O(1) by construction (one scan-side
+    * modulo filter), truth is a broadcast self-pairing of ≤512 rows,
+    * band keys are one codegen'd map-side pass over the sample — no
+    * stage touches more than the sample. LshRecallSpec pins the
+    * measured recall floor at sf0.1 (and sf1 when the fixture is
+    * present).
+    */
+  private val q267LshRecall = Q(
+    "q267_lsh_recall",
+    (s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val ppb = graft.functions.RhOps.planesFor(n)
+      val smod = math.max(1L, n / 256)
+      val sample = Tables.embeddings(s, d)
+        .filter(col("vec_id") % smod === 0)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val scored = sample.select(col("vec_id").as("a_id"), col("v").as("va"))
+        .crossJoin(broadcast(
+          sample.select(col("vec_id").as("b_id"), col("v").as("vb"))))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(dot(col("va"), col("vb")) /
+            sqrt(norm2(col("va")) * norm2(col("vb"))), 6).as("cos_sim"))
+      val truth = scored.filter(col("cos_sim") >= 0.35).select("a_id", "b_id")
+      val keys = sample.select(col("vec_id"),
+          posexplode(graft.functions.RhOps.bandKeysCol(col("v"), ppb)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bkey")
+      val cand = graft.ops.Dedup
+        .bucketPairs(keys, "vec_id", Seq("band", "bkey"))
+        .distinct()
+      val tn = truth.agg(count(lit(1)).as("n_true"))
+      val hn = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val sn = sample.agg(count(lit(1)).as("n_sample"))
+      tn.crossJoin(broadcast(hn)).crossJoin(broadcast(sn))
+        .select(lit(n).as("n_vecs"), lit(ppb.toLong).as("ppb"),
+          col("n_sample"), col("n_true"), col("n_hit"))
+        .withColumn("recall_e6", expr(
+          "CASE WHEN n_true = 0 THEN NULL ELSE (n_hit * 1000000) DIV n_true END"))
+    },
+    Some("""WITH prm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          least(24, greatest(8, length(printf('%b', count(*) // 16)) - 1)) AS ppb,
+          greatest(1, count(*) // 256) AS smod FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        WHERE vec_id % (SELECT smod FROM prm) = 0),
+      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
+      dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dp
+        FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      truth AS (SELECT a_id, b_id FROM dp
+        JOIN nrm na ON na.vec_id = a_id JOIN nrm nb ON nb.vec_id = b_id
+        WHERE round(dp / sqrt(na.n2 * nb.n2), 6) >= 0.35),
+      w AS (SELECT p, i,
+          CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 1
+               THEN 1 ELSE -1 END AS w
+          FROM range(0, 96) t(p), range(1, 65) u(i)
+          WHERE p < 4 * (SELECT ppb FROM prm)),
+      bits AS (SELECT vec_id, p,
+          CASE WHEN sum(CAST(floor(x * 1e9) AS BIGINT) * w) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM el JOIN w ON el.i = w.i GROUP BY 1, 2),
+      keys AS (SELECT vec_id, p // (SELECT ppb FROM prm) AS band,
+          sum(bit * CAST(pow(2, p % (SELECT ppb FROM prm)) AS BIGINT)) AS bkey
+          FROM bits GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM keys x JOIN keys y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+      hit AS (SELECT t.a_id FROM truth t JOIN cand c
+          ON t.a_id = c.a_id AND t.b_id = c.b_id)
+      SELECT (SELECT n FROM prm) AS n_vecs,
+        (SELECT ppb FROM prm) AS ppb,
+        (SELECT CAST(count(*) AS BIGINT) FROM nrm) AS n_sample,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+        (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+        CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+             ELSE ((SELECT count(*) FROM hit) * 1000000)
+                  // (SELECT count(*) FROM truth) END AS recall_e6"""),
+    bench = true)
+
   /** Brute-force cosine top-k ANN (pipeline op: similarity search
     * baseline; J6 in the reference = Annoy). The 1-row query side is
     * broadcast; scan-side work is embarrassingly parallel; top-k is
@@ -632,5 +725,5 @@ object Pipeline {
     q21DedupExact, q22NgramJaccard, q23MinhashLsh, q24Simhash,
     q25NeardupCosine, q26AnnTopk, q27LangId, q28QualityScore,
     q29TokenStats, q30Fingerprint, q66EmbedSeam, q145SparseCosine,
-    q266DedupSkew)
+    q266DedupSkew, q267LshRecall)
 }

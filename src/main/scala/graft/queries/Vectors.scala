@@ -116,6 +116,21 @@ object Vectors {
   private def adaptiveBits(n: Long): Int =
     math.min(16, math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(n / 16)))
 
+  /** Bucket-size cap for the kNN-graph candidate generator:
+    * adaptiveBits tops out at 16 bits, so past N ≈ 2^20 the AVERAGE
+    * bucket grows as N/65536, and a skewed or degenerate sign pattern
+    * can concentrate a hot bucket at any N — the collect_list buffer
+    * and the quadratic pair fan-out are only bounded while buckets
+    * are. Buckets past the cap are dropped from candidate generation
+    * (the [[graft.ops.Dedup.bucketPairs]] maxBucket move: an
+    * oversized hyperplane bucket is a degenerate direction whose
+    * recall multi-probe serves better than quadratic pairing); the
+    * oracle replays the same cap, so both engines block identically
+    * if it ever binds. At the committed scales buckets are ~16–32 —
+    * the cap is dormant, present for the 100 TB shape.
+    */
+  private val maxKnnBucket = 4096
+
   private[queries] def mutualKnnEdges(s: SparkSession, d: String): DataFrame = {
     val dim = embDim(s, d)
     val nBits = adaptiveBits(Tables.embeddings(s, d).count())
@@ -132,10 +147,13 @@ object Vectors {
     // where the earlier a⋈b self-join scanned the corpus twice and
     // shuffled BOTH sides' 64-dim vector payloads — the sf1 stage
     // profile showed that join's two array-carrying exchanges as the
-    // dominant cost. collect_list is bounded by construction: the
-    // adaptive-bits sizing keeps buckets ~16-32 vectors.
+    // dominant cost. The adaptive-bits sizing keeps buckets ~16-32 up
+    // to N≈2^20; past that (and under degenerate sign skew at any N)
+    // [[maxKnnBucket]] drops the oversized bucket before the pair
+    // fan-out, oracle-replayed.
     val cells = vecs.groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("v"), col("n2"))).as("ms"))
+      .filter(size(col("ms")) <= maxKnnBucket)
     val cand = cells
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
@@ -167,7 +185,7 @@ object Vectors {
     * cos_sim)`). Bucketing is integer-exact; cosine follows the q26
     * float-then-round-6 oracle pattern. */
   private[queries] val knnEdgesCte: String =
-    """bprm AS (SELECT least(16, greatest(4,
+    s"""bprm AS (SELECT least(16, greatest(4,
           length(printf('%b', count(*) // 16)) - 1)) AS bb FROM embeddings),
       el AS (SELECT vec_id,
           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
@@ -188,8 +206,10 @@ object Vectors {
       ed AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM ed GROUP BY 1),
+      bsz AS (SELECT bucket, count(*) AS bn FROM bk GROUP BY 1),
       cand AS (SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        JOIN bsz s ON s.bucket = a.bucket AND s.bn <= $maxKnnBucket),
       dp AS (SELECT c.src, c.dst, sum(ea.x * eb.x) AS dp
         FROM cand c JOIN ed ea ON ea.vec_id = c.src
         JOIN ed eb ON eb.vec_id = c.dst AND ea.i = eb.i

@@ -197,6 +197,59 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"q47's codebook must ride the plan, never shuffle the N side: $q47")
   }
 
+  /** The WHOLE join-strategy scale matrix, gated — not just the three
+    * named contracts above. PLANS.md's matrix is the committed
+    * expectation; this test re-executes every bench-set query at sf1
+    * and compares the BHJ/SMJ/SHJ/BNLJ census with the SAME counting
+    * the generator uses (regex over the AQE-final executedPlan text,
+    * Plans.joinCounts), so ANY silent strategy flip — a lost broadcast
+    * hint, a stats regression, a Spark-upgrade re-plan — fails here
+    * instead of being quietly rewritten into the matrix on the next
+    * regeneration. A legitimate plan change is committed by
+    * regenerating PLANS.md (runMain Plans with the fixture present)
+    * in the SAME change, which is what makes the flip reviewable.
+    */
+  test("sf1 join-strategy census matches the committed PLANS.md matrix for every bench query") {
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/tmp/graft_sf1")),
+      "sf1 fixture not built (scripts/make_sf1.py)")
+    val plansPath = java.nio.file.Paths.get("PLANS.md")
+    assume(java.nio.file.Files.exists(plansPath), "PLANS.md not present")
+    val text = java.nio.file.Files.readString(plansPath)
+    val rowRe =
+      """\|\s*(q\w+)\s*\|\s*\d+/\d+/\d+/\d+\s*\|\s*(\d+)/(\d+)/(\d+)/(\d+)\s*\|""".r
+    val committed: Map[String, (Int, Int, Int, Int)] =
+      rowRe.findAllMatchIn(text).map(m => m.group(1) ->
+        ((m.group(2).toInt, m.group(3).toInt,
+          m.group(4).toInt, m.group(5).toInt))).toMap
+    assume(committed.nonEmpty,
+      "PLANS.md carries no sf1 matrix column — regenerate with the fixture present")
+    def fmt(t: (Int, Int, Int, Int)) = s"${t._1}/${t._2}/${t._3}/${t._4}"
+    val problems = queries.Registry.benchSet.flatMap { q =>
+      committed.get(q.name) match {
+        case None =>
+          Some(s"${q.name}: not in the committed matrix (regenerate PLANS.md)")
+        case Some(want) =>
+          val df = q.fn(spark, "/tmp/graft_sf1")
+          df.collect()
+          val s = df.queryExecution.executedPlan.toString
+          def c(p: String) = p.r.findAllIn(s).length
+          val got = (c("BroadcastHashJoin"), c("SortMergeJoin"),
+            c("ShuffledHashJoin"), c("BroadcastNestedLoop"))
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          if (got != want)
+            Some(s"${q.name}: committed BHJ/SMJ/SHJ/BNLJ ${fmt(want)} vs executed ${fmt(got)}")
+          else None
+      }
+    }
+    assert(problems.isEmpty,
+      s"sf1 join-strategy census diverged from the committed matrix:\n  " +
+        problems.mkString("\n  ") +
+        "\n(a deliberate plan change must regenerate PLANS.md in the same change)")
+  }
+
   test("allowlisted names exist in the registry") {
     val names = queries.Registry.all.map(_.name).toSet
     val ghosts = boundedGlobalWindows.keySet.filterNot(names)

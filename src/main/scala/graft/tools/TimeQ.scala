@@ -6,9 +6,10 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (n <- args) {
       val q = graft.queries.Registry.byName(n)
-      val df = q.fn(spark, "/root/testdata/sf0.1")
+      val df = q.fn(spark, sfDir)
       df.selectExpr("sum(xxhash64(struct(*)))").collect()  // warm
       val t0 = System.nanoTime()
       df.selectExpr("sum(xxhash64(struct(*)))").collect()

@@ -114,6 +114,19 @@ def rotate(col, i, dim_expr):
     return (f"list_concat({col}[{s + 1}:{dim_expr}], "
             f"{col}[1:{s}])")
 
+# Row-group sizes for the SMALL-but-scan-heavy tables. DuckDB's default
+# row group (122,880 rows) puts all 50k documents / 20k embeddings into
+# ONE group, and a single-row-group parquet file is unsplittable — every
+# Spark scan of it runs as ONE task no matter how
+# spark.sql.files.maxPartitionBytes is set. That serialized the whole
+# text-scan family at sf1 (round-12 finding: q72's dominant stage had
+# task time == wall; re-chunking + 256 KB splits took it 3.9 -> 0.9 s).
+# ~2k-row groups give documents ~25 / embeddings ~10 independently
+# readable chunks — the single-file stand-in for the many-file layout
+# any real corpus has. Fact tables with millions of rows already span
+# enough default-size groups to split.
+ROW_GROUPS = {'documents': 2048, 'embeddings': 1024}
+
 def clone(table, keyed_cols, plain_cols, content=None):
     """content: optional fn(i) -> list of SQL select items replacing
     the plain columns for clone i (i=0 is always verbatim)."""
@@ -123,8 +136,9 @@ def clone(table, keyed_cols, plain_cols, content=None):
         ps = ', '.join(plain_cols if (i == 0 or content is None)
                        else content(i))
         sels.append(f"SELECT {ks}, {ps} FROM t")
+    rg = f", ROW_GROUP_SIZE {ROW_GROUPS[table]}" if table in ROW_GROUPS else ""
     con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{src}/{table}.parquet')")
-    con.execute(f"COPY ({' UNION ALL '.join(sels)}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({' UNION ALL '.join(sels)}) TO '{out}/{table}.parquet' (FORMAT PARQUET{rg})")
     n = con.execute(f"select count(*) from read_parquet('{out}/{table}.parquet')").fetchone()[0]
     print(f"{table}: {n}")
 

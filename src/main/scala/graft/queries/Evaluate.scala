@@ -1023,7 +1023,13 @@ object Evaluate {
       val ints = aSh
         .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_int"))
-      pairs.join(ints, Seq("a_id", "b_id"), "left")
+      // merge-pinned: ints has one row per candidate PAIR, i.e. it
+      // GROWS with the corpus — broadcast is wrong at scale, and
+      // leaving the choice to AQE is wrong at any scale here because
+      // the runtime SMJ→BHJ conversion races stage scheduling
+      // (measured: 4 identical sf1 runs split 3/1 between the two
+      // strategies), which no exact plan census can gate
+      pairs.join(ints.hint("merge"), Seq("a_id", "b_id"), "left")
         .na.fill(0L, Seq("n_int"))
         .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
         .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")

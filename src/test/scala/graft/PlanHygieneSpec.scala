@@ -169,12 +169,34 @@ class PlanHygieneSpec extends AnyFunSuite {
     * Runs only when the scripts/make_sf1.py fixture exists (the
     * driver environment always builds it for the sf1 sweeps).
     */
+  /** Child session whose DECISION-RELEVANT conf matches the PLANS.md
+    * generator (`runMain Plans`: 32 shuffle partitions; the 256 KB
+    * split sizing is shared with TestSpark already): AQE's runtime
+    * SMJ→BHJ conversions read per-stage size stats that shift with
+    * the shuffle partition count — round 12's q213 conversion
+    * appears at 32 partitions but not at the suite's 4 — so an EXACT
+    * census must execute under the generator's partitioning. Core
+    * count (local[4] vs local[32]) enters no size decision and stays
+    * the suite's.
+    */
+  private lazy val sf1PlanSpark = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+    // pinned redundantly with TestSpark's builder: file-split packing
+    // divides table bytes by minPartitionNum (else by the CORE count),
+    // and a mismatch against the generator changes scan partitioning,
+    // partial-aggregate output sizes, and with them any borderline
+    // AQE join decision the census would then mis-gate
+    s.conf.set("spark.sql.files.minPartitionNum", "32")
+    s
+  }
+
   test("sf1 join-strategy contracts: bounded sides broadcast, growing sides sort-merge") {
     assume(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get("/tmp/graft_sf1")),
       "sf1 fixture not built (scripts/make_sf1.py)")
     def strategies(name: String): Map[String, Int] = {
-      val df = queries.Registry.byName(name).fn(spark, "/tmp/graft_sf1")
+      val df = queries.Registry.byName(name).fn(sf1PlanSpark, "/tmp/graft_sf1")
       df.collect()
       val nodes = collectAll(df.queryExecution.executedPlan)
       Map(
@@ -230,14 +252,14 @@ class PlanHygieneSpec extends AnyFunSuite {
         case None =>
           Some(s"${q.name}: not in the committed matrix (regenerate PLANS.md)")
         case Some(want) =>
-          val df = q.fn(spark, "/tmp/graft_sf1")
+          val df = q.fn(sf1PlanSpark, "/tmp/graft_sf1")
           df.collect()
           val s = df.queryExecution.executedPlan.toString
           def c(p: String) = p.r.findAllIn(s).length
           val got = (c("BroadcastHashJoin"), c("SortMergeJoin"),
             c("ShuffledHashJoin"), c("BroadcastNestedLoop"))
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
+          sf1PlanSpark.catalog.clearCache()
+          sf1PlanSpark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
           if (got != want)
             Some(s"${q.name}: committed BHJ/SMJ/SHJ/BNLJ ${fmt(want)} vs executed ${fmt(got)}")

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline query set on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":..., "queries":{...}}. The driver runs
@@ -24,32 +23,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      // Scale-adaptive scan splits: the corpora are single parquet FILES
-      // (64 KB..175 MB), so the default split floor (openCost 4 MB) runs
-      // whole-table scans as ONE task at these sizes. minPartitionNum=32
-      // makes Spark size splits to totalBytes/32 per scan (floored at
-      // 64 KB) — ~32 tasks for ANY table size, the local-mode stand-in
-      // for a many-file layout, without the fixed-small-split task-count
-      // blowup on larger tables. Row-group sizing in make_sf1.py makes
-      // the small sf1 tables actually splittable. Measured (TimeQ A/B):
-      // committed-scale walls are unchanged within noise, sf1 scan tails
-      // drop 3-4x (q72 3.8->1.0 s, q164 3.9->1.1 s, q23 3.5->1.0 s).
-      // On a real many-file cluster the defaults are correct.
-      // (minPartitionNum is explicit for clarity — at local[32] it
-      // also DEFAULTS to the core count; openCost is the active lever)
-      .config("spark.sql.files.minPartitionNum", "32")
-      .config("spark.sql.files.openCostInBytes", "65536")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = tools.GraftSession.local(logLevel = "WARN", appName = "graft-bench")
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the set for targeted probes
     // (e.g. the sf1 growth check) without touching the driver contract
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -23,29 +22,7 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      // Scale-adaptive scan splits: the corpora are single parquet FILES
-      // (64 KB..175 MB), so the default split floor (openCost 4 MB) runs
-      // whole-table scans as ONE task at these sizes. minPartitionNum=32
-      // makes Spark size splits to totalBytes/32 per scan (floored at
-      // 64 KB) — ~32 tasks for ANY table size, the local-mode stand-in
-      // for a many-file layout, without the fixed-small-split task-count
-      // blowup on larger tables. Row-group sizing in make_sf1.py makes
-      // the small sf1 tables actually splittable. Measured (TimeQ A/B):
-      // committed-scale walls are unchanged within noise, sf1 scan tails
-      // drop 3-4x (q72 3.8->1.0 s, q164 3.9->1.1 s, q23 3.5->1.0 s).
-      // On a real many-file cluster the defaults are correct.
-      .config("spark.sql.files.minPartitionNum", "32")
-      .config("spark.sql.files.openCostInBytes", "65536")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = tools.GraftSession.local(logLevel = "WARN", appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     // A query that throws writes no parquet, so the driver records no
     // CORRECTNESS row for it — absent rows read as "not sampled", which

@@ -7,13 +7,7 @@ object PlanQ {
     val (dirs, names) = args.partition(_.contains("/"))
     val sfDir = dirs.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.files.minPartitionNum", "32")
-      .config("spark.sql.files.openCostInBytes", "65536")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.tools.GraftSession.local(cores = "4", appName = "graft-planq")
     for (n <- names) {
       println(s"===== $n")
       graft.queries.Registry.byName(n).fn(spark, sfDir).explain("formatted")

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
 import scala.collection.mutable.ArrayBuffer
 
 /** Stage-level breakdown of a query run — which stages dominate the
@@ -18,27 +17,7 @@ import scala.collection.mutable.ArrayBuffer
 object StageProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      // Scale-adaptive scan splits: the corpora are single parquet FILES
-      // (64 KB..175 MB), so the default split floor (openCost 4 MB) runs
-      // whole-table scans as ONE task at these sizes. minPartitionNum=32
-      // makes Spark size splits to totalBytes/32 per scan (floored at
-      // 64 KB) — ~32 tasks for ANY table size, the local-mode stand-in
-      // for a many-file layout, without the fixed-small-split task-count
-      // blowup on larger tables. Row-group sizing in make_sf1.py makes
-      // the small sf1 tables actually splittable. Measured (TimeQ A/B):
-      // committed-scale walls are unchanged within noise, sf1 scan tails
-      // drop 3-4x (q72 3.8->1.0 s, q164 3.9->1.1 s, q23 3.5->1.0 s).
-      // On a real many-file cluster the defaults are correct.
-      .config("spark.sql.files.minPartitionNum", "32")
-      .config("spark.sql.files.openCostInBytes", "65536")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.local(cores = "32", appName = "graft-stage-profile")
 
     case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
       inputMB: Double, shWriteMB: Double, shReadMB: Double,

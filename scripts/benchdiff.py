@@ -25,13 +25,32 @@ thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
 for path, art in ((sys.argv[1], old), (sys.argv[2], new)):
     if not isinstance(art.get("queries"), dict):
         sys.exit(f"{path}: no 'queries' map — not a bench artifact")
+    for anchor in ("calib", "calib_parallel"):
+        v = art.get(anchor)
+        if v is not None and (not isinstance(v, (int, float))
+                              or isinstance(v, bool) or v <= 0):
+            sys.exit(f"{path}: '{anchor}' must be a positive number, "
+                     f"got {v!r} — corrupt or truncated bench artifact")
 
+# Prefer the PARALLEL anchor (round 13+): the serial one provably
+# misses multicore contention drift (round-12 same-host A/B: ~20%
+# suite movement at flat serial calib). Fall back to the serial
+# anchor for r11/r12 artifacts.
 host = None
-if "calib" in old and "calib" in new:
-    host = new["calib"] / old["calib"]
-    print(f"calib: old={old['calib']}s new={new['calib']}s "
+anchor_used = None
+for anchor in ("calib_parallel", "calib"):
+    if old.get(anchor) and new.get(anchor):
+        host = new[anchor] / old[anchor]
+        anchor_used = anchor
+        break
+if host is not None:
+    print(f"{anchor_used}: old={old[anchor_used]}s new={new[anchor_used]}s "
           f"host ratio={host:.3f}x (new host is "
           f"{'slower' if host > 1 else 'faster'})")
+    if anchor_used == "calib":
+        print("  (serial anchor only — blind to multicore contention "
+              "drift; suite-total movements may still need a same-host "
+              "A/B, see the verify skill's host-drift protocol)")
 else:
     print("NO-CALIB: at least one artifact predates the calib anchor; "
           "ratios below are RAW and include any host-speed drift")

@@ -59,41 +59,17 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
-    // HOST-SPEED CALIBRATION ANCHOR: a fixed, data-independent,
-    // single-threaded CPU+memory microbench recorded in every bench
-    // artifact as "calib". Round-over-round per-query comparisons on
-    // different hosts were previously un-normalizable (round 10 ran
-    // ~1.3x slower than round 9 host-wide and the verdict had to
-    // infer it from untouched queries); dividing two rounds' query
-    // medians by their calib ratio removes the host term. Shape: a
-    // 64M-iteration avalanche-mix loop (pure ALU) plus a scattered
-    // read-modify-write over a 2^20-entry long table (memory
-    // subsystem) — both workloads Spark's hash aggregates actually
-    // exercise; constant work, no allocation in the loop, accumulator
-    // escapes so the JIT cannot dead-code it. Median of 5 after one
-    // warm-up, same discipline as the queries.
-    def calibOnce(table: Array[Long]): (Double, Long) = {
-      val t0 = System.nanoTime()
-      var acc = 0L
-      var i = 0L
-      while (i < 64000000L) {
-        var h = i * 0x9E3779B97F4A7C15L
-        h ^= h >>> 32; h *= 0xC2B2AE3D27D4EB4FL; h ^= h >>> 29
-        acc += h
-        val slot = (h & 0xFFFFF).toInt
-        table(slot) += h | 1L
-        i += 1
-      }
-      ((System.nanoTime() - t0) / 1e9, acc + table(12345))
-    }
-    val calibTable = new Array[Long](1 << 20)
-    val calibSink = new java.util.concurrent.atomic.AtomicLong()
-    calibSink.addAndGet(calibOnce(calibTable)._2) // warm-up (unmeasured)
-    val calibTimes = (1 to 5).map { _ =>
-      val (t, a) = calibOnce(calibTable); calibSink.addAndGet(a); t
-    }.sorted
-    val calib = calibTimes(calibTimes.length / 2)
-    System.err.println(s"[bench] calib ${calib}s (sink ${calibSink.get})")
+    // HOST-SPEED CALIBRATION ANCHORS (graft.tools.Calib): "calib" is
+    // the round-11 single-threaded ALU+memory microbench (preserved
+    // bit-for-bit so r11/r12 artifacts stay comparable);
+    // "calib_parallel" is the round-13 32-thread variant that also
+    // sees multicore contention — the round-12 same-host A/B measured
+    // ~20% suite drift at FLAT serial calib, which only a parallel
+    // anchor can normalize away. benchdiff.py prefers calib_parallel
+    // when both artifacts carry it.
+    val (calib, calibPar, calibSink) = tools.Calib.measure()
+    System.err.println(
+      s"[bench] calib ${calib}s parallel ${calibPar}s (sink $calibSink)")
 
     val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     require(Runs >= 1,
@@ -158,7 +134,7 @@ object Bench {
     val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"queries":$qs,"spread":$spread,"runs":$Runs,"errors":$errors,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"calib_parallel":${r4(calibPar)},"queries":$qs,"spread":$spread,"runs":$Runs,"errors":$errors,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
@@ -177,7 +153,7 @@ object Bench {
     }
     require(shortQs.map(_.takeWhile(_ != ':')).distinct.length == shortQs.length,
       "short query ids collided — compact medians line would be ambiguous")
-    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"runs":$Runs,"sf":"$sfDir","errors":$errors,"queries":${shortQs.mkString("{", ",", "}")}}"""
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"calib_parallel":${r4(calibPar)},"runs":$Runs,"sf":"$sfDir","errors":$errors,"queries":${shortQs.mkString("{", ",", "}")}}"""
     println(compact)
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)

@@ -130,6 +130,98 @@ object RhOps {
 
   def bandKeysCol(a: Column, planesPerBand: Int = minPlanesPerBand): Column =
     GraftShim.column(RhBandKeys(GraftShim.expression(a), planesPerBand))
+
+  /** Band width when MULTI-PROBING (q25/q267): one plane wider than
+    * [[planesFor]] — multi-probe LSH's standing trade (Lv et al.,
+    * VLDB'07): probing neighbors substitutes for bucket width, so the
+    * probed operator runs narrower buckets (half the expected size)
+    * and lets the probe set supply the reach. Measured at sf1 on the
+    * LshProbe grid: (ppb+1, T=3·ppb/4) reaches the same ≥50%
+    * threshold-pair recall as (ppb, T=ppb·3/4) at ~35% fewer
+    * candidates. Oracle form: `least(24, prm.ppb + 1)`.
+    */
+  def probedPlanesFor(n: Long): Int =
+    math.min(maxPlanesPerBand, planesFor(n) + 1)
+
+  /** Probes per band for MULTI-PROBE candidate generation: T = 3·ppb/4
+    * (6 probes at the 9-plane probed floor, 18 at the 24-plane cap).
+    * The adaptive width keeps candidates linear by narrowing buckets
+    * as N grows, which COSTS recall on threshold-grazing pairs (q267
+    * measured 13.7% at ppb=8 falling to 4.4% at ppb=10 with no
+    * probes); probing the T lowest-|margin| neighboring band keys —
+    * the buckets a near-threshold neighbor most likely landed in —
+    * buys it back at a (1+T)² factor on the still-linear candidate
+    * count. T grows with ppb so the covered fraction of each band
+    * stays stable as the width schedule widens. Oracle form:
+    * `3 * ppb // 4`.
+    */
+  def probesFor(planesPerBand: Int): Int = 3 * planesPerBand / 4
+
+  /** Base band key PLUS the T nearest-neighboring keys per band — the
+    * keys whose single flipped plane has the smallest |margin|
+    * (|Σ floor(x_i·1e9)·w_pi| in the exact integer arithmetic of
+    * [[bandKeys]]), i.e. the buckets a threshold-grazing neighbor
+    * most likely landed in. DETERMINISTIC given the vector (margins
+    * are exact integers; ties break on the lower plane index), so a
+    * DuckDB oracle replays the probe set with a row_number() OVER
+    * (ORDER BY abs(acc), p) CTE. Layout: flat int array of
+    * bands·(1+T) keys, band b's keys at [b·(1+T), (b+1)·(1+T));
+    * a posexplode consumer recovers band = pos / (1+T). All 1+T keys
+    * within a band are distinct (each differs from the base in
+    * exactly one bit); an unusable vector (null element / length
+    * mismatch) yields all-zero keys exactly as [[bandKeys]] does.
+    */
+  def probedBandKeys(a: ArrayData, planesPerBand: Int, probes: Int): ArrayData = {
+    val width = probes + 1
+    val out = new Array[Int](bands * width)
+    val n = a.numElements()
+    var usable = n == dim
+    var i = 0
+    while (usable && i < n) { if (a.isNullAt(i)) usable = false; i += 1 }
+    if (usable) {
+      val scaled = new Array[Long](dim)
+      i = 0
+      while (i < dim) { scaled(i) = math.floor(a.getDouble(i) * 1e9).toLong; i += 1 }
+      val margins = new Array[Long](planesPerBand)
+      val used = new Array[Boolean](planesPerBand)
+      var b = 0
+      while (b < bands) {
+        var key = 0
+        var j = 0
+        while (j < planesPerBand) {
+          val w = weights(b * planesPerBand + j)
+          var acc = 0L
+          var k = 0
+          while (k < dim) { acc += scaled(k) * w(k); k += 1 }
+          if (acc >= 0) key |= (1 << j)
+          margins(j) = math.abs(acc)
+          used(j) = false
+          j += 1
+        }
+        out(b * width) = key
+        // T smallest (|margin|, plane) by selection — T and ppb are
+        // both ≤ 24, so the quadratic selection is ~300 compares, far
+        // below the 64·ppb multiply-adds above
+        var t = 0
+        while (t < probes) {
+          var best = -1
+          var j2 = 0
+          while (j2 < planesPerBand) {
+            if (!used(j2) && (best < 0 || margins(j2) < margins(best))) best = j2
+            j2 += 1
+          }
+          used(best) = true
+          out(b * width + 1 + t) = key ^ (1 << best)
+          t += 1
+        }
+        b += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def probedBandKeysCol(a: Column, planesPerBand: Int, probes: Int): Column =
+    GraftShim.column(RhProbedBandKeys(GraftShim.expression(a), planesPerBand, probes))
 }
 
 /** Band-key array (one int key per LSH band) for a vector column;
@@ -154,6 +246,36 @@ case class RhBandKeys(
     defineCodeGen(ctx, ev, c => s"graft.functions.RhOps.bandKeys($c, $planesPerBand)")
 
   override protected def withNewChildInternal(newChild: Expression): RhBandKeys =
+    copy(child = newChild)
+}
+
+/** Multi-probe band-key array: per band, the base key plus the
+  * `probes` nearest-neighboring keys (lowest-|margin| single-plane
+  * flips — [[RhOps.probedBandKeys]]). Both width parameters are
+  * plan-time constants derived from the corpus count
+  * ([[RhOps.planesFor]] / [[RhOps.probesFor]]), baked into codegen.
+  */
+case class RhProbedBandKeys(
+    child: Expression,
+    planesPerBand: Int,
+    probes: Int) extends UnaryExpression {
+  require(planesPerBand >= 1 && planesPerBand <= RhOps.maxPlanesPerBand,
+    s"rh_probed_band_keys: planesPerBand must be in [1, ${RhOps.maxPlanesPerBand}], got $planesPerBand")
+  require(probes >= 0 && probes <= planesPerBand,
+    s"rh_probed_band_keys: probes must be in [0, planesPerBand=$planesPerBand], got $probes")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "rh_probed_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RhOps.probedBandKeys(input.asInstanceOf[ArrayData], planesPerBand, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RhOps.probedBandKeys($c, $planesPerBand, $probes)")
+
+  override protected def withNewChildInternal(newChild: Expression): RhProbedBandKeys =
     copy(child = newChild)
 }
 

@@ -149,11 +149,22 @@ object Vectors {
     // profile showed that join's two array-carrying exchanges as the
     // dominant cost. The adaptive-bits sizing keeps buckets ~16-32 up
     // to N≈2^20; past that (and under degenerate sign skew at any N)
-    // [[maxKnnBucket]] drops the oversized bucket before the pair
-    // fan-out, oracle-replayed.
-    val cells = vecs.groupBy("bucket")
+    // [[maxKnnBucket]] drops the oversized bucket BEFORE aggregation:
+    // the semi-join against per-bucket counts (mirroring the oracle's
+    // bsz CTE) keeps a degenerate hot bucket's (id, vector, norm)
+    // structs from ever reaching one task's collect_list buffer — a
+    // post-aggregation size() filter bounded the pair fan-out but not
+    // the aggregation-buffer memory. The count side re-derives only
+    // the bucket bits (codegen'd integer math, no vector payload) and
+    // its count shuffle is map-side-combined to ≤2^nBits rows; AQE
+    // reuses the bucket hash partitioning between the join and the
+    // groupBy, so the vector payload still crosses the wire once.
+    val smallBuckets = vecs.select("bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxKnnBucket)
+    val cells = vecs.join(smallBuckets, Seq("bucket"), "left_semi")
+      .groupBy("bucket")
       .agg(collect_list(struct(col("vec_id"), col("v"), col("n2"))).as("ms"))
-      .filter(size(col("ms")) <= maxKnnBucket)
     val cand = cells
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))

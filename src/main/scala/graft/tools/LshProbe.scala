@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.functions.{RhOps, VecOps}
+
+/** Dev-loop measurement for the multi-probe schedule: for each sfDir
+  * argument, sweep probe counts T and print threshold-pair recall
+  * (q267's sample methodology) plus the FULL-corpus candidate count at
+  * each T — the two numbers the [[RhOps.probesFor]] schedule trades.
+  *
+  * Usage: runMain graft.tools.LshProbe /root/testdata/sf0.1 /tmp/graft_sf1
+  */
+object LshProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = "32", appName = "graft-lsh-probe")
+    import graft.Tables
+    for (dir <- args) {
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val ppb = RhOps.planesFor(n)
+      val smod = math.max(1L, n / 256)
+      val toD = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => x.cast("double"))
+      val sample = emb.filter(col("vec_id") % smod === 0)
+        .select(col("vec_id"), toD(col("embedding")).as("v"))
+      val truth = sample.select(col("vec_id").as("a_id"), col("v").as("va"))
+        .crossJoin(broadcast(
+          sample.select(col("vec_id").as("b_id"), col("v").as("vb"))))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(VecOps.dot(col("va"), col("vb")) /
+          sqrt(VecOps.norm2(col("va")) * VecOps.norm2(col("vb"))), 6) >= 0.35)
+        .select("a_id", "b_id")
+      truth.cache()
+      val nTrue = truth.count()
+      println(s"== $dir n=$n base_ppb=$ppb sample=${sample.count()} true_pairs=$nTrue")
+      // default: the candidate production schedule; SPARK_GRAFT_LSH_SWEEP=1
+      // sweeps the full grid
+      val combos =
+        if (sys.env.contains("SPARK_GRAFT_LSH_SWEEP"))
+          for (w <- ppb to math.min(ppb + 4, RhOps.maxPlanesPerBand);
+               t <- Seq(w / 2, w * 3 / 4, w).distinct) yield (w, t)
+        else {
+          val w = math.min(ppb + 1, RhOps.maxPlanesPerBand)
+          Seq((w, RhOps.probesFor(w)))
+        }
+      for ((w, t) <- combos) {
+        def keys(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("vec_id"),
+            posexplode(RhOps.probedBandKeysCol(col("v"), w, t)))
+          .select(col("vec_id"), (col("pos") / (t + 1)).cast("int").as("band"),
+            col("col").as("bkey"))
+        val candS = graft.ops.Dedup.bucketPairs(keys(sample), "vec_id", Seq("band", "bkey"))
+          .distinct()
+        val hits = truth.join(candS, Seq("a_id", "b_id"), "left_semi").count()
+        val recall = if (nTrue == 0) -1.0 else hits * 100.0 / nTrue
+        if (recall >= 45.0) {
+          val full = emb.select(col("vec_id"), toD(col("embedding")).as("v"))
+          val t0 = System.nanoTime()
+          val candFull = graft.ops.Dedup.bucketPairs(keys(full), "vec_id", Seq("band", "bkey"))
+            .distinct().count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"   ppb=$w%2d T=$t%2d recall=$recall%6.2f%% ($hits/$nTrue) " +
+            f"cand_full=$candFull%10d (${candFull * 1.0 / n}%8.1f/vec, ${secs}%6.2f s)")
+        } else
+          println(f"   ppb=$w%2d T=$t%2d recall=$recall%6.2f%% ($hits/$nTrue)  [cand skipped]")
+      }
+      truth.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -2,50 +2,77 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Recall evidence for the hyperplane-bucket LSH family (q25's
-  * adaptive band width, q169's adaptive bits): q267_lsh_recall
-  * measures the fraction of exhaustive-truth near-dup pairs (round-6
-  * cosine ≥ 0.35 within a deterministic ~256-vector sample) that
-  * survive candidate generation at the FULL-corpus adaptive width.
+/** Recall evidence for the multi-probe hyperplane LSH family (q25's
+  * probed blocking): q267_lsh_recall measures the fraction of
+  * exhaustive-truth near-dup pairs (round-6 cosine ≥ 0.35 within a
+  * deterministic ~256-vector sample) that survive candidate
+  * generation, BOTH at the unprobed round-12 width (recall_base — the
+  * recorded cost of adaptivity alone) and at the production
+  * multi-probe schedule (recall — probedPlanesFor planes, 3·ppb/4
+  * lowest-|margin| probes per band), plus the FULL-corpus candidate
+  * count the schedule pays for it.
   *
   * The floors below are REGRESSION PINS, not quality claims: every
-  * input is deterministic (md5-derived hyperplanes, committed sf0.1
-  * testdata, the deterministic make_sf1.py fixture), so the measured
-  * recall is exact and only moves if the blocking code or the fixture
-  * changes — which is what the pin is for. The recorded values at
-  * HEAD: sf0.1 ppb=8 recall 13.70% (10/73), sf1 ppb=10 recall 4.41%
-  * (3/68). The drop IS the adaptive trade — narrower buckets keep
-  * candidates linear in N and cost recall on threshold-grazing pairs;
-  * production buys it back with multi-probe (documented in
-  * SCALING.md). Verbatim duplicates (cosine 1.0) collide in every
-  * band at any width, so true-duplicate recall stays 1 regardless.
+  * input is deterministic (md5-derived hyperplanes, exact integer
+  * margins, committed sf0.1 testdata, the deterministic make_sf1.py
+  * fixture), so the measured values are exact and only move if the
+  * blocking code or the fixture changes — which is what the pins are
+  * for. Recorded at round-13 HEAD:
+  *
+  *   sf0.1 (N=2000):  ppb 8→9, T=6; recall_base 13.70% (10/73),
+  *                    probed 73.97% (54/73), n_cand 524,945 (262/vec)
+  *   sf1   (N=20000): ppb 10→11, T=8; recall_base 4.41% (3/68),
+  *                    probed 51.47% (35/68), n_cand 23,520,078
+  *                    (1176/vec)
+  *
+  * The probed schedule holds the round-12 verdict's ≥50% target at
+  * both scales; the candidate growth (262→1176 per vector for 10×
+  * data) is the recorded price — bucket-bounded and probe-bounded,
+  * never all-pairs, and linear in N at fixed (ppb, T). Verbatim
+  * duplicates (cosine 1.0) collide in every band at any width, so
+  * true-duplicate recall stays 1 regardless.
   */
 class LshRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def recallRow(dir: String): (Long, Long, Long, Long) = {
+  private case class R(ppbBase: Long, ppb: Long, nProbes: Long,
+    nTrue: Long, nCand: Long, recallBase: Long, recall: Long)
+
+  private def recallRow(dir: String): R = {
     val r = queries.Registry.byName("q267_lsh_recall")
       .fn(spark, dir).collect().head
-    (r.getAs[Long]("ppb"), r.getAs[Long]("n_true"),
-      r.getAs[Long]("n_hit"), r.getAs[Long]("recall_e6"))
+    R(r.getAs[Long]("ppb_base"), r.getAs[Long]("ppb"),
+      r.getAs[Long]("n_probes"), r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("recall_base_e6"),
+      r.getAs[Long]("recall_e6"))
   }
 
-  test("sf0.1: adaptive width resolves to the legacy 8 and recall holds its pin") {
-    val (ppb, nTrue, _, recall) = recallRow("/root/testdata/sf0.1")
-    assert(ppb === 8L, "committed scales must keep the legacy width (byte-identical results)")
-    assert(nTrue > 0L, "the truth set went empty — the audit is no longer measuring anything")
-    assert(recall >= 100000L,
-      s"sf0.1 LSH recall fell below the 10% pin (measured 13.70% at HEAD): $recall ppm")
+  test("sf0.1: probed schedule is (9, 6) and recall holds the 65% floor") {
+    val r = recallRow("/root/testdata/sf0.1")
+    assert(r.ppbBase === 8L && r.ppb === 9L && r.nProbes === 6L,
+      s"schedule drifted: $r — probedPlanesFor must be planesFor+1, probes 3·ppb/4")
+    assert(r.nTrue > 0L, "the truth set went empty — the audit is no longer measuring anything")
+    assert(r.recallBase >= 100000L,
+      s"sf0.1 UNPROBED recall fell below the 10% pin (measured 13.70% at HEAD): ${r.recallBase} ppm")
+    assert(r.recall >= 650000L,
+      s"sf0.1 multi-probe recall fell below the 65% floor (measured 73.97% at HEAD): ${r.recall} ppm")
+    assert(r.nCand <= 1000000L,
+      s"sf0.1 candidate count blew past its ~525k record: ${r.nCand} — the schedule or the data moved")
   }
 
-  test("sf1: width widens to 10 and recall stays above the floor") {
+  test("sf1: probed schedule is (11, 8) and recall holds the 50% target") {
     assume(java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get("/tmp/graft_sf1")),
       "sf1 fixture not built (scripts/make_sf1.py)")
-    val (ppb, nTrue, _, recall) = recallRow("/tmp/graft_sf1")
-    assert(ppb === 10L, "20k vectors must size to 10 planes/band (clamp(floor(log2(N/16)), 8, 24))")
-    assert(nTrue > 0L, "the truth set went empty — the audit is no longer measuring anything")
-    assert(recall >= 40000L,
-      s"sf1 LSH recall fell below the 4% pin (measured 4.41% at HEAD): $recall ppm")
+    val r = recallRow("/tmp/graft_sf1")
+    assert(r.ppbBase === 10L && r.ppb === 11L && r.nProbes === 8L,
+      s"schedule drifted: $r — 20k vectors must size to 11 planes/band, 8 probes")
+    assert(r.nTrue > 0L, "the truth set went empty — the audit is no longer measuring anything")
+    assert(r.recallBase >= 40000L,
+      s"sf1 UNPROBED recall fell below the 4% pin (measured 4.41% at HEAD): ${r.recallBase} ppm")
+    assert(r.recall >= 500000L,
+      s"sf1 multi-probe recall fell below the round-12 verdict's 50% target (measured 51.47% at HEAD): ${r.recall} ppm")
+    assert(r.nCand <= 40000000L,
+      s"sf1 candidate count blew past its ~23.5M record: ${r.nCand} — the schedule or the data moved")
   }
 }

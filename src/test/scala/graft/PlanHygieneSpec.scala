@@ -188,6 +188,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     // partial-aggregate output sizes, and with them any borderline
     // AQE join decision the census would then mis-gate
     s.conf.set("spark.sql.files.minPartitionNum", "32")
+    // Disable AQE's RUNTIME SMJ→BHJ demotion (static planning keeps
+    // the normal 10 MB threshold): the conversion reads post-shuffle
+    // stage sizes that race stage scheduling — round 12 measured
+    // q213's conversion split 3/1 across 4 identical runs — so ANY
+    // borderline join could flake this suite-blocking census. The
+    // generator (runMain Plans) sets the same knob, so the committed
+    // matrix and this gate census the DETERMINISTIC static strategies
+    // (the 100 TB asymptotes); a runtime demotion Spark may still
+    // apply in production/bench is a strict improvement on top, not a
+    // contract.
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     s
   }
 

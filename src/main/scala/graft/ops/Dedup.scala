@@ -109,4 +109,57 @@ object Dedup {
     bucketPairs(bands, "doc_id", Seq("band", "sig"), maxBucket)
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_bands"))
+
+  /** EXACT pigeonhole blocking for Hamming-distance joins (Manku,
+    * Jain & Sarma, WWW'07 §3 — the scalable construction, not the
+    * fixed two-half split): a `bits`-wide fingerprint is cut into
+    * `blocks` equal slices; a pair within Hamming distance k damages
+    * at most k slices, so it AGREES on the fingerprint masked by at
+    * least one of the C(blocks, k) "zero these k slices" masks.
+    * Bucketing on (mask_idx, fingerprint & mask) therefore finds
+    * EVERY such pair — the blocking is exact, never probabilistic,
+    * which is why the all-pairs oracles of q152/q214 validate any
+    * block count: a wrong mask set would LOSE pairs and fail the
+    * compare at every scale.
+    *
+    * The block count is the SCALE knob ([[pigeonholeBlocksFor]]):
+    * more blocks ⇒ wider matched bits (32·(b−k)/b) ⇒ exponentially
+    * smaller buckets, at the linear cost of C(b, k) keys per row.
+    * A FIXED split (the pre-round-13 2×16 / 4×15) makes expected
+    * candidates grow N²/2^w — the last member of the fixed-width
+    * quadratic class; Manku's 8B-doc configs match 30+ bits for
+    * exactly this reason.
+    */
+  def pigeonholeMasks(bits: Int, blocks: Int, k: Int): Seq[Long] = {
+    require(bits > 0 && bits <= 63 && bits % blocks == 0,
+      s"pigeonholeMasks: blocks=$blocks must divide bits=$bits (<=63)")
+    require(k >= 1 && k < blocks,
+      s"pigeonholeMasks: need 1 <= k < blocks, got k=$k blocks=$blocks")
+    val bw = bits / blocks
+    val blockMask = (1L << bw) - 1
+    val full = (1L << bits) - 1
+    (0 until blocks).combinations(k).map { zeroed =>
+      zeroed.foldLeft(full)((m, j) => m & ~(blockMask << (j * bw)))
+    }.toSeq
+  }
+
+  /** Smallest admissible block count whose matched-bit width
+    * w = bits·(b−k)/b reaches min(max available w, floor(log2 N) + 4)
+    * — i.e. expected per-mask RANDOM collisions N²/2^w stay ≲ N/16,
+    * the same bucket-size target as the LSH planesFor schedule. At
+    * the committed scales this resolves to the historical splits
+    * (q152: 2 blocks to N < 2^12... 500–5000 docs; q214: 4 blocks at
+    * ≤ ~4k docs) and grows past them exactly when the fixed width
+    * would start going quadratic (q152: 4 blocks / 24 matched bits at
+    * sf1's 50k docs, 8 blocks / 28 bits past N ≈ 2^24, 16 blocks /
+    * 30 bits past N ≈ 2^26; past ~2^30 the right move is a 64-bit
+    * fingerprint, where the same masks widen to 60+ matched bits).
+    */
+  def pigeonholeBlocksFor(n: Long, bits: Int, k: Int, choices: Seq[Int]): Int = {
+    require(n >= 1 && choices.nonEmpty)
+    def width(b: Int) = bits - bits * k / b
+    val log2n = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val target = math.min(choices.map(width).max, log2n + 4)
+    choices.sorted.find(width(_) >= target).getOrElse(choices.max)
+  }
 }

@@ -31,25 +31,34 @@ object ScaleOps {
           CAST(sum((CASE WHEN sgn >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
         FROM bits GROUP BY 1)"""
 
-  /** q152: SIMHASH HAMMING-DISTANCE NEAR-DUP JOIN via pigeonhole
-    * blocking (Manku, Jain & Sarma, WWW'07 — the simhash dedup design;
-    * q24 only COMPUTES fingerprints, this finds the pairs). A pair
-    * within Hamming distance k must agree EXACTLY on at least one of
-    * k+1 disjoint bit blocks, so for k=1 the 32-bit fingerprint splits
-    * into two 16-bit halves, candidates are pairs sharing a
-    * (block_idx, block_value) bucket — ONE shuffle through
-    * [[graft.ops.Dedup.bucketPairs]], never an all-pairs join — and an
-    * exact popcount-of-xor verify keeps true pairs only. The blocking
-    * is EXACT (pigeonhole, not probabilistic), which is why the
-    * all-pairs oracle matches it bit-for-bit; on this corpus it cuts
-    * 124,750 possible pairs to ~12.9k candidates. At 100 TB the same
-    * operator runs simhash-64 with 4×16-bit blocks and k=3 (the WWW'07
-    * production setting); bucket keys are uniform fingerprint slices,
-    * so the single shuffle has no skew, and the fingerprint PACKS into
-    * the id long that rides through the bucket shuffle, so the verify
-    * popcount needs no join back to a signature table — one scan, one
-    * shuffle, zero verify-stage joins (with 64-bit fingerprints the
-    * pack becomes a 2-field struct key — same shape).
+  /** q152: SIMHASH HAMMING-DISTANCE NEAR-DUP JOIN via ADAPTIVE
+    * pigeonhole blocking (Manku, Jain & Sarma, WWW'07 §3 — the
+    * simhash dedup design; q24 only COMPUTES fingerprints, this finds
+    * the pairs). A pair within Hamming distance k damages at most k
+    * of b disjoint bit blocks, so it agrees on the fingerprint masked
+    * by one of the C(b, k) leave-k-out masks
+    * ([[graft.ops.Dedup.pigeonholeMasks]]); candidates are pairs
+    * sharing a (mask_idx, masked_value) bucket — ONE shuffle through
+    * [[graft.ops.Dedup.bucketPairs]], never an all-pairs join — and
+    * an exact popcount-of-xor verify keeps true pairs only. The BLOCK
+    * COUNT is sized from the corpus count
+    * ([[graft.ops.Dedup.pigeonholeBlocksFor]]: matched width
+    * 32·(b−1)/b ≥ min(30, log2 N + 4)): the historical FIXED 2×16
+    * split made expected candidates grow N²/2^16 — the suite's worst
+    * decade ratio (4.18×) in round 12 and the last fixed-width pair
+    * key in the repo — where the adaptive width keeps expected
+    * random collisions ≲ N/16 up to the 32-bit fingerprint's 30-bit
+    * cap (past N ≈ 2^30, the move is a 64-bit fingerprint: same
+    * masks, 60+ matched bits, the WWW'07 8B-doc setting). The
+    * blocking is EXACT at EVERY block count (pigeonhole, not
+    * probabilistic), which is why the all-pairs oracle needs no
+    * sizing CTE: output is invariant to b, and a wrong mask set
+    * would LOSE pairs and fail the compare at every scale. Bucket
+    * keys are uniform fingerprint slices, so the single shuffle has
+    * no skew, and the fingerprint PACKS into the id long that rides
+    * through the bucket shuffle, so the verify popcount needs no
+    * join back to a signature table — one scan, one shuffle, zero
+    * verify-stage joins.
     */
   private val q152SimhashHamming = Q(
     "q152_simhash_hamming",
@@ -59,13 +68,18 @@ object ScaleOps {
       // beside the id: ONE scan of documents, no verify-stage joins
       // back to a signature table (pair order on the packed value ≡
       // order on doc_id — distinct ids dominate the high bits)
+      val nBlocks = graft.ops.Dedup.pigeonholeBlocksFor(
+        Tables.documents(s, d).count(), bits = 32, k = 1,
+        choices = Seq(2, 4, 8, 16))
+      val masks = graft.ops.Dedup.pigeonholeMasks(32, nBlocks, k = 1)
       val packed = Tables.documents(s, d)
         .select((shiftleft(col("doc_id"), 32) +
           graft.functions.Hash32.simhashCol(col("text"))).as("id_sh"))
+      // masks cover the low 32 bits only, so id_sh & mask is the
+      // masked FINGERPRINT (the doc_id half never leaks into keys)
       val blocks = packed.select(col("id_sh"),
-          posexplode(array(
-            col("id_sh").bitwiseAND(lit(65535L)),
-            shiftright(col("id_sh"), 16).bitwiseAND(lit(65535L)))))
+          posexplode(array(masks.map(m =>
+            col("id_sh").bitwiseAND(lit(m))): _*)))
         .toDF("id_sh", "blk", "bv")
       graft.ops.Dedup.bucketPairs(blocks, "id_sh", Seq("blk", "bv"))
         .distinct()
@@ -485,10 +499,16 @@ object ScaleOps {
     *
     * 100 TB shape: q152's exact machinery one size up — signatures
     * are scan-stage expressions; candidates come from
-    * [[graft.ops.Dedup.bucketPairs]] on the 4×15-bit signature
-    * blocks (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 block identical — NEVER
-    * all-pairs); exact Hamming confirms via two co-keyed joins on
-    * the bounded candidate set.
+    * [[graft.ops.Dedup.bucketPairs]] on the C(b, 3) leave-3-out
+    * signature masks ([[graft.ops.Dedup.pigeonholeMasks]]: hamming
+    * ≤ 3 ⇒ the pair agrees on some mask — NEVER all-pairs), with the
+    * block count b sized from the corpus count exactly like q152's
+    * (matched width 60·(b−3)/b ≥ min(42, log2 N + 4): 4 blocks/15
+    * bits at the 500-doc scales, 5 blocks/24 bits from ~4k docs —
+    * sf0.1 and sf1 — 6/30 past N ≈ 2^26, 10/42 past N ≈ 2^38; output
+    * is invariant to b because the blocking is exact, so the
+    * all-pairs oracle needs no sizing CTE); exact Hamming confirms
+    * on the bounded candidate set.
     */
   private val q214MediaPhashDedup = Q(
     "q214_media_phash_dedup",
@@ -513,10 +533,15 @@ object ScaleOps {
       // joins: the previous sa/sb join-backs re-derived the 60-block
       // md5 signature over the whole corpus twice more (the sf1 stage
       // profile's 6.3 s no-shuffle stage).
+      val nRows = Tables.documents(s, d).count()
+      val nBlocks = graft.ops.Dedup.pigeonholeBlocksFor(
+        nRows + nRows / 13 + 1, bits = 60, k = 3,
+        choices = Seq(4, 5, 6, 10))
+      val masks = graft.ops.Dedup.pigeonholeMasks(60, nBlocks, k = 3)
       val blocks = sigs
         .select(struct(col("doc_id"), col("sig")).as("id"),
-          posexplode(array((0 to 3).map(j =>
-            shiftright(col("sig"), 15 * j).bitwiseAND(lit(32767L))): _*)))
+          posexplode(array(masks.map(m =>
+            col("sig").bitwiseAND(lit(m))): _*)))
         .toDF("id", "blk", "bv")
       graft.ops.Dedup.bucketPairs(blocks, "id", Seq("blk", "bv"))
         .distinct()

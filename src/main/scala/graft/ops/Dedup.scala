@@ -148,12 +148,13 @@ object Dedup {
     * — i.e. expected per-mask RANDOM collisions N²/2^w stay ≲ N/16,
     * the same bucket-size target as the LSH planesFor schedule. At
     * the committed scales this resolves to the historical splits
-    * (q152: 2 blocks to N < 2^12... 500–5000 docs; q214: 4 blocks at
-    * ≤ ~4k docs) and grows past them exactly when the fixed width
-    * would start going quadratic (q152: 4 blocks / 24 matched bits at
-    * sf1's 50k docs, 8 blocks / 28 bits past N ≈ 2^24, 16 blocks /
-    * 30 bits past N ≈ 2^26; past ~2^30 the right move is a 64-bit
-    * fingerprint, where the same masks widen to 60+ matched bits).
+    * (q152: 2 blocks for the 500–5000-doc fixtures; q214: 4 blocks
+    * at ≤ ~4k docs) and grows past them exactly when the fixed width
+    * would start going quadratic (q152: 4 blocks / 24 matched bits
+    * at sf1's 50k docs up to ~2^20, 8 / 28 to ~2^24, 16 / 30 beyond;
+    * past ~2^26 the right move is a 64-bit fingerprint, where the
+    * same masks widen to 60+ matched bits — PigeonholeSpec pins the
+    * boundary resolutions).
     */
   def pigeonholeBlocksFor(n: Long, bits: Int, k: Int, choices: Seq[Int]): Int = {
     require(n >= 1 && choices.nonEmpty)

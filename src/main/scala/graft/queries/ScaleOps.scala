@@ -43,13 +43,15 @@ object ScaleOps {
     * an exact popcount-of-xor verify keeps true pairs only. The BLOCK
     * COUNT is sized from the corpus count
     * ([[graft.ops.Dedup.pigeonholeBlocksFor]]: matched width
-    * 32·(b−1)/b ≥ min(30, log2 N + 4)): the historical FIXED 2×16
-    * split made expected candidates grow N²/2^16 — the suite's worst
-    * decade ratio (4.18×) in round 12 and the last fixed-width pair
-    * key in the repo — where the adaptive width keeps expected
-    * random collisions ≲ N/16 up to the 32-bit fingerprint's 30-bit
-    * cap (past N ≈ 2^30, the move is a 64-bit fingerprint: same
-    * masks, 60+ matched bits, the WWW'07 8B-doc setting). The
+    * 32·(b−1)/b ≥ min(30, log2 N + 4): 2 blocks/16 bits to ~2^12
+    * docs, 4/24 to ~2^20 — sf1's 50k sits here — 8/28 to ~2^24,
+    * 16/30 beyond): the historical FIXED 2×16 split made expected
+    * candidates grow N²/2^16 — the suite's worst decade ratio
+    * (4.18×) in round 12 and the last fixed-width pair key in the
+    * repo — where the adaptive width keeps expected random
+    * collisions ≲ N/16 up to the 32-bit fingerprint's 30-bit cap
+    * (past N ≈ 2^26, the move is a 64-bit fingerprint: same masks,
+    * 60+ matched bits, the WWW'07 8B-doc setting). The
     * blocking is EXACT at EVERY block count (pigeonhole, not
     * probabilistic), which is why the all-pairs oracle needs no
     * sizing CTE: output is invariant to b, and a wrong mask set
@@ -505,7 +507,7 @@ object ScaleOps {
     * block count b sized from the corpus count exactly like q152's
     * (matched width 60·(b−3)/b ≥ min(42, log2 N + 4): 4 blocks/15
     * bits at the 500-doc scales, 5 blocks/24 bits from ~4k docs —
-    * sf0.1 and sf1 — 6/30 past N ≈ 2^26, 10/42 past N ≈ 2^38; output
+    * sf0.1 and sf1 — 6/30 past N ≈ 2^21, 10/42 past N ≈ 2^26; output
     * is invariant to b because the blocking is exact, so the
     * all-pairs oracle needs no sizing CTE); exact Hamming confirms
     * on the bounded candidate set.

@@ -68,6 +68,10 @@ object GraftFunctions {
       es => RhBandKeys(es.head,
         if (es.length > 1) literalInt(es(1), "rh_band_keys")
         else RhOps.minPlanesPerBand)),
+    desc("rh_probed_band_keys", classOf[RhProbedBandKeys], 3,
+      es => RhProbedBandKeys(es.head,
+        literalInt(es(1), "rh_probed_band_keys"),
+        literalInt(es(2), "rh_probed_band_keys"))),
     desc("rct_class", classOf[graft.domain.RctClass], 1,
       es => graft.domain.RctClass(es.head)))
 

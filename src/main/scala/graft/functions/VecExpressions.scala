@@ -231,9 +231,15 @@ object RhOps {
   */
 case class RhBandKeys(
     child: Expression,
-    planesPerBand: Int = RhOps.minPlanesPerBand) extends UnaryExpression {
+    planesPerBand: Int = RhOps.minPlanesPerBand) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(planesPerBand >= 1 && planesPerBand <= RhOps.maxPlanesPerBand,
     s"rh_band_keys: planesPerBand must be in [1, ${RhOps.maxPlanesPerBand}], got $planesPerBand")
+  // a SQL literal like array(0.5, ...) parses as array<decimal>; the
+  // implicit cast normalizes any numeric array to the double domain
+  // the plane arithmetic is defined over
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -258,9 +264,12 @@ case class RhBandKeys(
 case class RhProbedBandKeys(
     child: Expression,
     planesPerBand: Int,
-    probes: Int) extends UnaryExpression {
+    probes: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(planesPerBand >= 1 && planesPerBand <= RhOps.maxPlanesPerBand,
     s"rh_probed_band_keys: planesPerBand must be in [1, ${RhOps.maxPlanesPerBand}], got $planesPerBand")
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
   require(probes >= 0 && probes <= planesPerBand,
     s"rh_probed_band_keys: probes must be in [0, planesPerBand=$planesPerBand], got $probes")
   override def dataType: DataType =

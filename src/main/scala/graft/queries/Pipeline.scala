@@ -282,16 +282,29 @@ object Pipeline {
         .select(col("vec_id"),
           (col("pos") / (nProbe + 1)).cast("int").as("band"),
           col("col").as("bkey"))
+      // NO distinct before verification: a pair colliding in several
+      // (band, key) buckets appears several times, but deduping 23.5M
+      // candidate rows (sf1) costs a full-width exchange, while the
+      // duplicate verify work is a handful of extra broadcast-join
+      // probes per repeated pair. Deduping AFTER the tau filter
+      // touches only the ~200k surviving rows — cos is deterministic,
+      // so distinct∘filter ≡ filter∘distinct and the oracle's
+      // DISTINCT cand CTE stays byte-equivalent.
       val cand = graft.ops.Dedup
         .bucketPairs(keys, "vec_id", Seq("band", "bkey"))
-        .distinct()
+      // norms ride the broadcast sides (computed once per VECTOR, not
+      // once per candidate per side — at sf1 that is 2×30M spared
+      // 64-element passes, half the verify stage's vector math)
       cand
-        .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("va"),
+          norm2(col("v")).as("na")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+          norm2(col("v")).as("nb")), "b_id")
         .select(col("a_id"), col("b_id"),
           round(dot(col("va"), col("vb")) /
-            sqrt(norm2(col("va")) * norm2(col("vb"))), 6).as("cos_sim"))
+            sqrt(col("na") * col("nb")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
+        .distinct()
         .orderBy("a_id", "b_id")
     },
     Some(s"""WITH ${rhProbedKeysCte()}

@@ -56,6 +56,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(1) === expected)
   }
 
+  test("rh_probed_band_keys is SQL-callable and agrees with the Column API") {
+    val arr = (1 to 64).map(i => (if (i % 3 == 0) -1 else 1) * i / 64.0)
+    val sqlArr = arr.mkString("array(", ", ", ")")
+    val viaSql = spark.sql(s"SELECT rh_probed_band_keys($sqlArr, 9, 2)")
+      .collect().head.getSeq[Int](0)
+    import spark.implicits._
+    val viaCol = Seq(arr).toDF("v")
+      .select(graft.functions.RhOps.probedBandKeysCol(col("v"), 9, 2))
+      .collect().head.getSeq[Int](0)
+    assert(viaSql === viaCol)
+    assert(viaSql.length === 4 * 3)
+  }
+
   test("mesh_for rejects a non-literal field index") {
     val err = intercept[Exception] {
       spark.sql("SELECT mesh_for('a b', CAST(rand() * 3 AS INT))").collect()
@@ -70,6 +83,6 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val names = GraftFunctions.all.map(_._1.funcName).toSet
     assert(names === Set("shingle_h32", "bigram_h32", "distinct_token_h32",
       "simhash32", "bigram_stats32", "mesh_for", "dot_product",
-      "squared_norm", "rh_band_keys", "rct_class"))
+      "squared_norm", "rh_band_keys", "rh_probed_band_keys", "rct_class"))
   }
 }

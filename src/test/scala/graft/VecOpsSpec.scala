@@ -51,4 +51,39 @@ class VecOpsSpec extends AnyFunSuite {
       .map(_.getSeq[Int](0))
     assert(keys.toSeq === again.toSeq)
   }
+
+  test("probed band keys: base slots match bandKeys; probes flip exactly the lowest-|margin| planes") {
+    val rnd = new scala.util.Random(7)
+    val ppb = 9
+    val t = 4
+    (0 until 20).foreach { _ =>
+      val v = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val rows = Seq(v.toSeq).toDF("v")
+      val base = rows.select(RhOps.bandKeysCol(col("v"), ppb))
+        .collect().head.getSeq[Int](0)
+      val probed = rows.select(RhOps.probedBandKeysCol(col("v"), ppb, t))
+        .collect().head.getSeq[Int](0)
+      assert(probed.length === RhOps.bands * (t + 1))
+      // independently recompute margins from the shared weight matrix
+      val scaled = v.map(x => math.floor(x * 1e9).toLong)
+      (0 until RhOps.bands).foreach { b =>
+        assert(probed(b * (t + 1)) === base(b), "base slot diverged")
+        val margins = (0 until ppb).map { j =>
+          val w = RhOps.weights(b * ppb + j)
+          math.abs((0 until 64).map(i => scaled(i) * w(i)).sum)
+        }
+        val expectFlips = margins.zipWithIndex.sortBy { case (m, j) => (m, j) }
+          .take(t).map(_._2)
+        val gotFlips = (0 until t).map { k =>
+          val x = probed(b * (t + 1) + 1 + k) ^ base(b)
+          assert(java.lang.Integer.bitCount(x) === 1, "probe must flip one bit")
+          java.lang.Integer.numberOfTrailingZeros(x)
+        }
+        assert(gotFlips.toSet === expectFlips.toSet,
+          s"band $b: flips $gotFlips vs expected lowest-margin $expectFlips")
+        // and in increasing-margin order
+        assert(gotFlips === expectFlips)
+      }
+    }
+  }
 }

@@ -17,12 +17,13 @@ class PigeonholeSpec extends AnyFunSuite {
 
   test("masks: C(blocks, k) masks, each zeroing exactly k equal blocks") {
     for ((bits, blocks, k) <- Seq((32, 2, 1), (32, 4, 1), (32, 8, 1),
-        (32, 16, 1), (60, 4, 3), (60, 5, 3), (60, 6, 3), (60, 10, 3))) {
+        (32, 16, 1), (60, 4, 3), (60, 5, 3), (60, 6, 3), (60, 10, 3),
+        (64, 4, 3), (64, 8, 3))) {
       val masks = Dedup.pigeonholeMasks(bits, blocks, k)
       assert(masks.size === choose(blocks, k), s"($bits,$blocks,$k)")
       assert(masks.distinct.size === masks.size, "masks must be distinct")
       val bw = bits / blocks
-      val full = (1L << bits) - 1
+      val full = if (bits == 64) -1L else (1L << bits) - 1
       masks.foreach { m =>
         assert((m & ~full) === 0L, "mask must stay inside the fingerprint")
         // zeroed region = exactly k whole blocks

@@ -283,6 +283,25 @@ class PlanHygieneSpec extends AnyFunSuite {
         "\n(a deliberate plan change must regenerate PLANS.md in the same change)")
   }
 
+  test("kNN bucket cap filters BEFORE aggregation (bounded collect_list buffer)") {
+    // round-12 advisor: a post-aggregation size() filter bounded the
+    // pair fan-out but NOT the aggregation-buffer memory — a
+    // degenerate hot bucket still materialized its (id, vector, norm)
+    // structs on one task. The cap is now a per-bucket-count semi-join
+    // upstream of the collect_list; this pins its presence in the
+    // executed plan so a refactor can't silently regress to the
+    // post-filter form.
+    val df = queries.Registry.byName("q169_knn_graph")
+      .fn(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LeftSemi"),
+      "bucket-count semi-join missing from q169's executed plan — the " +
+        "maxKnnBucket cap no longer bounds the aggregation buffer")
+    assert(s.contains("collect_list"),
+      "q169's bucket aggregation shape changed — re-check the cap seam")
+  }
+
   test("allowlisted names exist in the registry") {
     val names = queries.Registry.all.map(_.name).toSet
     val ghosts = boundedGlobalWindows.keySet.filterNot(names)

@@ -48,12 +48,26 @@ artifact, where a real decade grows pairs ~10x):
 Timestamps and the other fact-table payloads are copied verbatim: the
 fixture measures VOLUME growth, not drift.
 
-Usage: python3 scripts/make_sf1.py [srcDir] [outDir]
+Usage: python3 scripts/make_sf1.py [srcDir] [outDir] [clones]
+
+`clones` (default 10) is the growth factor; 2..10 supported (nine
+pinned clone shifts). The non-default use is the WIDTH-SCHEDULE
+PROBE: `make_sf1.py /tmp/graft_sf1 /tmp/graft_sf2x 2` builds a
+2x-sf1 fixture (40k embeddings / 100k documents) whose corpus count
+sizes the multi-probe LSH schedule to its THIRD configuration
+(12 planes / 9 probes — neither committed scale reaches it), so the
+adaptive-width code path and its oracle replay get exercised one
+step past the gate scales. Composing the content scheme is sound:
+a caesar shift of a shifted clone is another shift, a rotation of a
+rotated embedding is another rotation, and the verbatim flag
+re-rolls per (key, clone).
 """
 import duckdb, os, shutil, sys
 
 src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_sf1'
+CLONES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+assert 2 <= CLONES <= 10, f"clones must be in 2..10, got {CLONES}"
 
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -131,7 +145,7 @@ def clone(table, keyed_cols, plain_cols, content=None):
     """content: optional fn(i) -> list of SQL select items replacing
     the plain columns for clone i (i=0 is always verbatim)."""
     sels = []
-    for i in range(10):
+    for i in range(CLONES):
         ks = ', '.join(f"{c} + {i} * {OFF[o]} AS {c}" for c, o in keyed_cols)
         ps = ', '.join(plain_cols if (i == 0 or content is None)
                        else content(i))

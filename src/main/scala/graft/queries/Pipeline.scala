@@ -292,14 +292,28 @@ object Pipeline {
       // DISTINCT cand CTE stays byte-equivalent.
       val cand = graft.ops.Dedup
         .bucketPairs(keys, "vec_id", Seq("band", "bkey"))
-      // norms ride the broadcast sides (computed once per VECTOR, not
-      // once per candidate per side — at sf1 that is 2×30M spared
-      // 64-element passes, half the verify stage's vector math)
+      // Verify-side JOIN STRATEGY from plan-time stats: the vector
+      // payload is n·dim·8 B RAW, but parquet compresses it under
+      // Spark's 10 MB broadcast threshold well past the size whose
+      // decompressed UnsafeRow build fits the driver — measured: a
+      // 40k-vector table (20 MB raw) static-plans as BHJ and fails
+      // with "Not enough memory to build and broadcast". We already
+      // paid for the exact count, so decide from it: small vector
+      // tables broadcast (zero pair-stream shuffles); past 12 MB raw
+      // the pair stream hash-shuffles on the id key and the bounded
+      // per-partition vector slices become the hash build side — the
+      // only shape that exists at 100 TB, where broadcasting the
+      // corpus is impossible. Norms ride the join sides either way
+      // (computed once per VECTOR, not once per candidate per side —
+      // at sf1 that is 2×30M spared 64-element passes).
+      val vecBytes = Tables.embeddings(s, d).count() * 64L * 8L
+      def vside(df: DataFrame): DataFrame =
+        if (vecBytes <= (12L << 20)) broadcast(df) else df.hint("shuffle_hash")
       cand
-        .join(e.select(col("vec_id").as("a_id"), col("v").as("va"),
-          norm2(col("v")).as("na")), "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("v").as("vb"),
-          norm2(col("v")).as("nb")), "b_id")
+        .join(vside(e.select(col("vec_id").as("a_id"), col("v").as("va"),
+          norm2(col("v")).as("na"))), "a_id")
+        .join(vside(e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+          norm2(col("v")).as("nb"))), "b_id")
         .select(col("a_id"), col("b_id"),
           round(dot(col("va"), col("vb")) /
             sqrt(col("na") * col("nb")), 6).as("cos_sim"))
@@ -311,14 +325,15 @@ object Pipeline {
       cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
           FROM keys x JOIN keys y
           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
-      nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY 1),
-      dp AS (SELECT a_id, b_id, sum(a.x * b.x) AS dp
-             FROM cand JOIN el a ON a.vec_id = a_id
-             JOIN el b ON b.vec_id = b_id AND a.i = b.i
-             GROUP BY 1, 2)
-      SELECT dp.a_id, dp.b_id, round(dp / sqrt(na.n2 * nb.n2), 6) AS cos_sim
-      FROM dp JOIN nrm na ON a_id = na.vec_id JOIN nrm nb ON b_id = nb.vec_id
-      WHERE round(dp / sqrt(na.n2 * nb.n2), 6) >= 0.35
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) AS n2
+          FROM embeddings)
+      SELECT c.a_id, c.b_id,
+        round(list_dot_product(ea.v, eb.v) / sqrt(ea.n2 * eb.n2), 6) AS cos_sim
+      FROM cand c JOIN ev ea ON ea.vec_id = c.a_id
+      JOIN ev eb ON eb.vec_id = c.b_id
+      WHERE round(list_dot_product(ea.v, eb.v) / sqrt(ea.n2 * eb.n2), 6) >= 0.35
       ORDER BY 1, 2"""),
     bench = true)
 

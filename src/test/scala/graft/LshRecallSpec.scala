@@ -75,4 +75,30 @@ class LshRecallSpec extends AnyFunSuite {
     assert(r.nCand <= 40000000L,
       s"sf1 candidate count blew past its ~23.5M record: ${r.nCand} — the schedule or the data moved")
   }
+
+  test("2x-sf1 width probe: the THIRD schedule configuration (12, 9) measures honestly") {
+    // Built by `make_sf1.py /tmp/graft_sf1 /tmp/graft_sf2x 2` — 40k
+    // vectors, a width step NEITHER committed scale reaches. Recorded
+    // at round-13 HEAD: recall_base 4.29% (3/70), probed 35.71%
+    // (25/70), n_cand 61,902,074. The probed recall FALLS BELOW the
+    // 50% gate-scale target here: the T = 3·ppb/4 schedule slows the
+    // per-band p^ppb decay (~8× buy-back at this width) but does not
+    // flatten it — the honest record that at fixed tau=0.35 recall
+    // still decays with N, and the next lever (multi-bit probe
+    // sequences) is unbuilt. Oracle parity at this configuration is
+    // the point of the pin: all four adaptive-family queries
+    // (q25/q267/q152/q214) verified green against DuckDB on this
+    // fixture at round 13.
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/tmp/graft_sf2x")),
+      "width-probe fixture not built (make_sf1.py /tmp/graft_sf1 /tmp/graft_sf2x 2)")
+    val r = recallRow("/tmp/graft_sf2x")
+    assert(r.ppbBase === 11L && r.ppb === 12L && r.nProbes === 9L,
+      s"schedule drifted: $r — 40k vectors must size to 12 planes/band, 9 probes")
+    assert(r.nTrue > 0L, "the truth set went empty")
+    assert(r.recall >= 300000L,
+      s"2x-sf1 multi-probe recall fell below the 30% floor (measured 35.71% at HEAD): ${r.recall} ppm")
+    assert(r.nCand <= 100000000L,
+      s"2x-sf1 candidate count blew past its ~62M record: ${r.nCand}")
+  }
 }

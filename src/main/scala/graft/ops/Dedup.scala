@@ -131,11 +131,11 @@ object Dedup {
     * exactly this reason.
     */
   def pigeonholeMasks(bits: Int, blocks: Int, k: Int): Seq[Long] = {
+    require(blocks >= 2, "pigeonholeMasks: need at least 2 blocks")
     require(bits > 0 && bits <= 64 && bits % blocks == 0,
       s"pigeonholeMasks: blocks=$blocks must divide bits=$bits (<=64)")
     require(k >= 1 && k < blocks,
       s"pigeonholeMasks: need 1 <= k < blocks, got k=$k blocks=$blocks")
-    require(blocks >= 2, "pigeonholeMasks: need at least 2 blocks")
     val bw = bits / blocks
     val blockMask = (1L << bw) - 1  // bw <= 32, shift is safe
     // bits == 64 (the simhash-64 production fingerprint) fills the

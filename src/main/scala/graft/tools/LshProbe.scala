@@ -35,12 +35,26 @@ object LshProbe {
       println(s"== $dir n=$n base_ppb=$ppb sample=${sample.count()} true_pairs=$nTrue")
       // default: the candidate production schedule; SPARK_GRAFT_LSH_SWEEP=1
       // sweeps the full grid
+      val asym = sys.env.contains("SPARK_GRAFT_LSH_ASYM")
       val combos =
-        if (sys.env.contains("SPARK_GRAFT_LSH_SWEEP"))
+        if (sys.env.contains("SPARK_GRAFT_LSH_COMBOS"))
+          // explicit "w:t,w:t,…" pairs for targeted frontier probes
+          sys.env("SPARK_GRAFT_LSH_COMBOS").split(",").toSeq
+            .map(_.split(":")).map(a => (a(0).trim.toInt, a(1).trim.toInt))
+        else if (sys.env.contains("SPARK_GRAFT_LSH_SWEEP")) {
+          // multi-bit probing makes T > ppb meaningful (candidates are
+          // 1- and 2-plane flips: up to ppb + C(ppb,2) per band);
+          // asymmetric candidate generation (probes join BASE keys, not
+          // (base ∪ probes)²) cuts candidate cost from (1+T)² to 2(1+T),
+          // affording far larger T at equal budget
+          val tGrid = (w: Int) =>
+            if (asym) Seq(w, 2 * w, 3 * w, 4 * w, 6 * w)
+            else Seq(w * 3 / 4, w, w * 3 / 2, 2 * w)
           for (w <- ppb to math.min(ppb + 4, RhOps.maxPlanesPerBand);
-               t <- Seq(w / 2, w * 3 / 4, w).distinct) yield (w, t)
-        else {
-          val w = math.min(ppb + 1, RhOps.maxPlanesPerBand)
+               t <- tGrid(w).map(math.min(_, w * (w * w + 5) / 6)).distinct)
+            yield (w, t)
+        } else {
+          val w = RhOps.probedPlanesFor(n)
           Seq((w, RhOps.probesFor(w)))
         }
       for ((w, t) <- combos) {
@@ -49,15 +63,27 @@ object LshProbe {
             posexplode(RhOps.probedBandKeysCol(col("v"), w, t)))
           .select(col("vec_id"), (col("pos") / (t + 1)).cast("int").as("band"),
             col("col").as("bkey"))
-        val candS = graft.ops.Dedup.bucketPairs(keys(sample), "vec_id", Seq("band", "bkey"))
-          .distinct()
-        val hits = truth.join(candS, Seq("a_id", "b_id"), "left_semi").count()
+        def baseKeys(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("vec_id"),
+            posexplode(RhOps.bandKeysCol(col("v"), w)))
+          .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
+        def cand(df: org.apache.spark.sql.DataFrame) =
+          if (asym)
+            keys(df).select(col("band"), col("bkey"), col("vec_id").as("p_id"))
+              .join(baseKeys(df).select(col("band"), col("bkey"),
+                col("vec_id").as("q_id")), Seq("band", "bkey"))
+              .filter(col("p_id") =!= col("q_id"))
+              .select(least(col("p_id"), col("q_id")).as("a_id"),
+                greatest(col("p_id"), col("q_id")).as("b_id"))
+              .distinct()
+          else graft.ops.Dedup.bucketPairs(keys(df), "vec_id", Seq("band", "bkey"))
+            .distinct()
+        val hits = truth.join(cand(sample), Seq("a_id", "b_id"), "left_semi").count()
         val recall = if (nTrue == 0) -1.0 else hits * 100.0 / nTrue
         if (recall >= 45.0) {
           val full = emb.select(col("vec_id"), toD(col("embedding")).as("v"))
           val t0 = System.nanoTime()
-          val candFull = graft.ops.Dedup.bucketPairs(keys(full), "vec_id", Seq("band", "bkey"))
-            .distinct().count()
+          val candFull = cand(full).count()
           val secs = (System.nanoTime() - t0) / 1e9
           println(f"   ppb=$w%2d T=$t%2d recall=$recall%6.2f%% ($hits/$nTrue) " +
             f"cand_full=$candFull%10d (${candFull * 1.0 / n}%8.1f/vec, ${secs}%6.2f s)")

@@ -52,11 +52,12 @@ class VecOpsSpec extends AnyFunSuite {
     assert(keys.toSeq === again.toSeq)
   }
 
-  test("probed band keys: base slots match bandKeys; probes flip exactly the lowest-|margin| planes") {
+  test("probed band keys: base slots match bandKeys; probes are the T smallest multi-bit flips by (margin sum, mask)") {
     val rnd = new scala.util.Random(7)
     val ppb = 9
-    val t = 4
-    (0 until 20).foreach { _ =>
+    // t=4 exercises the no-3-bit regime (a 3-bit flip needs T >= 7 for
+    // its 6 proper subsets); t=10 exercises 3-bit admission
+    for (t <- Seq(4, 10); _ <- 0 until 20) {
       val v = Array.fill(64)(rnd.nextDouble() * 2 - 1)
       val rows = Seq(v.toSeq).toDF("v")
       val base = rows.select(RhOps.bandKeysCol(col("v"), ppb))
@@ -72,17 +73,20 @@ class VecOpsSpec extends AnyFunSuite {
           val w = RhOps.weights(b * ppb + j)
           math.abs((0 until 64).map(i => scaled(i) * w(i)).sum)
         }
-        val expectFlips = margins.zipWithIndex.sortBy { case (m, j) => (m, j) }
-          .take(t).map(_._2)
-        val gotFlips = (0 until t).map { k =>
-          val x = probed(b * (t + 1) + 1 + k) ^ base(b)
-          assert(java.lang.Integer.bitCount(x) === 1, "probe must flip one bit")
-          java.lang.Integer.numberOfTrailingZeros(x)
-        }
-        assert(gotFlips.toSet === expectFlips.toSet,
-          s"band $b: flips $gotFlips vs expected lowest-margin $expectFlips")
-        // and in increasing-margin order
-        assert(gotFlips === expectFlips)
+        // the documented selection rule, recomputed the naive way:
+        // EVERY 1-/2-/3-bit flip over ALL planes (no prune — the prune
+        // must be behavior-preserving), ranked by (margin sum, mask)
+        val all = (1 until (1 << ppb)).filter(m =>
+            java.lang.Integer.bitCount(m) <= (if (t >= 7) 3 else 2))
+          .map { m =>
+            val score = (0 until ppb).filter(j => (m & (1 << j)) != 0)
+              .map(margins).sum
+            (score, m)
+          }
+        val expectMasks = all.sortBy { case (s, m) => (s, m) }.take(t).map(_._2)
+        val gotMasks = (0 until t).map(k => probed(b * (t + 1) + 1 + k) ^ base(b))
+        assert(gotMasks.toSet === expectMasks.toSet,
+          s"band $b t=$t: masks $gotMasks vs expected $expectMasks")
       }
     }
   }

@@ -51,13 +51,15 @@ fixture measures VOLUME growth, not drift.
 Usage: python3 scripts/make_sf1.py [srcDir] [outDir] [clones]
 
 `clones` (default 10) is the growth factor; 2..10 supported (nine
-pinned clone shifts). The non-default use is the WIDTH-SCHEDULE
-PROBE: `make_sf1.py /tmp/graft_sf1 /tmp/graft_sf2x 2` builds a
-2x-sf1 fixture (40k embeddings / 100k documents) whose corpus count
-sizes the multi-probe LSH schedule to its THIRD configuration
-(12 planes / 9 probes — neither committed scale reaches it), so the
-adaptive-width code path and its oracle replay get exercised one
-step past the gate scales. Composing the content scheme is sound:
+pinned clone shifts). The non-default uses are the WIDTH-SCHEDULE
+PROBES: `make_sf1.py /tmp/graft_sf1 /tmp/graft_sf2x 2` builds the
+2x-sf1 fixture (40k embeddings — the THIRD multi-probe LSH config,
+14 planes / 28 probes) and `... /tmp/graft_sf4x 4` the 4x-sf1
+fixture (80k embeddings — the FOURTH config, 15 planes / 61 probes:
+the first corpus that leaves the flat T=2*ppb regime for the
+round-15 growth table), so the adaptive-width code path and its
+oracle replay get exercised past every committed gate scale.
+Composing the content scheme is sound:
 a caesar shift of a shifted clone is another shift, a rotation of a
 rotated embedding is another rotation, and the verbatim flag
 re-rolls per (key, clone).

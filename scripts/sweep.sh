@@ -3,14 +3,22 @@
 # sharing target/ corrupt each other's runs: round 9's 11 phantom
 # errors). Usage: scripts/sweep.sh [outPrefix]
 # Writes one JSON per scale: <outPrefix>_<sf>.json, then runs the
-# WIDTH-SCHEDULE PROBE: oracle-verifies the four adaptive-family
-# queries on the 2x-sf1 fixture (the NEXT width configuration past the
-# committed scales — LSH 14 planes / 28 probes, doubled pigeonhole
-# corpus). The round-13 probe caught two real defects (q25's
+# WIDTH-SCHEDULE PROBES: oracle-verifies the four adaptive-family
+# queries on the 2x-sf1 fixture (LSH 14 planes / 28 probes) AND the
+# 4x-sf1 fixture (15 planes / 45 probes — the FIRST config on the
+# round-15 T-growth table, where the flat T=2·ppb schedule read
+# 51.4% recall). The round-13 probe caught two real defects (q25's
 # broadcast-death, an oracle temp blowup) precisely because it
-# exercised the next config; it is standard round evidence now.
-# Record: <outPrefix>_sf2x_verify.txt
-set -e
+# exercised the next config; the probe pair is standard round
+# evidence now. Records: <outPrefix>_sf2x_verify.txt,
+# <outPrefix>_sf4x_verify.txt. Finally the HEADLINE GATE
+# (scripts/headline_gate.py) fails the sweep if the r02 16-query set
+# drifts past 1.6x raw at sf0.1 (the harness bar is 2x; crossing it
+# must be a loud decision, not drift).
+# pipefail: compare.py feeds tee below — without it a failing oracle
+# compare would exit 0 and the sweep would report success over a
+# verify record containing FAILs (r14 advisory).
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 prefix="${1:-/tmp/bench_sweep}"
 for dir in /root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1 /tmp/graft_sf1; do
@@ -29,13 +37,41 @@ for dir in /root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1 /tm
   python3 -c "import json;d=json.load(open('${prefix}_${sf}.json'));print('$sf total', d['value'], 'errors', d.get('errors'))"
 done
 
-echo "=== width-schedule probe (2x-sf1) ==="
-if [ ! -d /tmp/graft_sf2x ]; then
-  python3 scripts/make_sf1.py /tmp/graft_sf1 /tmp/graft_sf2x 2
-fi
-rm -rf /tmp/vs_sweep_w
-sbt -batch "runMain graft.tools.VerifySome /tmp/graft_sf2x /tmp/vs_sweep_w q25_neardup_cosine q267_lsh_recall q152_simhash_hamming q214_media_phash_dedup" \
-  > /dev/null 2>&1
-GRAFT_ORACLE_TEMP_CAP=70GB GRAFT_ORACLE_MEM=80GB \
-  python3 scripts/compare.py /tmp/graft_sf2x /tmp/vs_sweep_w \
-  | tee "${prefix}_sf2x_verify.txt"
+for mult in 2 4; do
+  fx="/tmp/graft_sf${mult}x"
+  echo "=== width-schedule probe (${mult}x-sf1) ==="
+  if [ ! -d "$fx" ]; then
+    python3 scripts/make_sf1.py /tmp/graft_sf1 "$fx" "$mult"
+  fi
+  rm -rf "/tmp/vs_sweep_w${mult}"
+  SPARK_DRIVER_MEM=32g \
+    sbt -batch "runMain graft.tools.VerifySome $fx /tmp/vs_sweep_w${mult} q25_neardup_cosine q267_lsh_recall q152_simhash_hamming q214_media_phash_dedup" \
+    > /dev/null 2>&1
+  if [ "$mult" = 4 ]; then
+    # q25's ENGINE leg runs above (fused bucket-local verify — it is
+    # the reason the leg fits on one host at all), but its full-output
+    # DuckDB oracle does NOT fit this host at 4x: the 2.17G-row
+    # candidate stream needs >93 GB RAM + >61 GB temp (measured
+    # round 15, two plan shapes — inline and MATERIALIZED CTEs).
+    # q25's oracle stays verified at sf0.01/sf0.1/sf1/2x; at 4x the
+    # BLOCKING layer (the identical keys CTE) is oracle-verified
+    # through q267, which also pins recall and the exact
+    # sum-k(k-1)/2 row census of q25's pair stream. Dropping it here
+    # is a LOUD, named cap — not silent truncation.
+    echo "NOTE: 4x probe compares q267/q152/q214 (full oracles);" \
+         "q25 runs engine-only at this scale (oracle exceeds host: see sweep.sh)"
+    python3 - "$mult" <<'PYEOF'
+import json, sys
+f = f"/tmp/vs_sweep_w{sys.argv[1]}/oracle_sql.json"
+o = json.load(open(f))
+o.pop("q25_neardup_cosine", None)
+json.dump(o, open(f, "w"))
+PYEOF
+  fi
+  GRAFT_ORACLE_TEMP_CAP=70GB GRAFT_ORACLE_MEM=80GB \
+    python3 scripts/compare.py "$fx" "/tmp/vs_sweep_w${mult}" \
+    | tee "${prefix}_sf${mult}x_verify.txt"
+done
+
+echo "=== headline wall-budget gate (r02 16-query set, sf0.1) ==="
+python3 scripts/headline_gate.py "${prefix}_sf0.1.json"

@@ -68,8 +68,15 @@ object Bench {
     // anchor can normalize away. benchdiff.py prefers calib_parallel
     // when both artifacts carry it.
     val (calib, calibPar, calibSink) = tools.Calib.measure()
+    // calib_io (round 15): the parquet scan+aggregate anchor for the
+    // IO/page-cache/codec/JIT drift class the ALU loops cannot see
+    // (the r13->r14 anchors moved 30-40% faster while the suite ran
+    // ~13% slower). benchdiff.py uses it as a sign-agreement GATE on
+    // normalization, never as the normalizer.
+    val (calibIo, calibIoSink) = tools.CalibIo.measure(spark)
     System.err.println(
-      s"[bench] calib ${calib}s parallel ${calibPar}s (sink $calibSink)")
+      s"[bench] calib ${calib}s parallel ${calibPar}s io ${calibIo}s " +
+        s"(sinks $calibSink/$calibIoSink)")
 
     val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     require(Runs >= 1,
@@ -134,7 +141,7 @@ object Bench {
     val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"calib_parallel":${r4(calibPar)},"queries":$qs,"spread":$spread,"runs":$Runs,"errors":$errors,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"calib_parallel":${r4(calibPar)},"calib_io":${r4(calibIo)},"queries":$qs,"spread":$spread,"runs":$Runs,"errors":$errors,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
@@ -153,7 +160,7 @@ object Bench {
     }
     require(shortQs.map(_.takeWhile(_ != ':')).distinct.length == shortQs.length,
       "short query ids collided — compact medians line would be ambiguous")
-    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"calib_parallel":${r4(calibPar)},"runs":$Runs,"sf":"$sfDir","errors":$errors,"queries":${shortQs.mkString("{", ",", "}")}}"""
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","calib":${r4(calib)},"calib_parallel":${r4(calibPar)},"calib_io":${r4(calibIo)},"runs":$Runs,"sf":"$sfDir","errors":$errors,"queries":${shortQs.mkString("{", ",", "}")}}"""
     println(compact)
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)

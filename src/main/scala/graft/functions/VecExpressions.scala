@@ -146,23 +146,62 @@ object RhOps {
   def probedPlanesFor(n: Long): Int =
     math.min(maxPlanesPerBand, planesFor(n) + 3)
 
-  /** Probes per band for MULTI-PROBE candidate generation: T = 2·ppb
-    * (22 probes at the 11-plane probed floor, 48 at the 24-plane
-    * cap). The adaptive width keeps candidates linear by narrowing
-    * buckets as N grows, which COSTS recall on threshold-grazing
-    * pairs (q267 measured 13.7% at ppb=8 falling to 4.4% at ppb=10
-    * with no probes); probing the T smallest multi-bit flips of the
-    * band key — the buckets a near-threshold neighbor most likely
-    * landed in ([[probedBandKeys]]) — buys it back at a (1+T)² factor
-    * on the still-linear candidate count. T > ppb is only meaningful
-    * because the probe sequence is MULTI-BIT (1-/2-/3-plane flips:
-    * up to ppb + C(ppb,2) + C(ppb,3) candidate keys per band); the
-    * single-bit round-13 schedule capped T at ppb and its recall
-    * decayed 74%→51%→36% across consecutive width configs, the
-    * round-13 verdict's one `weak`. Oracle form: `2 * ppb` (probed
-    * width).
+  /** Probes per band for MULTI-PROBE candidate generation, WIDTH-
+    * INDEXED (round-15 change — the flat T = 2·ppb rule's measured
+    * contract boundary): T = 2·ppb up to 14 planes (22/26/28 at the
+    * committed 11/13/14-plane configs — unchanged, so every committed
+    * fixture's blocking stays byte-identical to the round-14 era),
+    * then T grows geometrically ~1.857×/plane from the measured
+    * (15, 61) frontier anchor ([[probeGrowthTable]]).
+    *
+    * WHY T must outgrow 2·ppb: a tau=0.35 pair differs in ~0.37·ppb
+    * planes per band in expectation (acos(0.35)/π per plane), so the
+    * flip depth the probe set must reach grows LINEARLY with the
+    * width schedule, while a T ∝ ppb budget only buys a FIXED depth
+    * — the frontier measured exactly that cliff: T = 2·ppb reads
+    * 67.1% at 14 planes but 51.4% at 15 (40k geometry), and on the
+    * REAL 4×-sf1 fixture (80k vectors — the first corpus that sizes
+    * to 15 planes) the round-15 grid read 58.9% at (15, 45), 66.1%
+    * at (15, 52), 78.6% at (15, 61), 100% at the full-flip ceiling
+    * (15, 575) — so 3-bit probing has no wall at this width and
+    * (15, 61) is the pinned point with real margin over the 65%
+    * contract. The growth RATE from the two measured floor points
+    * (T=28 @ 14 planes, T=52 @ 15: ×1.857/plane) extrapolates the
+    * table past 15, CLAMPED at the all-flips cap ppb + C(ppb,2) +
+    * C(ppb,3) from 21 planes on (at the cap the probe set IS the
+    * full Hamming-≤6-per-band reach — the family's ceiling; wider
+    * configs than any probed fixture must be frontier-probed before
+    * a fixture reaches them, which the sweep's width-probe stage
+    * institutionalizes). The adaptive width keeps candidates linear
+    * by narrowing buckets as N grows, which COSTS recall on
+    * threshold-grazing pairs (q267 measured 13.7% at ppb=8 falling
+    * to 4.4% at ppb=10 with no probes); probing the T smallest
+    * multi-bit flips of the band key — the buckets a near-threshold
+    * neighbor most likely landed in ([[probedBandKeys]]) — buys it
+    * back. T > ppb is only meaningful because the probe sequence is
+    * MULTI-BIT (1-/2-/3-plane flips: up to ppb + C(ppb,2) + C(ppb,3)
+    * candidate keys per band); the single-bit round-13 schedule
+    * capped T at ppb and its recall decayed 74%→51%→36% across
+    * consecutive width configs, the round-13 verdict's one `weak`.
+    * Oracle form (exact integer replay of this function):
+    * `CASE WHEN ppb <= 14 THEN 2 * ppb ELSE
+    * list_extract([61,113,210,391,725,1347,1561,1793,2047,2324],
+    * ppb - 14) END` (probed width).
     */
-  def probesFor(planesPerBand: Int): Int = 2 * planesPerBand
+  def probesFor(planesPerBand: Int): Int =
+    if (planesPerBand <= 14) 2 * planesPerBand
+    else probeGrowthTable(planesPerBand - 15)
+
+  /** T at ppb = 15..24: the measured (15, 61) anchor grown at the
+    * measured ×1.857/plane floor rate (round(61 · 1.857^(ppb−15))),
+    * clamped at the all-flips cap ppb·(ppb²+5)/6 from 21 planes on
+    * (1561/1793/2047/2324 — full 3-bit reach). Entries past the
+    * probed 15-plane config are extrapolation-with-a-documented-rate,
+    * not measurements: the sweep width-probe stage must measure each
+    * NEXT config before a real fixture sizes to it.
+    */
+  private val probeGrowthTable: Array[Int] =
+    Array(61, 113, 210, 391, 725, 1347, 1561, 1793, 2047, 2324)
 
   /** Base band key PLUS the T query-directed probe keys per band —
     * the Lv et al. (VLDB'07 §4) MULTI-BIT probe sequence: candidates
@@ -360,6 +399,19 @@ case class RhProbedBandKeys(
   require(probes >= 0 && probes <= planesPerBand * (planesPerBand * planesPerBand + 5) / 6,
     s"rh_probed_band_keys: probes must be in [0, ppb + C(ppb,2) + C(ppb,3) = " +
       s"${planesPerBand * (planesPerBand * planesPerBand + 5) / 6}], got $probes")
+  // The selection loop in RhOps.probedBandKeys runs `t < probes` over
+  // the nc candidates generated from the tp = min(probes, ppb) pruned
+  // planes (with the 3-bit arm gated on probes >= 7). The cap above
+  // happens to bound probes by worst-case nc for every (probes, ppb)
+  // pair; this require states the invariant DIRECTLY so a future edit
+  // to the cap or the with3 gate fails loudly at construction instead
+  // of leaving best = -1 at runtime.
+  require(probes <= {
+    val tp = math.min(probes, planesPerBand)
+    tp + tp * (tp - 1) / 2 +
+      (if (probes >= 7) tp * (tp - 1) * (tp - 2) / 6 else 0)
+  }, s"rh_probed_band_keys: probes ($probes) exceeds the generated candidate " +
+    s"count for planesPerBand=$planesPerBand — selection would underflow")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType, containsNull = false)

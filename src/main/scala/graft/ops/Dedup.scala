@@ -102,6 +102,51 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
   }
 
+  /** [[bucketPairs]] with PAYLOAD columns carried through the bucket
+    * shuffle and emitted on both sides of every pair (`a_<p>` /
+    * `b_<p>`): the FUSED-VERIFY shape for blocked similarity joins
+    * whose verification needs per-row payload (q25's embedding
+    * vectors past broadcast scale).
+    *
+    * WHY this exists (round-15 finding): verifying candidates by
+    * re-JOINING the pair stream against the payload table is the
+    * broadcast shape — past the broadcast threshold it forces the
+    * SECOND join to re-shuffle the pair stream WITH the first side's
+    * payload attached. At the 4×-sf1 probe (2.17 G candidate rows ×
+    * ~540 B of vector+norm) that intermediate is ~1.2 TB of shuffle
+    * — it filled a 76 GB disk before dying, and no cluster wants it
+    * either. Fusing instead puts the payload on the BUCKET rows: the
+    * one (bucket-key) shuffle grows by the payload factor (19.8 M ×
+    * ~540 B ≈ 10 GB at the same probe — 100× less), and the k²
+    * pair-payload rows exist only INSIDE the post-shuffle
+    * WholeStageCodegen span (Generate → project → filter), never
+    * shuffled, never spilled: the verify arithmetic and the
+    * selectivity filter run at pair-generation time and only
+    * survivors leave the stage.
+    */
+  def bucketPairsCarrying(
+      rows: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      payloadCols: Seq[String],
+      maxBucket: Option[Int] = None): DataFrame = {
+    val buckets = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct((idCol +: payloadCols).map(col): _*))
+        .as("__rows"))
+    val kept = maxBucket.fold(buckets)(cap =>
+      buckets.filter(size(col("__rows")) <= cap))
+    kept
+      .filter(size(col("__rows")) > 1)
+      .select(explode(col("__rows")).as("__a"), col("__rows"))
+      .select(col("__a"), explode(col("__rows")).as("__b"))
+      .filter(col("__a")(idCol) < col("__b")(idCol))
+      .select(
+        col("__a")(idCol).as("a_id") +: col("__b")(idCol).as("b_id") +:
+          (payloadCols.map(p => col("__a")(p).as(s"a_$p")) ++
+            payloadCols.map(p => col("__b")(p).as(s"b_$p"))): _*)
+  }
+
   /** Candidate pairs (a_id < b_id, n_bands agreement count); buckets
     * larger than `maxBucket` (if set) are excluded.
     */

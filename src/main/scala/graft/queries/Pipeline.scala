@@ -30,7 +30,11 @@ object Pipeline {
     * arm is unconditional — a 3-bit flip is preceded by its 6 proper
     * subsets, so it never ranks when T < 7, matching the engine's
     * T ≥ 7 generation gate); also
-    * leaves `prm` (ppb, nprobe + any `extraPrm` fields), `el`, `mg`
+    * leaves `prm0` (n, ppb — `extraPrm` items may reference `n`),
+    * `prm` (ppb, nprobe — nprobe replays the WIDTH-INDEXED
+    * [[graft.functions.RhOps.probesFor]]: 2·ppb through 14 planes,
+    * then the measured (15, 61)-anchored ×1.857/plane growth table —
+    * + any `extraPrm` fields), `el`, `mg`
     * (per-plane exact integer margins) and `bt` (per-plane
     * bit/pos/margin/rank) in scope for downstream CTEs. The probe
     * selection is exact integer arithmetic (sum of floor(x·1e9)·w),
@@ -43,11 +47,15 @@ object Pipeline {
     * engines probe identical buckets at every scale.
     */
   private def rhProbedKeysCte(extraPrm: String = ""): String =
-    s"""prm AS (SELECT least(24, greatest(8,
-          length(printf('%b', count(*) // 16)) - 1) + 3) AS ppb,
-          2 * least(24, greatest(8,
-          length(printf('%b', count(*) // 16)) - 1) + 3) AS nprobe$extraPrm
+    s"""prm0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          least(24, greatest(8,
+          length(printf('%b', count(*) // 16)) - 1) + 3) AS ppb
         FROM embeddings),
+      prm AS (SELECT ppb,
+          CASE WHEN ppb <= 14 THEN 2 * ppb
+               ELSE list_extract([61,113,210,391,725,1347,1561,1793,2047,2324],
+                                 ppb - 14) END AS nprobe$extraPrm
+        FROM prm0),
       el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       w AS (SELECT p, i,
@@ -57,7 +65,7 @@ object Pipeline {
           WHERE p < 4 * (SELECT ppb FROM prm)),
       mg AS (SELECT vec_id, p, sum(CAST(floor(x * 1e9) AS BIGINT) * w) AS acc
           FROM el JOIN w ON el.i = w.i GROUP BY 1, 2),
-      bt AS (SELECT vec_id, p,
+      bt AS MATERIALIZED (SELECT vec_id, p,
           CASE WHEN acc >= 0 THEN 1 ELSE 0 END AS bit,
           p // (SELECT ppb FROM prm) AS band,
           p % (SELECT ppb FROM prm) AS pos,
@@ -65,7 +73,7 @@ object Pipeline {
           row_number() OVER (PARTITION BY vec_id, p // (SELECT ppb FROM prm)
                              ORDER BY abs(acc), p) AS rk
           FROM mg),
-      base AS (SELECT vec_id, band,
+      base AS MATERIALIZED (SELECT vec_id, band,
           CAST(sum(bit * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS bkey
           FROM bt GROUP BY 1, 2),
       fl AS (SELECT vec_id, band, am AS score,
@@ -93,7 +101,7 @@ object Pipeline {
           row_number() OVER (PARTITION BY vec_id, band
                              ORDER BY score, mask) AS prk
           FROM fl),
-      keys AS (SELECT vec_id, band, bkey FROM base
+      keys AS MATERIALIZED (SELECT vec_id, band, bkey FROM base
           UNION
           SELECT pr.vec_id, pr.band, xor(base.bkey, pr.mask) AS bkey
           FROM pr JOIN base ON base.vec_id = pr.vec_id AND base.band = pr.band
@@ -274,8 +282,11 @@ object Pipeline {
     * per band ([[graft.functions.RhOps.probedPlanesFor]]: ppb =
     * clamp(floor(log2(N/16)), 8, 24) + 3, so each band's key space
     * keeps expected bucket size ~2 at ANY corpus size), where every
-    * vector also probes its T = 2·ppb QUERY-DIRECTED neighboring keys
-    * per band ([[graft.functions.RhOps.probedBandKeys]]: the 1-/2-/
+    * vector also probes its T QUERY-DIRECTED neighboring keys per
+    * band (T = [[graft.functions.RhOps.probesFor]]: 2·ppb through 14
+    * planes, then the measured (15, 61)-anchored ~1.857×/plane growth table — the
+    * round-15 change that keeps the recall contract alive past ~80k
+    * vectors) ([[graft.functions.RhOps.probedBandKeys]]: the 1-/2-/
     * 3-plane flips with the smallest flipped-|margin| sums — the
     * buckets a near-threshold neighbor most likely landed in; Lv et
     * al.'s multi-bit probe order, VLDB'07 §4, applied symmetrically
@@ -292,8 +303,13 @@ object Pipeline {
     * width config: 89.0%/73.5%/67.1% at sf0.1/sf1/2×-sf1 (LshProbe
     * grid; q267 re-measures it every round and LshRecallSpec pins
     * floors AND per-vector candidate ceilings), with candidates
-    * bucket-bounded — never all-pairs — at 406/1936/2605 per vector:
-    * the recorded price of the flat-recall contract. Both width and
+    * bucket-bounded — never all-pairs — at 406/1936/2605 DISTINCT
+    * PAIRS per vector (sf0.1/sf1/2×-sf1). NOTE the unit: q267 and
+    * LshRecallSpec pin `cand_rows_per_vec` = PRE-DISTINCT ROWS
+    * (1205/4673/5944 at the same scales — ~2.4× the distinct pairs,
+    * the multi-bucket collision duplication this no-distinct
+    * pipeline deliberately carries through the verify stage): the
+    * recorded price of the flat-recall contract. Both width and
     * probe count are plan-time constants derived from the parquet
     * count exactly as the oracle's prm CTE re-derives them; the probe
     * SELECTION is exact integer margin arithmetic the oracle replays
@@ -306,76 +322,96 @@ object Pipeline {
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val ppb = graft.functions.RhOps.probedPlanesFor(
-        Tables.embeddings(s, d).count())
+      val n = Tables.embeddings(s, d).count()
+      val ppb = graft.functions.RhOps.probedPlanesFor(n)
       val nProbe = graft.functions.RhOps.probesFor(ppb)
-      // all 4·ppb hyperplane bits, margins, and the 4·(1+T) base+probe
-      // keys in one codegen'd pass (graft.functions.RhProbedBandKeys;
-      // md5-derived ±1 weights identical to what the oracle
-      // regenerates); band = pos / (1+T) recovers the band index from
-      // the flat layout
-      val keys = e.select(col("vec_id"),
-          posexplode(graft.functions.RhOps
-            .probedBandKeysCol(col("v"), ppb, nProbe)))
-        .select(col("vec_id"),
-          (col("pos") / (nProbe + 1)).cast("int").as("band"),
-          col("col").as("bkey"))
       // NO distinct before verification: a pair colliding in several
       // (band, key) buckets appears several times (the multi-probe
       // schedule's bucket-collision duplication is ~2.4× at sf1 —
       // 93.5M candidate rows vs 38.7M distinct pairs, q267's census),
       // but an A/B at sf1 measured the pre-verify distinct flat
       // (8.97 s vs 8.82 s): its own 93.5M-row exchange + hash agg
-      // costs what the halved verify load saves, and on the broadcast
-      // path it would ADD the plan's only exchange. Deduping AFTER
-      // the tau filter touches only the surviving rows — cos is
+      // costs what the halved verify load saves. Deduping AFTER the
+      // tau filter touches only the surviving rows — cos is
       // deterministic, so distinct∘filter ≡ filter∘distinct and the
-      // oracle's DISTINCT cand CTE stays byte-equivalent.
-      val cand = graft.ops.Dedup
-        .bucketPairs(keys, "vec_id", Seq("band", "bkey"))
-      // Verify-side JOIN STRATEGY from plan-time stats: the vector
-      // payload is n·dim·8 B RAW, but parquet compresses it under
-      // Spark's 10 MB broadcast threshold well past the size whose
-      // decompressed UnsafeRow build fits the driver — measured: a
-      // 40k-vector table (20 MB raw) static-plans as BHJ and fails
-      // with "Not enough memory to build and broadcast". We already
-      // paid for the exact count, so decide from it: small vector
-      // tables broadcast (zero pair-stream shuffles); past 12 MB raw
-      // the pair stream hash-shuffles on the id key and the bounded
-      // per-partition vector slices become the hash build side — the
-      // only shape that exists at 100 TB, where broadcasting the
-      // corpus is impossible. Norms ride the join sides either way
-      // (computed once per VECTOR, not once per candidate per side —
-      // at sf1 that is 2×30M spared 64-element passes).
-      val vecBytes =
-        Tables.embeddings(s, d).count() * graft.functions.RhOps.dim * 8L
-      def vside(df: DataFrame): DataFrame =
-        if (vecBytes <= (12L << 20)) broadcast(df) else df.hint("shuffle_hash")
-      cand
-        .join(vside(e.select(col("vec_id").as("a_id"), col("v").as("va"),
-          norm2(col("v")).as("na"))), "a_id")
-        .join(vside(e.select(col("vec_id").as("b_id"), col("v").as("vb"),
-          norm2(col("v")).as("nb"))), "b_id")
-        .select(col("a_id"), col("b_id"),
-          round(dot(col("va"), col("vb")) /
-            sqrt(col("na") * col("nb")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.35)
-        .distinct()
-        .orderBy("a_id", "b_id")
+      // oracle's post-filter DISTINCT is byte-equivalent.
+      //
+      // VERIFY SHAPE from plan-time stats (we already paid for the
+      // exact count). Small vector tables (≤12 MB raw — measured: a
+      // 40k-vector table, 20 MB raw, parquet-compresses under the
+      // 10 MB BHJ threshold but dies building the broadcast) verify
+      // by joining the bare id-pair stream against the BROADCAST
+      // vectors: zero pair-stream shuffles. Past that, the round-14
+      // shuffle_hash verify join is a 100 TB trap this round
+      // measured the hard way: the second join re-shuffles the pair
+      // stream WITH the first side's 512 B vector attached — 2.17 G
+      // candidate rows × ~540 B ≈ 1.2 TB of exchange at the 4×-sf1
+      // probe (it filled the probe host's disk). The scale shape is
+      // FUSED verification (Dedup.bucketPairsCarrying): vectors and
+      // norms ride the bucket rows through the ONE (band, key)
+      // shuffle (4·(1+T) key rows × ~540 B per vector — ~10 GB at
+      // the same probe, 100× less), and the cosine + tau filter run
+      // INSIDE the post-shuffle codegen span at pair-generation
+      // time, so the k² pair-payload rows are never exchanged or
+      // spilled — only tau-survivors leave the stage. Norms are
+      // computed once per VECTOR before the shuffle, not per
+      // candidate per side.
+      if (n * graft.functions.RhOps.dim * 8L <= (12L << 20)) {
+        // all 4·ppb hyperplane bits, margins, and the 4·(1+T)
+        // base+probe keys in one codegen'd pass
+        // (graft.functions.RhProbedBandKeys; md5-derived ±1 weights
+        // identical to what the oracle regenerates); band =
+        // pos / (1+T) recovers the band index from the flat layout
+        val keys = e.select(col("vec_id"),
+            posexplode(graft.functions.RhOps
+              .probedBandKeysCol(col("v"), ppb, nProbe)))
+          .select(col("vec_id"),
+            (col("pos") / (nProbe + 1)).cast("int").as("band"),
+            col("col").as("bkey"))
+        graft.ops.Dedup.bucketPairs(keys, "vec_id", Seq("band", "bkey"))
+          .join(broadcast(e.select(col("vec_id").as("a_id"),
+            col("v").as("va"), norm2(col("v")).as("na"))), "a_id")
+          .join(broadcast(e.select(col("vec_id").as("b_id"),
+            col("v").as("vb"), norm2(col("v")).as("nb"))), "b_id")
+          .select(col("a_id"), col("b_id"),
+            round(dot(col("va"), col("vb")) /
+              sqrt(col("na") * col("nb")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.35)
+          .distinct()
+          .orderBy("a_id", "b_id")
+      } else {
+        val keyed = e.select(col("vec_id"), col("v"),
+            norm2(col("v")).as("n2"),
+            posexplode(graft.functions.RhOps
+              .probedBandKeysCol(col("v"), ppb, nProbe)))
+          .select(col("vec_id"),
+            (col("pos") / (nProbe + 1)).cast("int").as("band"),
+            col("col").as("bkey"), col("v"), col("n2"))
+        graft.ops.Dedup
+          .bucketPairsCarrying(keyed, "vec_id", Seq("band", "bkey"),
+            Seq("v", "n2"))
+          .select(col("a_id"), col("b_id"),
+            round(dot(col("a_v"), col("b_v")) /
+              sqrt(col("a_n2") * col("b_n2")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.35)
+          .distinct()
+          .orderBy("a_id", "b_id")
+      }
     },
     Some(s"""WITH ${rhProbedKeysCte()}
-      cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      cand AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
           FROM keys x JOIN keys y
           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
-      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           list_dot_product(CAST(embedding AS DOUBLE[]),
                            CAST(embedding AS DOUBLE[])) AS n2
-          FROM embeddings)
-      SELECT c.a_id, c.b_id,
-        round(list_dot_product(ea.v, eb.v) / sqrt(ea.n2 * eb.n2), 6) AS cos_sim
-      FROM cand c JOIN ev ea ON ea.vec_id = c.a_id
-      JOIN ev eb ON eb.vec_id = c.b_id
-      WHERE round(list_dot_product(ea.v, eb.v) / sqrt(ea.n2 * eb.n2), 6) >= 0.35
+          FROM embeddings),
+      sc AS (SELECT c.a_id, c.b_id,
+          round(list_dot_product(ea.v, eb.v) / sqrt(ea.n2 * eb.n2), 6) AS cos_sim
+        FROM cand c JOIN ev ea ON ea.vec_id = c.a_id
+        JOIN ev eb ON eb.vec_id = c.b_id)
+      SELECT DISTINCT a_id, b_id, cos_sim FROM sc
+      WHERE cos_sim >= 0.35
       ORDER BY 1, 2"""),
     bench = true)
 
@@ -478,9 +514,9 @@ object Pipeline {
           "CASE WHEN n_true = 0 THEN NULL ELSE (n_hit * 1000000) DIV n_true END"))
     },
     Some(s"""WITH ${rhProbedKeysCte(extraPrm = """,
-          CAST(count(*) AS BIGINT) AS n,
-          least(24, greatest(8, length(printf('%b', count(*) // 16)) - 1)) AS ppb_base,
-          greatest(1, count(*) // 256) AS smod""")}
+          n,
+          least(24, greatest(8, length(printf('%b', n // 16)) - 1)) AS ppb_base,
+          greatest(1, n // 256) AS smod""")}
       sel AS (SELECT * FROM el WHERE vec_id % (SELECT smod FROM prm) = 0),
       nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM sel GROUP BY 1),
       dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dp

@@ -114,6 +114,66 @@ object Calib {
   }
 }
 
+/** `calib_io` (round 15): the anchor class the ALU loops provably
+  * cannot see. The round-14 adjudication found both CPU anchors moving
+  * 30-40% FASTER while the Spark suite ran ~13% SLOWER — an
+  * IO/page-cache/codec/JIT drift dimension — and the call cost two
+  * full worktree re-benches. This anchor exercises exactly that
+  * dimension: a FIXED parquet scan+aggregate (decode two
+  * high-entropy md5 string columns + crc32 + sums) over a
+  * deterministic ~60 MB, 8-file fixture, measured with the bench
+  * discipline (one unmeasured warm-up — which also absorbs the cold
+  * first read and footer caching — then median of 5 warm scans,
+  * matching the warm-cache regime the suite itself runs in).
+  *
+  * The fixture and the query are ANCHOR-FROZEN: any edit here shifts
+  * the anchor and masquerades as host drift against committed
+  * artifacts (the same rule the serial loop carries). The fixture
+  * lives at a VERSIONED path and is rebuilt only if absent or
+  * wrong-sized, so every round on a host measures the same bytes.
+  * benchdiff.py does NOT normalize by this anchor (it measures a
+  * fixed scan, not the suite's CPU mix) — it GATES: a calib_io
+  * movement that disagrees in sign with the suite movement vetoes
+  * normalization and routes to the worktree A/B protocol.
+  */
+object CalibIo {
+  val Rows = 1000000L
+  val Files = 8
+  val Path = "/tmp/graft_calib_io_v1"
+
+  private def fixture(spark: org.apache.spark.sql.SparkSession) = {
+    val ok =
+      try spark.read.parquet(Path).count() == Rows
+      catch { case _: Throwable => false }
+    if (!ok)
+      spark.range(0, Rows, 1, Files).selectExpr(
+        "id",
+        "md5(cast(id AS string)) AS h1",
+        "md5(concat('x', cast(id AS string))) AS h2",
+        "(id % 9973) / 7.0 AS v")
+        .write.mode("overwrite").parquet(Path)
+  }
+
+  private def scanOnce(spark: org.apache.spark.sql.SparkSession): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val r = spark.read.parquet(Path)
+      .selectExpr("sum(crc32(h1))", "sum(crc32(h2))",
+        "sum(v)", "count(*)")
+      .collect()(0)
+    ((System.nanoTime() - t0) / 1e9, r.getLong(0) + r.getLong(3))
+  }
+
+  /** (calib_io, sink): median of 5 after one warm-up. */
+  def measure(spark: org.apache.spark.sql.SparkSession): (Double, Long) = {
+    fixture(spark)
+    var sink = scanOnce(spark)._2 // warm-up (cold read, footers, JIT)
+    val times = (1 to 5).map { _ =>
+      val (t, a) = scanOnce(spark); sink += a; t
+    }.sorted
+    (times(times.length / 2), sink)
+  }
+}
+
 /** Prints the two calibration anchors as one JSON line without running
   * any queries (~15 s). The synthetic-drift check for the parallel
   * anchor (run both, compare):

@@ -35,12 +35,27 @@ object LshProbe {
       println(s"== $dir n=$n base_ppb=$ppb sample=${sample.count()} true_pairs=$nTrue")
       // default: the candidate production schedule; SPARK_GRAFT_LSH_SWEEP=1
       // sweeps the full grid
-      val asym = sys.env.contains("SPARK_GRAFT_LSH_ASYM")
+      val explore = sys.env.contains("SPARK_GRAFT_LSH_COMBOS") ||
+        sys.env.contains("SPARK_GRAFT_LSH_SWEEP")
+      // asym applies ONLY to the sweep/combos exploration branches:
+      // production q25 runs symmetric (base ∪ probes)² bucketPairs, so
+      // an asymmetric reading on the DEFAULT path would masquerade as
+      // a production measurement (r14 advisory)
+      val asym = sys.env.contains("SPARK_GRAFT_LSH_ASYM") && explore
+      if (sys.env.contains("SPARK_GRAFT_LSH_ASYM") && !explore)
+        println("   [SPARK_GRAFT_LSH_ASYM ignored on the default " +
+          "(production-schedule) path — set SWEEP or COMBOS to explore " +
+          "asymmetric generation]")
       val combos =
         if (sys.env.contains("SPARK_GRAFT_LSH_COMBOS"))
           // explicit "w:t,w:t,…" pairs for targeted frontier probes
-          sys.env("SPARK_GRAFT_LSH_COMBOS").split(",").toSeq
-            .map(_.split(":")).map(a => (a(0).trim.toInt, a(1).trim.toInt))
+          sys.env("SPARK_GRAFT_LSH_COMBOS").split(",").toSeq.map { tok =>
+            val a = tok.split(":")
+            require(a.length == 2 && a.forall(_.trim.matches("\\d+")),
+              s"SPARK_GRAFT_LSH_COMBOS: bad token '$tok' — expected " +
+                "\"w:t,w:t,…\" with numeric w and t")
+            (a(0).trim.toInt, a(1).trim.toInt)
+          }
         else if (sys.env.contains("SPARK_GRAFT_LSH_SWEEP")) {
           // multi-bit probing makes T > ppb meaningful (candidates are
           // 1- and 2-plane flips: up to ppb + C(ppb,2) per band);
@@ -80,15 +95,31 @@ object LshProbe {
             .distinct()
         val hits = truth.join(cand(sample), Seq("a_id", "b_id"), "left_semi").count()
         val recall = if (nTrue == 0) -1.0 else hits * 100.0 / nTrue
+        // every result line names its candidate-generation mode: asym
+        // numbers are NOT production q25 measurements (r14 advisory)
+        val mode = if (asym) "asym" else "sym"
         if (recall >= 45.0) {
           val full = emb.select(col("vec_id"), toD(col("embedding")).as("v"))
           val t0 = System.nanoTime()
-          val candFull = cand(full).count()
+          // Sym census = candidate ROWS via the bucket-size histogram
+          // (Σ k·(k−1)/2, O(buckets) — the same unit q267 reports and
+          // LshRecallSpec pins). The previous pair-generate+DISTINCT
+          // census OOM'd an 8g driver at the (15, 45) schedule on the
+          // 4×-sf1 fixture (~1G pair rows) — the exact cost class the
+          // q267 histogram rework removed from the engine in round 14.
+          // Asym keeps the distinct-pair join (exploratory only; its
+          // candidate stream is 2(1+T), never (1+T)²).
+          val (candRows, unit) =
+            if (asym) (cand(full).count(), "dist-pairs")
+            else (keys(full).groupBy("band", "bkey")
+              .agg(count(lit(1)).as("k"))
+              .agg(coalesce(sum(expr("(k * (k - 1)) DIV 2")), lit(0L)))
+              .collect()(0).getLong(0), "rows")
           val secs = (System.nanoTime() - t0) / 1e9
-          println(f"   ppb=$w%2d T=$t%2d recall=$recall%6.2f%% ($hits/$nTrue) " +
-            f"cand_full=$candFull%10d (${candFull * 1.0 / n}%8.1f/vec, ${secs}%6.2f s)")
+          println(f"   [$mode] ppb=$w%2d T=$t%3d recall=$recall%6.2f%% ($hits/$nTrue) " +
+            f"cand_full=$candRows%10d $unit (${candRows * 1.0 / n}%8.1f/vec, ${secs}%6.2f s)")
         } else
-          println(f"   ppb=$w%2d T=$t%2d recall=$recall%6.2f%% ($hits/$nTrue)  [cand skipped]")
+          println(f"   [$mode] ppb=$w%2d T=$t%3d recall=$recall%6.2f%% ($hits/$nTrue)  [cand skipped]")
       }
       truth.unpersist()
     }

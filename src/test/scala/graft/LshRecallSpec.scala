@@ -9,9 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * survive candidate generation, BOTH at the unprobed round-12 width
   * (recall_base — the recorded cost of adaptivity alone) and at the
   * production multi-probe schedule (recall — probedPlanesFor =
-  * planesFor+3 planes, T = 2·ppb query-directed MULTI-BIT probes per
-  * band: the 1-/2-/3-plane flips with the smallest flipped-margin
-  * sums, Lv et al.'s probe order), plus the full-corpus candidate-ROW
+  * planesFor+3 planes, T query-directed MULTI-BIT probes per band:
+  * the 1-/2-/3-plane flips with the smallest flipped-margin sums, Lv
+  * et al.'s probe order; T = probesFor's WIDTH-INDEXED schedule —
+  * 2·ppb through 14 planes, then the round-15 growth table anchored
+  * at the measured (15, 61)), plus the full-corpus candidate-ROW
   * budget the schedule pays for it (cand_rows_per_vec — Σ k·(k−1)/2
   * over the (band, key) bucket histogram, i.e. exactly the pair rows
   * q25's verify stage processes).
@@ -21,7 +23,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * exact integer margins, committed sf0.1 testdata, the deterministic
   * make_sf1.py fixtures), so the measured values are exact and only
   * move if the blocking code or the fixture changes — which is what
-  * the pins are for. Recorded at round-14 HEAD:
+  * the pins are for. Recorded at round-14 HEAD (first three rows —
+  * byte-identical under the round-15 width-indexed probesFor, which
+  * only diverges from 2·ppb at 15+ planes) and round-15 HEAD (4th):
   *
   *   sf0.1  (N=2000):  ppb 8→11, T=22; recall_base 13.70% (10/73),
   *                     probed 89.04% (65/73), 1,205 cand rows/vec
@@ -29,19 +33,25 @@ import org.scalatest.funsuite.AnyFunSuite
   *                     probed 73.53% (50/68), 4,673 cand rows/vec
   *   2×-sf1 (N=40000): ppb 11→14, T=28; recall_base 4.29% (3/70),
   *                     probed 67.14% (47/70), 5,944 cand rows/vec
+  *   4×-sf1 (N=80000): ppb 12→15, T=61; probed 78.57% (44/56),
+  *                     27,073 cand rows/vec
   *
   * The round-13 single-bit schedule met its 50% gate floors but
-  * decayed 74% → 51% → 36% across these same three width configs —
-  * the round-13 verdict's one `weak`. The multi-bit schedule holds
-  * the ≥65% contract at EVERY config, and the LshProbe frontier sweep
-  * (SCALING.md's multi-probe table) shows it is the cheapest such
-  * point: every swept config with lower candidates at the third width
-  * reads < 65%. The budget ceilings make candidate growth a NAMED
-  * failure: the per-decade budget step (1205→4673, 3.9×) is the
-  * recorded price of flat recall at tau=0.35, and the width-step
-  * pullback (4673→5944 for 2× N, 1.27×) is the schedule doing its
-  * job. Verbatim duplicates (cosine 1.0) collide in every band at any
-  * width, so true-duplicate recall stays 1 regardless.
+  * decayed 74% → 51% → 36% across the first three width configs (the
+  * round-13 verdict's one `weak`); the round-14 flat T=2·ppb
+  * multi-bit schedule held ≥65% there but read 51.4% at the FOURTH
+  * config — 58.9% even at the SCALING-documented (15, 45) one-line
+  * fix once measured on the real 80k fixture (the round-14 67.1% was
+  * 40k sample geometry), which is why the round-15 table anchors at
+  * the measured (15, 61) = 78.6% with real margin, not at the
+  * cheapest passing point (52 = 66.1%, one flipped pair from the
+  * floor). The 3-bit probe family has no wall at this width: the
+  * all-flips ceiling (15, 575) reads 100%. The budget ceilings make
+  * candidate growth a NAMED failure: the width-15 step is ×4.6
+  * rows/vec (5,944 → 27,073) — the recorded price of flat recall at
+  * tau=0.35 paid ONLY by corpora past ~64k vectors (committed scales
+  * are untouched). Verbatim duplicates (cosine 1.0) collide in every
+  * band at any width, so true-duplicate recall stays 1 regardless.
   */
 class LshRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -105,5 +115,27 @@ class LshRecallSpec extends AnyFunSuite {
       s"2x-sf1 multi-probe recall fell below the 65% contract (measured 67.14% at HEAD): ${r.recall} ppm")
     assert(r.candPerVec <= 7400L,
       s"2x-sf1 candidate budget blew past its 5,944 rows/vec record: ${r.candPerVec}")
+  }
+
+  test("4x-sf1 width probe: the FOURTH schedule configuration (15, 61) holds the 65% contract") {
+    // Built by `make_sf1.py /tmp/graft_sf1 /tmp/graft_sf4x 4` — 80k
+    // vectors, the FIRST corpus that sizes to 15 planes/band and so
+    // the first to leave the flat T=2·ppb regime for the round-15
+    // growth table (T=61). This is the config where T=2·ppb read
+    // 51.4% — the round-14 verdict's one `weak`, closed here in code.
+    // Oracle parity at this configuration is re-verified each round
+    // by the sweep protocol (scripts/sweep.sh width-probe stage).
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/tmp/graft_sf4x")),
+      "width-probe fixture not built (make_sf1.py /tmp/graft_sf1 /tmp/graft_sf4x 4)")
+    val r = recallRow("/tmp/graft_sf4x")
+    assert(r.ppbBase === 12L && r.ppb === 15L && r.nProbes === 61L,
+      s"schedule drifted: $r — 80k vectors must size to 15 planes/band, 61 probes " +
+        "(the first growth-table entry)")
+    assert(r.nTrue > 0L, "the truth set went empty")
+    assert(r.recall >= 650000L,
+      s"4x-sf1 multi-probe recall fell below the 65% contract (measured 78.57% at HEAD): ${r.recall} ppm")
+    assert(r.candPerVec <= 28000L,
+      s"4x-sf1 candidate budget blew past its 27,073 rows/vec record: ${r.candPerVec}")
   }
 }

@@ -399,7 +399,7 @@ object Pipeline {
       }
     },
     Some(s"""WITH ${rhProbedKeysCte()}
-      cand AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+      cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
           FROM keys x JOIN keys y
           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
       ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -410,7 +410,7 @@ object Pipeline {
           round(list_dot_product(ea.v, eb.v) / sqrt(ea.n2 * eb.n2), 6) AS cos_sim
         FROM cand c JOIN ev ea ON ea.vec_id = c.a_id
         JOIN ev eb ON eb.vec_id = c.b_id)
-      SELECT DISTINCT a_id, b_id, cos_sim FROM sc
+      SELECT a_id, b_id, cos_sim FROM sc
       WHERE cos_sim >= 0.35
       ORDER BY 1, 2"""),
     bench = true)

@@ -49,6 +49,17 @@ if missing:
 
 rows = [(q, base[q], new[q]) for q in sorted(base)
         if isinstance(new.get(q), (int, float))]
+
+# Bench.scala serializes an ERRORED query as -1 seconds; summing that
+# into tot_new would LOWER the ratio and make the gate MORE likely to
+# pass over a broken query. Mirror benchdiff.py: any non-positive
+# timing (either side) is a loud failure, not a data point. (r15
+# advisory — the sweep's set -e covered the sweep path, but a
+# standalone gate run did not.)
+bad = [(q, a, b) for q, a, b in rows if a <= 0 or b <= 0]
+if bad:
+    sys.exit("HEADLINE GATE FAIL: non-positive timings (errored queries "
+             f"serialize as -1): {[(q, a, b) for q, a, b in bad]}")
 tot_base = sum(r[1] for r in rows)
 tot_new = sum(r[2] for r in rows)
 ratio = tot_new / tot_base

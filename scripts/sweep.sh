@@ -5,9 +5,10 @@
 # Writes one JSON per scale: <outPrefix>_<sf>.json, then runs the
 # WIDTH-SCHEDULE PROBES: oracle-verifies the four adaptive-family
 # queries on the 2x-sf1 fixture (LSH 14 planes / 28 probes) AND the
-# 4x-sf1 fixture (15 planes / 45 probes — the FIRST config on the
-# round-15 T-growth table, where the flat T=2·ppb schedule read
-# 51.4% recall). The round-13 probe caught two real defects (q25's
+# 4x-sf1 fixture (15 planes / 61 probes — the FIRST config on the
+# round-15 T-growth table, anchored at the measured 78.6% recall;
+# the flat T=2·ppb schedule read 51.4% there and the rejected
+# (15, 45) point 58.9%). The round-13 probe caught two real defects (q25's
 # broadcast-death, an oracle temp blowup) precisely because it
 # exercised the next config; the probe pair is standard round
 # evidence now. Records: <outPrefix>_sf2x_verify.txt,
@@ -47,31 +48,49 @@ for mult in 2 4; do
   SPARK_DRIVER_MEM=32g \
     sbt -batch "runMain graft.tools.VerifySome $fx /tmp/vs_sweep_w${mult} q25_neardup_cosine q267_lsh_recall q152_simhash_hamming q214_media_phash_dedup" \
     > /dev/null 2>&1
+  rec="${prefix}_sf${mult}x_verify.txt"
+  : > "$rec"
   if [ "$mult" = 4 ]; then
     # q25's ENGINE leg runs above (fused bucket-local verify — it is
-    # the reason the leg fits on one host at all), but its full-output
+    # the reason the leg fits on one host at all), but its FULL-output
     # DuckDB oracle does NOT fit this host at 4x: the 2.17G-row
     # candidate stream needs >93 GB RAM + >61 GB temp (measured
     # round 15, two plan shapes — inline and MATERIALIZED CTEs).
-    # q25's oracle stays verified at sf0.01/sf0.1/sf1/2x; at 4x the
-    # BLOCKING layer (the identical keys CTE) is oracle-verified
-    # through q267, which also pins recall and the exact
-    # sum-k(k-1)/2 row census of q25's pair stream. Dropping it here
-    # is a LOUD, named cap — not silent truncation.
-    echo "NOTE: 4x probe compares q267/q152/q214 (full oracles);" \
-         "q25 runs engine-only at this scale (oracle exceeds host: see sweep.sh)"
-    python3 - "$mult" <<'PYEOF'
-import json, sys
-f = f"/tmp/vs_sweep_w{sys.argv[1]}/oracle_sql.json"
-o = json.load(open(f))
-o.pop("q25_neardup_cosine", None)
-json.dump(o, open(f, "w"))
-PYEOF
+    # Round 16 closes the verify-arithmetic gap with a DETERMINISTIC
+    # ID-SAMPLED SLICE oracle: both engines keep only pairs whose
+    # a_id % 8 = 0 (a_id = the LESSER vec_id, fixed at candidate
+    # time, so the filter commutes with the tau filter and is
+    # pushable into the oracle's cand CTE — an ~8x smaller candidate
+    # stream that fits the 80 GB budget). The engine side is the
+    # UNTOUCHED full q25 parquet post-filtered here; the oracle side
+    # is the same SQL with the pushdown predicate. The slice is a
+    # LOUD, named sample — recorded in the verify file — not silent
+    # truncation; the full-output oracle stays green at
+    # sf0.01/sf0.1/sf1/2x, and the blocking layer + exact
+    # sum-k(k-1)/2 row census are oracle-verified at 4x through q267.
+    echo "NOTE: 4x probe compares q267/q152/q214 (full oracles) and" \
+         "q25 on the deterministic a_id%8=0 slice of its output" \
+         "(full 4x oracle exceeds host: see sweep.sh)" | tee -a "$rec"
+    python3 scripts/sample_q25.py "/tmp/vs_sweep_w${mult}" 8
   fi
   GRAFT_ORACLE_TEMP_CAP=70GB GRAFT_ORACLE_MEM=80GB \
     python3 scripts/compare.py "$fx" "/tmp/vs_sweep_w${mult}" \
-    | tee "${prefix}_sf${mult}x_verify.txt"
+    | tee -a "$rec"
 done
+
+# FULL-REGISTRY sf1 verify record (round-15 verdict item 2: rounds
+# 10-14 committed CORRECTNESS_sf1_rNN.json; round 15's sf1 267/267
+# lived only in a commit message — this tee makes it round evidence).
+if [ -d /tmp/graft_sf1 ]; then
+  echo "=== full-registry verify (sf1) ==="
+  rm -rf /tmp/vs_sweep_sf1
+  SPARK_DRIVER_MEM=32g \
+    sbt -batch "runMain graft.Verify /tmp/graft_sf1 /tmp/vs_sweep_sf1" \
+    > /dev/null 2>&1
+  GRAFT_ORACLE_TEMP_CAP=70GB GRAFT_ORACLE_MEM=80GB \
+    python3 scripts/compare.py /tmp/graft_sf1 /tmp/vs_sweep_sf1 \
+    | tee "${prefix}_sf1_verify.txt"
+fi
 
 echo "=== headline wall-budget gate (r02 16-query set, sf0.1) ==="
 python3 scripts/headline_gate.py "${prefix}_sf0.1.json"

@@ -116,8 +116,26 @@ object LshProbe {
               .agg(coalesce(sum(expr("(k * (k - 1)) DIV 2")), lit(0L)))
               .collect()(0).getLong(0), "rows")
           val secs = (System.nanoTime() - t0) / 1e9
+          // asym ALSO reports the pre-distinct candidate-ROW census
+          // (Σ probe_k · base_k over the (band, key) histogram minus
+          // the 4N self-matches — each vector's own base key sits in
+          // its probe-side key set once per band), O(buckets): the
+          // unit LshRecallSpec pins for the sym schedule, so the
+          // sym-vs-asym frontier compares verify-stage work like for
+          // like instead of rows against distinct pairs.
+          val rowCensus = if (asym) {
+            val ph = keys(full).groupBy("band", "bkey")
+              .agg(count(lit(1)).as("pk"))
+            val bh = baseKeys(full).groupBy("band", "bkey")
+              .agg(count(lit(1)).as("bk"))
+            val tot = ph.join(bh, Seq("band", "bkey"))
+              .agg(coalesce(sum(col("pk") * col("bk")), lit(0L)))
+              .collect()(0).getLong(0) - 4 * n
+            f" rows_full=$tot%10d (${tot * 1.0 / n}%8.1f/vec)"
+          } else ""
           println(f"   [$mode] ppb=$w%2d T=$t%3d recall=$recall%6.2f%% ($hits/$nTrue) " +
-            f"cand_full=$candRows%10d $unit (${candRows * 1.0 / n}%8.1f/vec, ${secs}%6.2f s)")
+            f"cand_full=$candRows%10d $unit (${candRows * 1.0 / n}%8.1f/vec, ${secs}%6.2f s)" +
+            rowCensus)
         } else
           println(f"   [$mode] ppb=$w%2d T=$t%3d recall=$recall%6.2f%% ($hits/$nTrue)  [cand skipped]")
       }

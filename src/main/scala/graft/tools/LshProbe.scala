@@ -98,6 +98,10 @@ object LshProbe {
         // every result line names its candidate-generation mode: asym
         // numbers are NOT production q25 measurements (r14 advisory)
         val mode = if (asym) "asym" else "sym"
+        // recall prints BEFORE the full-corpus census so a ceiling
+        // probe at a huge T (e.g. the all-flips 15:575) yields its
+        // number even if the census leg would be prohibitive
+        println(f"   [$mode] ppb=$w%2d T=$t%3d recall=$recall%6.2f%% ($hits/$nTrue)")
         if (recall >= 45.0) {
           val full = emb.select(col("vec_id"), toD(col("embedding")).as("v"))
           val t0 = System.nanoTime()
@@ -137,7 +141,7 @@ object LshProbe {
             f"cand_full=$candRows%10d $unit (${candRows * 1.0 / n}%8.1f/vec, ${secs}%6.2f s)" +
             rowCensus)
         } else
-          println(f"   [$mode] ppb=$w%2d T=$t%3d recall=$recall%6.2f%% ($hits/$nTrue)  [cand skipped]")
+          println(f"   [$mode] ppb=$w%2d T=$t%3d   [cand census skipped: recall < 45%%]")
       }
       truth.unpersist()
     }

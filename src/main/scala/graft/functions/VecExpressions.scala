@@ -131,6 +131,25 @@ object RhOps {
   def bandKeysCol(a: Column, planesPerBand: Int = minPlanesPerBand): Column =
     GraftShim.column(RhBandKeys(GraftShim.expression(a), planesPerBand))
 
+  /** TRUE iff the vector is usable by the hyperplane key family:
+    * exactly [[dim]] elements, none null. An unusable vector hashes
+    * to ALL-ZERO keys in every band ([[bandKeys]]/[[probedBandKeys]])
+    * — deterministic by construction, but at 100 TB a corpus with
+    * many malformed embeddings would pair them QUADRATICALLY inside
+    * the (band, 0) buckets, and exact dedup upstream cannot collapse
+    * them (the documents differ; only the degenerate keys agree).
+    * The probed-LSH entries filter on this BEFORE key generation —
+    * which also aligns engine and oracle on malformed rows (the
+    * oracle's per-element CTE would otherwise compute PARTIAL-sum
+    * keys for a short vector where the engine emits zeros). Oracle
+    * replay: `len(embedding) = 64 AND
+    * len(list_filter(embedding, e -> e IS NULL)) = 0`.
+    */
+  def usableVec(a: Column): Column = {
+    import org.apache.spark.sql.functions.{exists, size}
+    size(a) === dim && !exists(a, x => x.isNull)
+  }
+
   /** Band width when MULTI-PROBING (q25/q267): three planes wider
     * than [[planesFor]] — multi-probe LSH's standing trade (Lv et
     * al., VLDB'07): probing neighbors substitutes for bucket width,

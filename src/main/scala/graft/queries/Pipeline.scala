@@ -45,6 +45,13 @@ object Pipeline {
     * (bt.rk ≤ nprobe) — bit-for-bit the selection
     * [[graft.functions.RhOps.probedBandKeys]] performs, so both
     * engines probe identical buckets at every scale.
+    *
+    * The el CTE admits USABLE vectors only (64 elements, none null) —
+    * the oracle replay of [[graft.functions.RhOps.usableVec]], which
+    * q25/q267 apply before key generation (unusable vectors hash to
+    * all-zero keys and would pair quadratically in the (band, 0)
+    * buckets; see the round-15 advisory). prm0's count stays over ALL
+    * rows, matching the engines' plan-time `embeddings.count()`.
     */
   private def rhProbedKeysCte(extraPrm: String = ""): String =
     s"""prm0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -57,7 +64,9 @@ object Pipeline {
                                  ppb - 14) END AS nprobe$extraPrm
         FROM prm0),
       el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+          WHERE len(embedding) = 64
+            AND len(list_filter(embedding, e -> e IS NULL)) = 0),
       w AS (SELECT p, i,
           CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 1
                THEN 1 ELSE -1 END AS w
@@ -320,11 +329,31 @@ object Pipeline {
   private val q25NeardupCosine = Q(
     "q25_neardup_cosine",
     (s, d) => {
+      // UNUSABLE vectors (length != 64 / null element) are filtered
+      // BEFORE key generation (round-15 advisory): they hash to
+      // ALL-ZERO keys in every band, so a corpus with many malformed
+      // embeddings would pair them QUADRATICALLY inside the (band, 0)
+      // buckets — a degenerate-bucket class exact dedup upstream
+      // cannot collapse (the documents differ). They could never
+      // reach the OUTPUT anyway (their cosine is null, which fails
+      // tau), so this drops work, not results; the oracle's el CTE
+      // carries the same predicate. LshZeroKeySpec plants malformed
+      // vectors and pins zero candidates.
       val e = Tables.embeddings(s, d)
+        .filter(graft.functions.RhOps.usableVec(col("embedding")))
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val n = Tables.embeddings(s, d).count()
       val ppb = graft.functions.RhOps.probedPlanesFor(n)
       val nProbe = graft.functions.RhOps.probesFor(ppb)
+      // Flood cap (round-15 advisory): with zero-key rows filtered,
+      // any bucket past the cap is a genuine near-identical flood —
+      // better quarantined (the q266 contract) than paired. Expected
+      // bucket size under the adaptive width schedule is ~2, so 4096
+      // (the kNN-graph family's cap) is pure adversarial headroom —
+      // it also bounds bucketPairsCarrying's collected payload row
+      // (~540 B/member) to ~2 MB, far from the 2 GB single-row
+      // limit. The oracle replays the cap via its bsz CTE.
+      val cap = 4096
       // NO distinct before verification: a pair colliding in several
       // (band, key) buckets appears several times (the multi-probe
       // schedule's bucket-collision duplication is ~2.4× at sf1 —
@@ -368,7 +397,8 @@ object Pipeline {
           .select(col("vec_id"),
             (col("pos") / (nProbe + 1)).cast("int").as("band"),
             col("col").as("bkey"))
-        graft.ops.Dedup.bucketPairs(keys, "vec_id", Seq("band", "bkey"))
+        graft.ops.Dedup.bucketPairs(keys, "vec_id", Seq("band", "bkey"),
+            maxBucket = Some(cap))
           .join(broadcast(e.select(col("vec_id").as("a_id"),
             col("v").as("va"), norm2(col("v")).as("na"))), "a_id")
           .join(broadcast(e.select(col("vec_id").as("b_id"),
@@ -389,7 +419,7 @@ object Pipeline {
             col("col").as("bkey"), col("v"), col("n2"))
         graft.ops.Dedup
           .bucketPairsCarrying(keyed, "vec_id", Seq("band", "bkey"),
-            Seq("v", "n2"))
+            Seq("v", "n2"), maxBucket = Some(cap))
           .select(col("a_id"), col("b_id"),
             round(dot(col("a_v"), col("b_v")) /
               sqrt(col("a_n2") * col("b_n2")), 6).as("cos_sim"))
@@ -399,9 +429,12 @@ object Pipeline {
       }
     },
     Some(s"""WITH ${rhProbedKeysCte()}
+      bsz AS (SELECT band, bkey FROM keys GROUP BY 1, 2
+          HAVING count(*) <= 4096),
       cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
           FROM keys x JOIN keys y
-          ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+          ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+          JOIN bsz z ON z.band = x.band AND z.bkey = x.bkey),
       ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           list_dot_product(CAST(embedding AS DOUBLE[]),
                            CAST(embedding AS DOUBLE[])) AS n2
@@ -462,7 +495,11 @@ object Pipeline {
       val ppb = graft.functions.RhOps.probedPlanesFor(n)
       val nProbe = graft.functions.RhOps.probesFor(ppb)
       val smod = math.max(1L, n / 256)
+      // same usable-vector guard as q25 (the audited operator): the
+      // oracle's shared el CTE carries the predicate, so sample,
+      // truth, keys, and the census all see usable vectors only
       val full = Tables.embeddings(s, d)
+        .filter(graft.functions.RhOps.usableVec(col("embedding")))
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val sample = full.filter(col("vec_id") % smod === 0)
       val scored = sample.select(col("vec_id").as("a_id"), col("v").as("va"))

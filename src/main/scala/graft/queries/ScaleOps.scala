@@ -515,7 +515,20 @@ object ScaleOps {
   private val q214MediaPhashDedup = Q(
     "q214_media_phash_dedup",
     (s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // NULL-text guard (round-15 advisory, the pigeonhole analog of
+      // q25's unusable-vector filter): a null text yields a null
+      // 60-bit signature, and since this entry's bucket id is a
+      // non-null (doc_id, sig) STRUCT, every null-text doc would land
+      // in the same (blk, NULL) buckets and pair QUADRATICALLY —
+      // candidate work only (the null hamming fails the <= 3 filter),
+      // but one degenerate collect_list row per mask at 100 TB. The
+      // oracle's equi-join drops null bv on its own (SQL null
+      // semantics); this filter gives the engine the same shape.
+      // (q152 needs no guard: its packed id is itself null for null
+      // text and collect_list drops null ids before pair generation.)
+      val base = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
       val shadows = base.filter(pmod(col("doc_id"), lit(13)) === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("Z"), col("text").substr(lit(2), length(col("text"))))
@@ -555,8 +568,8 @@ object ScaleOps {
     },
     Some("""WITH shadows AS (SELECT doc_id + 10000000 AS doc_id,
           'Z' || substr(text, 2) AS text
-        FROM documents WHERE doc_id % 13 = 0),
-      al AS (SELECT doc_id, text FROM documents
+        FROM documents WHERE doc_id % 13 = 0 AND text IS NOT NULL),
+      al AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
              UNION ALL SELECT doc_id, text FROM shadows),
       bl AS (SELECT doc_id, text,
           greatest(length(text) // 60, 1) AS L,

@@ -325,6 +325,18 @@ object Pipeline {
     * with a row_number() CTE, so both engines block identically at
     * every scale. Band keys are computed map-side in one codegen'd
     * pass; exact cosine verifies candidates only.
+    *
+    * SCHEDULE ADJUDICATED OPTIMAL (round 16): the asymmetric
+    * candidate generator (probes join base keys — 2(1+T) stream cost
+    * vs (1+T)²) was frontier-swept at all four probed scales
+    * (bench/asym_frontier_r16.txt, SCALING.md round-16 section): it
+    * costs MORE at equal recall from sf1 up, and its recall CEILING
+    * at the production widths is below the 65% contract (all-flips
+    * 48.6% at 14 planes, 41.1% at 15 — reach is capped at the probe
+    * arm's 3 flips while a tau pair differs in ~0.386·ppb planes per
+    * band). The symmetric schedule's per-query bench price (3.85×
+    * q25's r02 record at sf0.1) is therefore the recorded contract
+    * price of flat recall, not a regression.
     */
   private val q25NeardupCosine = Q(
     "q25_neardup_cosine",

@@ -78,6 +78,30 @@ for mult in 2 4; do
     | tee -a "$rec"
 done
 
+# 8x width probe (round 16): the FIFTH schedule config (16 planes /
+# 61 probes — measured and re-anchored this round; the extrapolated
+# T=113 read 92.6% at 3x the budget). q267 ONLY at this scale: it
+# oracle-verifies the blocking layer (the shared keys CTE), the
+# recall floor, and the exact sum-k(k-1)/2 census of q25's pair
+# stream; q25's own 4.9G-row candidate oracle and the q152/q214
+# all-pairs oracles (416k docs -> O(N^2) inequality joins in DuckDB)
+# exceed the host at 8x — a LOUD, named cap like the 4x q25 one.
+fx8=/tmp/graft_sf8x
+echo "=== width-schedule probe (8x-sf1, q267 only) ==="
+if [ ! -d "$fx8" ]; then
+  python3 scripts/make_sf1.py /tmp/graft_sf1 "$fx8" 8
+fi
+rm -rf /tmp/vs_sweep_w8
+SPARK_DRIVER_MEM=32g \
+  sbt -batch "runMain graft.tools.VerifySome $fx8 /tmp/vs_sweep_w8 q267_lsh_recall" \
+  > /dev/null 2>&1
+{ echo "NOTE: 8x probe compares q267 only (q25's 4.9G-row candidate oracle and"
+  echo "the q152/q214 all-pairs oracles exceed the host at this scale: see sweep.sh)"
+} | tee "${prefix}_sf8x_verify.txt"
+GRAFT_ORACLE_TEMP_CAP=70GB GRAFT_ORACLE_MEM=80GB \
+  python3 scripts/compare.py "$fx8" /tmp/vs_sweep_w8 \
+  | tee -a "${prefix}_sf8x_verify.txt"
+
 # FULL-REGISTRY sf1 verify record (round-15 verdict item 2: rounds
 # 10-14 committed CORRECTNESS_sf1_rNN.json; round 15's sf1 267/267
 # lived only in a commit message — this tee makes it round evidence).

@@ -170,8 +170,9 @@ object RhOps {
     * contract boundary): T = 2·ppb up to 14 planes (22/26/28 at the
     * committed 11/13/14-plane configs — unchanged, so every committed
     * fixture's blocking stays byte-identical to the round-14 era),
-    * then T grows geometrically ~1.857×/plane from the measured
-    * (15, 61) frontier anchor ([[probeGrowthTable]]).
+    * then the measured frontier anchors (15, 61) and (16, 61), then
+    * geometric growth from the last measured anchor
+    * ([[probeGrowthTable]]).
     *
     * WHY T must outgrow 2·ppb: a tau=0.35 pair differs in ~0.37·ppb
     * planes per band in expectation (acos(0.35)/π per plane), so the
@@ -184,10 +185,20 @@ object RhOps {
     * at (15, 52), 78.6% at (15, 61), 100% at the full-flip ceiling
     * (15, 575) — so 3-bit probing has no wall at this width and
     * (15, 61) is the pinned point with real margin over the 65%
-    * contract. The growth RATE from the two measured floor points
-    * (T=28 @ 14 planes, T=52 @ 15: ×1.857/plane) extrapolates the
-    * table past 15, CLAMPED at the all-flips cap ppb + C(ppb,2) +
-    * C(ppb,3) from 21 planes on (at the cap the probe set IS the
+    * contract. The 16-plane entry is MEASURED TOO (round 16, on the
+    * real 8×-sf1 160k-vector fixture — the first corpus that sizes
+    * to 16 planes): the floor sits at T≈41 (64.9% at 40, 67.0% at
+    * 45) and the round-15 ×1.857-extrapolated T=113 read 92.6% at
+    * 95,649 rows/vec — 3× over-provisioned — so the entry is
+    * re-anchored at the measured (16, 61) = 77.7% at 30,614
+    * rows/vec, the same margin policy as the 15-plane anchor
+    * (12.7 pp vs 13.6 pp). The measured per-step floor rate is NOT
+    * monotone (×1.857 at the 14→15 step, ×~0.85 at 15→16 — fixture
+    * pair-difficulty geometry moves it), so extrapolation past the
+    * last measured anchor keeps the LARGER measured rate
+    * (×1.857/plane — conservative: over-provides recall, never
+    * under), CLAMPED at the all-flips cap ppb + C(ppb,2) +
+    * C(ppb,3) from 22 planes on (at the cap the probe set IS the
     * full Hamming-≤6-per-band reach — the family's ceiling; wider
     * configs than any probed fixture must be frontier-probed before
     * a fixture reaches them, which the sweep's width-probe stage
@@ -204,23 +215,27 @@ object RhOps {
     * consecutive width configs, the round-13 verdict's one `weak`.
     * Oracle form (exact integer replay of this function):
     * `CASE WHEN ppb <= 14 THEN 2 * ppb ELSE
-    * list_extract([61,113,210,391,725,1347,1561,1793,2047,2324],
+    * list_extract([61,61,113,210,391,725,1347,1793,2047,2324],
     * ppb - 14) END` (probed width).
     */
   def probesFor(planesPerBand: Int): Int =
     if (planesPerBand <= 14) 2 * planesPerBand
     else probeGrowthTable(planesPerBand - 15)
 
-  /** T at ppb = 15..24: the measured (15, 61) anchor grown at the
-    * measured ×1.857/plane floor rate (round(61 · 1.857^(ppb−15))),
-    * clamped at the all-flips cap ppb·(ppb²+5)/6 from 21 planes on
-    * (1561/1793/2047/2324 — full 3-bit reach). Entries past the
-    * probed 15-plane config are extrapolation-with-a-documented-rate,
-    * not measurements: the sweep width-probe stage must measure each
-    * NEXT config before a real fixture sizes to it.
+  /** T at ppb = 15..24: the MEASURED anchors (15, 61) = 78.6% on the
+    * 4×-sf1 fixture (round 15) and (16, 61) = 77.7% on the 8×-sf1
+    * fixture (round 16 — the ×1.857-extrapolated 113 measured 3×
+    * over-provisioned there, see [[probesFor]]), then growth from the
+    * last measured anchor at the larger measured per-step floor rate
+    * (round(61 · 1.857^(ppb−16)) — conservative), clamped at the
+    * all-flips cap ppb·(ppb²+5)/6 from 22 planes on (1793/2047/2324 —
+    * full 3-bit reach). Entries past the probed 16-plane config are
+    * extrapolation-with-a-documented-rate, not measurements: the
+    * sweep width-probe stage must measure each NEXT config before a
+    * real fixture sizes to it.
     */
   private val probeGrowthTable: Array[Int] =
-    Array(61, 113, 210, 391, 725, 1347, 1561, 1793, 2047, 2324)
+    Array(61, 61, 113, 210, 391, 725, 1347, 1793, 2047, 2324)
 
   /** Base band key PLUS the T query-directed probe keys per band —
     * the Lv et al. (VLDB'07 §4) MULTI-BIT probe sequence: candidates

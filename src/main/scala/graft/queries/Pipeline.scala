@@ -33,7 +33,8 @@ object Pipeline {
     * leaves `prm0` (n, ppb — `extraPrm` items may reference `n`),
     * `prm` (ppb, nprobe — nprobe replays the WIDTH-INDEXED
     * [[graft.functions.RhOps.probesFor]]: 2·ppb through 14 planes,
-    * then the measured (15, 61)-anchored ×1.857/plane growth table —
+    * then the measured-anchor growth table ((15, 61) and (16, 61),
+    * rounds 15–16) —
     * + any `extraPrm` fields), `el`, `mg`
     * (per-plane exact integer margins) and `bt` (per-plane
     * bit/pos/margin/rank) in scope for downstream CTEs. The probe
@@ -60,7 +61,7 @@ object Pipeline {
         FROM embeddings),
       prm AS (SELECT ppb,
           CASE WHEN ppb <= 14 THEN 2 * ppb
-               ELSE list_extract([61,113,210,391,725,1347,1561,1793,2047,2324],
+               ELSE list_extract([61,61,113,210,391,725,1347,1793,2047,2324],
                                  ppb - 14) END AS nprobe$extraPrm
         FROM prm0),
       el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -293,9 +294,9 @@ object Pipeline {
     * keeps expected bucket size ~2 at ANY corpus size), where every
     * vector also probes its T QUERY-DIRECTED neighboring keys per
     * band (T = [[graft.functions.RhOps.probesFor]]: 2·ppb through 14
-    * planes, then the measured (15, 61)-anchored ~1.857×/plane growth table — the
-    * round-15 change that keeps the recall contract alive past ~80k
-    * vectors) ([[graft.functions.RhOps.probedBandKeys]]: the 1-/2-/
+    * planes, then the measured-anchor growth table — (15, 61) and
+    * (16, 61), the rounds-15/16 changes that keep the recall
+    * contract alive past ~80k vectors) ([[graft.functions.RhOps.probedBandKeys]]: the 1-/2-/
     * 3-plane flips with the smallest flipped-|margin| sums — the
     * buckets a near-threshold neighbor most likely landed in; Lv et
     * al.'s multi-bit probe order, VLDB'07 §4, applied symmetrically

@@ -35,6 +35,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *                     probed 67.14% (47/70), 5,944 cand rows/vec
   *   4×-sf1 (N=80000): ppb 12→15, T=61; probed 78.57% (44/56),
   *                     27,073 cand rows/vec
+  *   8×-sf1 (N=160000, round-16 HEAD): ppb 13→16, T=61; probed
+  *                     77.66% (73/94), 30,614 cand rows/vec
   *
   * The round-13 single-bit schedule met its 50% gate floors but
   * decayed 74% → 51% → 36% across the first three width configs (the
@@ -137,5 +139,30 @@ class LshRecallSpec extends AnyFunSuite {
       s"4x-sf1 multi-probe recall fell below the 65% contract (measured 78.57% at HEAD): ${r.recall} ppm")
     assert(r.candPerVec <= 28000L,
       s"4x-sf1 candidate budget blew past its 27,073 rows/vec record: ${r.candPerVec}")
+  }
+
+  test("8x-sf1 width probe: the FIFTH schedule configuration (16, 61) holds the 65% contract") {
+    // Built by `make_sf1.py /tmp/graft_sf1 /tmp/graft_sf8x 8` — 160k
+    // vectors, the FIRST corpus that sizes to 16 planes/band. Round
+    // 16 MEASURED this config on the real fixture and re-anchored
+    // the growth table here: the round-15 ×1.857-extrapolated T=113
+    // read 92.6% at 95,649 rows/vec (3× over-provisioned — the
+    // measured floor sits at T≈41: 64.9% at 40, 67.0% at 45), so the
+    // entry is the margin-policy anchor (16, 61) = 77.66% at 30,614
+    // rows/vec. Past 16 planes the table extrapolates again at the
+    // LARGER measured per-step rate (×1.857); the sweep's width-probe
+    // stage must measure 17 planes before a real fixture reaches it.
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/tmp/graft_sf8x")),
+      "width-probe fixture not built (make_sf1.py /tmp/graft_sf1 /tmp/graft_sf8x 8)")
+    val r = recallRow("/tmp/graft_sf8x")
+    assert(r.ppbBase === 13L && r.ppb === 16L && r.nProbes === 61L,
+      s"schedule drifted: $r — 160k vectors must size to 16 planes/band, 61 probes " +
+        "(the re-anchored second growth-table entry)")
+    assert(r.nTrue > 0L, "the truth set went empty")
+    assert(r.recall >= 650000L,
+      s"8x-sf1 multi-probe recall fell below the 65% contract (measured 77.66% at HEAD): ${r.recall} ppm")
+    assert(r.candPerVec <= 31500L,
+      s"8x-sf1 candidate budget blew past its 30,614 rows/vec record: ${r.candPerVec}")
   }
 }

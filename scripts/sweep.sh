@@ -80,14 +80,19 @@ done
 
 # 8x width probe (round 16): the FIFTH schedule config (16 planes /
 # 61 probes — measured and re-anchored this round; the extrapolated
-# T=113 read 92.6% at 3x the budget). q267 ONLY at this scale: it
-# oracle-verifies the blocking layer (the shared keys CTE), the
-# recall floor, and the exact sum-k(k-1)/2 census of q25's pair
-# stream; q25's own 4.9G-row candidate oracle and the q152/q214
-# all-pairs oracles (416k docs -> O(N^2) inequality joins in DuckDB)
-# exceed the host at 8x — a LOUD, named cap like the 4x q25 one.
+# T=113 read 92.6% at 3x the budget). q267 ONLY at this scale, and
+# SAMPLE-SCOPED (scripts/sample_q267.py): the full-corpus oracle's
+# keys/fl/pr chain measured >65 GiB of DuckDB temp at 8x (round 16),
+# so the oracle compare pushes the sample filter into el — verifying
+# the 16-plane blocking arithmetic bit-for-bit on the deterministic
+# ~625-vector sample plus the schedule constants and both recall
+# numbers — while the full-corpus census stays ENGINE-pinned by
+# LshRecallSpec's 31,500 rows/vec ceiling. q25's own 4.9G-row
+# candidate oracle and the q152/q214 all-pairs oracles (416k docs ->
+# O(N^2) inequality joins in DuckDB) also exceed the host at 8x —
+# LOUD, named caps like the 4x q25 slice.
 fx8=/tmp/graft_sf8x
-echo "=== width-schedule probe (8x-sf1, q267 only) ==="
+echo "=== width-schedule probe (8x-sf1, q267 sample-scoped) ==="
 if [ ! -d "$fx8" ]; then
   python3 scripts/make_sf1.py /tmp/graft_sf1 "$fx8" 8
 fi
@@ -95,9 +100,12 @@ rm -rf /tmp/vs_sweep_w8
 SPARK_DRIVER_MEM=32g \
   sbt -batch "runMain graft.tools.VerifySome $fx8 /tmp/vs_sweep_w8 q267_lsh_recall" \
   > /dev/null 2>&1
-{ echo "NOTE: 8x probe compares q267 only (q25's 4.9G-row candidate oracle and"
-  echo "the q152/q214 all-pairs oracles exceed the host at this scale: see sweep.sh)"
+{ echo "NOTE: 8x probe compares q267 only, SAMPLE-SCOPED (full-corpus census"
+  echo "engine-pinned by LshRecallSpec; the full 8x oracle measured >65 GiB"
+  echo "DuckDB temp, and q25/q152/q214 oracles exceed the host at this scale:"
+  echo "see sweep.sh + scripts/sample_q267.py)"
 } | tee "${prefix}_sf8x_verify.txt"
+python3 scripts/sample_q267.py /tmp/vs_sweep_w8
 GRAFT_ORACLE_TEMP_CAP=70GB GRAFT_ORACLE_MEM=80GB \
   python3 scripts/compare.py "$fx8" /tmp/vs_sweep_w8 \
   | tee -a "${prefix}_sf8x_verify.txt"

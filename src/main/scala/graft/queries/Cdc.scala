@@ -32,7 +32,15 @@ object Cdc {
     */
   private def cdcBatches(s: SparkSession, d: String)
       : (Int => DataFrame, Int => DataFrame) = {
+    // One eager localCheckpoint: the 5-batch derivation is consumed
+    // 2×5 times by the sequential merges (plus re-apply probes), and
+    // without it EVERY merge re-scans the events parquet — 20+ scans
+    // of the same bytes per query (round-16 profile: q131 ran 90
+    // stages, most of them these re-scans). The checkpoint holds the
+    // batch-tagged rows once; merges read the materialized blocks.
+    // Recomputed per invocation — nothing persists across runs.
     val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
+      .localCheckpoint(true)
     val upserts = (b: Int) => ev.filter(col("batch") === b)
       .filter(col("event_type") =!= "error")
       .select(col("user_id"), col("event_type").as("last_type"),
@@ -146,8 +154,10 @@ object Cdc {
       for (b <- 0 until 5)
         store.merge("state", upserts(b), tombstones(b), s"batch_$b")
       // materialize the incremental final state OUTSIDE the table dir
-      // (forceRefresh deletes the snapshot files under a lazy reader)
-      store.snapshot("state").get.write.parquet(s"$root/inc")
+      // (forceRefresh deletes the snapshot files under a lazy reader):
+      // an eager localCheckpoint pins the rows in block storage — no
+      // scratch parquet write + re-read round-trip
+      val incremental = store.snapshot("state").get.localCheckpoint(true)
       store.forceRefresh("state")
       require(store.snapshot("state").isEmpty,
         "forceRefresh left a snapshot behind")
@@ -157,9 +167,15 @@ object Cdc {
       val gated = store.merge("state", upserts(1), tombstones(1), "batch_1")
       require(!gated, "audit log lost pre-refresh history: stale file re-applied")
       val rebuilt = store.snapshot("state").get
-      val incremental = s.read.parquet(s"$root/inc")
-      require(rebuilt.exceptAll(incremental).isEmpty &&
-          incremental.exceptAll(rebuilt).isEmpty,
+      // multiset equality in ONE distributed job: signed per-row
+      // counts sum to zero for every row  ⟺  both exceptAll probes
+      // are empty (rebuilt \ inc = rows with positive sum, inc \
+      // rebuilt = negative) — same check, half the passes and one
+      // shuffle instead of two exceptAll plans
+      val diff = rebuilt.select(struct(col("*")).as("r"), lit(1L).as("s"))
+        .unionAll(incremental.select(struct(col("*")).as("r"), lit(-1L).as("s")))
+        .groupBy("r").agg(sum(col("s")).as("d")).filter(col("d") =!= 0)
+      require(diff.isEmpty,
         "force-refresh state diverged from the incremental state")
       Scratch.sealAndClean(rebuilt.orderBy("user_id"), root)
     },
@@ -1042,11 +1058,16 @@ object Cdc {
         store.merge("state", upserts(b), tombstones(b), s"batch_$b")
       def partFiles(v: Int): Int = new java.io.File(s"$root/state/v$v")
         .listFiles().count(f => f.getName.startsWith("part-"))
-      val preVersion = 5
+      // merges size their output files adaptively (round 16), so the
+      // fragmented layout compaction exists for is PLANTED explicitly:
+      // a 4-way re-layout rewrite (the same many-small-files shape a
+      // fleet of parallel writer tasks leaves behind), then OPTIMIZE
+      // back down to one file — both directions must be value-invisible
+      val preVersion = store.compact("state", numFiles = 4)
       val preFiles = partFiles(preVersion)
 
       val v = store.compact("state", numFiles = 1)
-      require(v == preVersion + 1, s"compaction wrote v$v, expected v6")
+      require(v == preVersion + 1, s"compaction wrote v$v, expected v${preVersion + 1}")
       require(partFiles(v) == 1 && preFiles > 1,
         s"layout unchanged: $preFiles files before, ${partFiles(v)} after")
       // the pre-compaction version still time-travels — and serves as
@@ -1055,8 +1076,12 @@ object Cdc {
       val pre = store.snapshotAt("state", preVersion)
         .getOrElse(sys.error("compaction clobbered the prior version"))
       val after = store.snapshot("state").get
-      require(after.exceptAll(pre).isEmpty && pre.exceptAll(after).isEmpty,
-        "compaction changed table values")
+      // multiset equality in ONE job (signed per-row counts; the q131
+      // probe's shape) instead of two exceptAll passes
+      val diff = after.select(struct(col("*")).as("r"), lit(1L).as("s"))
+        .unionAll(pre.select(struct(col("*")).as("r"), lit(-1L).as("s")))
+        .groupBy("r").agg(sum(col("s")).as("dn")).filter(col("dn") =!= 0)
+      require(diff.isEmpty, "compaction changed table values")
       Scratch.sealAndClean(after.orderBy("user_id"), root)
     },
     Some(cdcFinalStateSql))

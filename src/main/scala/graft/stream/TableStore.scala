@@ -154,12 +154,88 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     drop.size
   }
 
-  /** Applied source_filenames across ALL tables (audit view). */
-  def appliedFiles(): Set[String] = {
-    if (!Files.exists(Paths.get(logDir))) Set.empty
-    else spark.read.parquet(logDir).select("source_filename")
-      .collect().map(_.getString(0)).toSet
+  // ---- update_log storage --------------------------------------------
+  // The log is METADATA (three short strings per applied file), not
+  // data: storing it as parquet made every append and every
+  // exactly-once lookup a Spark job — at the nightly-merge cadence
+  // that is 2 fixed-overhead jobs per batch for a table of a few
+  // hundred bytes (measured round 16: ~25% of q131's wall was this
+  // bookkeeping). Appends are now ONE driver-side atomic file move of
+  // a JSON line (the same commit shape production table formats use
+  // for their transaction logs), and lookups are driver-side reads.
+  // Readers through [[updateLog]] still get a DataFrame (spark JSON
+  // scan, same columns), and the concurrency story is unchanged:
+  // appends create unique files atomically, and the exactly-once gate
+  // re-reads the log whenever the directory listing has changed.
+
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
   }
+
+  /** Fields of one log line, parsed with Jackson (Spark's bundled
+    * JSON library — the same parser `spark.read.json` uses, so the
+    * driver-side and DataFrame views of the log always agree).
+    */
+  private def parseLogLine(line: String): Option[(String, String)] = {
+    if (line.isEmpty) None
+    else {
+      val node = jsonMapper.readTree(line)
+      val t = node.get("update_type")
+      val f = node.get("source_filename")
+      if (t == null || f == null) None else Some((t.asText, f.asText))
+    }
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Non-hidden log file names currently in the log directory (the
+    * cheap "has any writer appended?" fingerprint the cache-miss path
+    * compares against the listing its cache was read under).
+    */
+  private def listLogFiles(): Set[String] = {
+    val dir = Paths.get(logDir)
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        val buf = Set.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (!n.startsWith(".") && !n.startsWith("_")) buf += n
+        }
+        buf.result()
+      } finally stream.close()
+    }
+  }
+
+  /** Append one applied-file record: write the JSON line to a hidden
+    * temp file and claim its final name with ONE atomic move — the
+    * same commit primitive the snapshot versions use, so a reader
+    * (driver-side or `spark.read.json`) never sees a torn line and
+    * two concurrent appenders never collide (unique names).
+    */
+  private def appendLog(table: String, sourceFilename: String): String = {
+    Files.createDirectories(Paths.get(logDir))
+    val fname = s"log-${java.util.UUID.randomUUID()}.json"
+    val line = s"""{"update_type":"${jsonEscape(table)}","source_filename":"${jsonEscape(sourceFilename)}","update_date":"${java.time.Instant.now.toString}"}""" + "\n"
+    val tmp = Paths.get(logDir, s".tmp-$fname")
+    Files.write(tmp, line.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(logDir, fname),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fname
+  }
+
+  /** Applied source_filenames across ALL tables (audit view). */
+  def appliedFiles(): Set[String] =
+    readLogEntries(listLogFiles()).map(_._2).toSet
 
   /** Applied source_filenames FOR ONE TABLE — the exactly-once gate is
     * scoped like the reference's `WHERE update_type='pubmed_update'`
@@ -175,32 +251,66 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   def appliedFiles(table: String): Set[String] =
     appliedCache.getOrElseUpdate(table, readLog(table)).toSet
 
-  private def readLog(table: String): scala.collection.mutable.Set[String] =
-    if (!Files.exists(Paths.get(logDir)))
-      scala.collection.mutable.Set.empty[String]
-    else scala.collection.mutable.Set(
-      spark.read.parquet(logDir)
-        .filter(col("update_type") === table)
-        .select("source_filename")
-        .collect().map(_.getString(0)).toIndexedSeq: _*)
+  /** (update_type, source_filename) rows of exactly the given log
+    * files — reading ONLY the captured listing keeps the cache and
+    * the listing it is tagged with consistent even if another writer
+    * appends mid-read.
+    */
+  private def readLogEntries(files: Set[String]): Seq[(String, String)] =
+    files.toSeq.flatMap { f =>
+      // a file listed a moment ago can be vacuumed away concurrently;
+      // treat it as gone (its entries were rewritten or reclaimed)
+      val p = Paths.get(logDir, f)
+      if (!Files.exists(p)) Seq.empty
+      else new String(Files.readAllBytes(p), "UTF-8")
+        .split('\n').toSeq.flatMap(l => parseLogLine(l.trim))
+    }
+
+  private def readLog(table: String): scala.collection.mutable.Set[String] = {
+    val listing = listLogFiles()
+    val entries = readLogEntries(listing)
+    cacheListing(table) = listing
+    scala.collection.mutable.Set(
+      entries.collect { case (t, f) if t == table => f }: _*)
+  }
 
   /** Cache-hit fast path; on miss, refresh from the log (another
-    * instance may have applied the file since this cache loaded).
+    * instance may have applied the file since this cache loaded) —
+    * unless the log directory's listing is UNCHANGED from the one the
+    * cache was read under, in which case the cache is provably
+    * current and the miss is authoritative (no re-read needed: every
+    * append creates a new file, so a writer this cache has not seen
+    * implies a listing difference).
     */
   private def isApplied(table: String, sourceFilename: String): Boolean = {
     val cached = appliedCache.getOrElseUpdate(table, readLog(table))
     cached.contains(sourceFilename) || {
-      val fresh = readLog(table)
-      appliedCache(table) = fresh
-      fresh.contains(sourceFilename)
+      if (cacheListing.get(table).contains(listLogFiles())) false
+      else {
+        val fresh = readLog(table)
+        appliedCache(table) = fresh
+        fresh.contains(sourceFilename)
+      }
     }
   }
 
   private val appliedCache =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+  /** Log-directory listing each table's cache was read under. Our own
+    * appends update it in place (we KNOW the file we just wrote and
+    * that it contains only our own entry), so a single-writer merge
+    * stream never re-reads the log; any foreign append leaves a file
+    * the listing lacks and forces the re-read.
+    */
+  private val cacheListing =
+    scala.collection.mutable.Map.empty[String, Set[String]]
 
   def updateLog(): Option[DataFrame] =
-    if (Files.exists(Paths.get(logDir))) Some(spark.read.parquet(logDir)) else None
+    if (Files.exists(Paths.get(logDir)))
+      Some(spark.read
+        .schema("update_type STRING, source_filename STRING, update_date STRING")
+        .json(logDir))
+    else None
 
   /** Batch-stats counters (A4; the reference's collections.Counter at
     * pubmed.py:458,480,550) — distributed-safe accumulators.
@@ -245,11 +355,19 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     */
   private def observedCount(obs: org.apache.spark.sql.Observation,
       input: DataFrame): Long = {
-    var tries = 0
-    while (tries < 10) {   // an unresolved observation yields Row.empty
+    // listener delivery is typically a few ms behind the action (the
+    // bus is async); a flat 50 ms poll charged every merge ~100 ms of
+    // pure sleep (round-16 measurement), so back off exponentially:
+    // 2→4→…→50 ms up to the same ~1 s bound before the fallback
+    var waitedMs = 0L
+    var step = 2L
+    while (waitedMs < 1000L) {   // an unresolved observation yields Row.empty
       org.apache.spark.sql.graftshim.GraftShim.observedOrEmpty(obs) match {
         case Some(row) if row.length > 0 => return row.getLong(0)
-        case _ => tries += 1; Thread.sleep(50L)
+        case _ =>
+          Thread.sleep(step)
+          waitedMs += step
+          step = math.min(50L, step * 2)
       }
     }
     input.count()
@@ -297,6 +415,26 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
       case _: java.nio.file.FileSystemException => false
     }
   }
+
+  /** Total bytes of the data files under a snapshot version dir
+    * (driver-side walk; markers and hidden files excluded).
+    */
+  private def dirDataBytes(dir: java.nio.file.Path): Long =
+    if (!Files.exists(dir)) 0L
+    else {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        var total = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (!n.startsWith(".") && !n.startsWith("_") && Files.isRegularFile(p))
+            total += Files.size(p)
+        }
+        total
+      } finally stream.close()
+    }
 
   private def rmTree(dir: java.nio.file.Path): Unit =
     if (Files.exists(dir)) {
@@ -390,7 +528,21 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
       val v = baseV + 1
       val staging = s"${tableDir(table)}/.staging-v$v-" +
         java.util.UUID.randomUUID()
-      next.write.mode(SaveMode.Overwrite).parquet(staging)
+      // Output file sizing (nightly tables accumulate versions; a
+      // snapshot scattered across one file per upstream task pays
+      // listing + footer + open cost on every later read): size the
+      // new version's file count from the PREVIOUS version's on-disk
+      // bytes at a ~128 MB/file target — scale-adaptive, not a local
+      // constant (a TB-size snapshot still writes thousands of
+      // files). coalesce, not repartition: no extra exchange.
+      val sized =
+        if (bootstrap) next
+        else {
+          val prevBytes = dirDataBytes(Paths.get(s"${tableDir(table)}/v$baseV"))
+          val target = math.max(1L, math.min(1 << 20, prevBytes / (128L << 20) + 1))
+          next.coalesce(target.toInt)
+        }
+      sized.write.mode(SaveMode.Overwrite).parquet(staging)
       onBeforeCommit()
       if (claimVersion(table, v, staging)) {
         mergedBatches.add(1)
@@ -402,11 +554,13 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
           if (bootstrap) tombstones.count()
           else observedCount(obsTomb, tombstones))
 
-        import spark.implicits._
-        Seq((table, sourceFilename, java.time.Instant.now.toString))
-          .toDF("update_type", "source_filename", "update_date")
-          .write.mode(SaveMode.Append).parquet(logDir)
+        val logFile = appendLog(table, sourceFilename)
         appliedCache(table) += sourceFilename
+        // our own append: attribution is exact (the file holds only
+        // our entry), so every table's cached listing absorbs it
+        // without a re-read; a FOREIGN append stays missing from the
+        // listing and still forces the miss-path re-read
+        cacheListing.keys.foreach(t => cacheListing(t) += logFile)
         return true
       }
       rmTree(Paths.get(staging))

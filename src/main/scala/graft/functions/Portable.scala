@@ -16,9 +16,11 @@ object Portable {
   /** 32-bit portable string hash: big-endian integer value of the first
     * 8 hex chars of md5(s). Non-negative, fits in a long.
     * DuckDB: `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)`
+    * Engine side: ONE codegen'd md5-prefix call ([[Hash32.h32Col]]) —
+    * value-identical to the former md5→substring→conv(16) chain, minus
+    * its three per-row string intermediates (round 16).
     */
-  def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def h32(c: Column): Column = Hash32.h32Col(c)
 
   /** Exact sum of a 2-decimal double column, returned as double.
     * Accumulates in DECIMAL(28,2) so partial-aggregation order cannot
@@ -61,11 +63,7 @@ object Portable {
     * signs) that must agree bit-for-bit with what the DuckDB oracle
     * derives from the same md5 formula.
     */
-  def h32s(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
-  }
+  def h32s(s: String): Long = Hash32.h32(s)
 
   /** Dot product of two double arrays, sequential left-to-right fold —
     * evaluated by the codegen'd [[DotProduct]] expression (identical

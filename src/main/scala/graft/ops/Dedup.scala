@@ -42,21 +42,19 @@ object Dedup {
     (6, 746777L, 122949823L), (7, 526363L, 141650939L))
 
   /** Per-doc (band, sig) rows from a shingle-hash array column `hs` —
-    * 8 permutations min-folded map-side, 4 bands × 2 rows.
+    * 8 permutations min-folded map-side, 4 bands × 2 rows. The fold
+    * runs in ONE codegen'd pass over the array
+    * ([[graft.functions.Hash32.minhashBandSigsCol]]); the previous 8
+    * `array_min(transform(…))` HOFs were interpreted and materialized
+    * 8 permuted copies of the array per document (round 16, guide §4:
+    * prefer codegen expressions over per-element lambdas in the hot
+    * path).
     */
-  def bandSignatures(docs: DataFrame): DataFrame = {
-    def mh(i: Int): Column = {
-      val (_, a, b) = mhParams(i)
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % 2147483647L))
-    }
-    val bandStructs = (0 until 4).map { bd =>
-      struct(lit(bd).as("band"),
-        concat_ws(",", mh(2 * bd).cast("string"), mh(2 * bd + 1).cast("string")).as("sig"))
-    }
+  def bandSignatures(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"),
+        explode(graft.functions.Hash32.minhashBandSigsCol(col("hs"))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-  }
 
   /** Band buckets exceeding `maxBucket` (audit view: what a capped run
     * skipped — at 100 TB this goes to a quarantine table, mirroring the

@@ -292,9 +292,11 @@ object RhOps {
       val cScore = new Array[Long](nc)
       val cMask = new Array[Int](nc)
       val cUsed = new Array[Boolean](nc)
+      val cPacked = new Array[Long](nc)
       var b = 0
       while (b < bands) {
         var key = 0
+        var maxMargin = 0L
         var j = 0
         while (j < planesPerBand) {
           val w = weights(b * planesPerBand + j)
@@ -303,6 +305,7 @@ object RhOps {
           while (k < dim) { acc += scaled(k) * w(k); k += 1 }
           if (acc >= 0) key |= (1 << j)
           margins(j) = math.abs(acc)
+          if (margins(j) > maxMargin) maxMargin = margins(j)
           planeUsed(j) = false
           j += 1
         }
@@ -354,24 +357,45 @@ object RhOps {
             i1 += 1
           }
         }
-        // T smallest candidates by (score, mask) — quadratic selection
-        // over nc ≤ T + C(T,2) + C(T,3) pruned candidates; at the
-        // production schedule (T ≤ ~2·ppb, tp ≤ ppb ≤ 24) this is
-        // comparable to the verify stage's per-candidate 64-dim dot,
-        // and both are per-row map-side constants
-        java.util.Arrays.fill(cUsed, 0, nc, false)
-        t = 0
-        while (t < probes) {
-          var best = -1
+        // T smallest candidates by (score, mask). The former
+        // T-pass selection was O(T·nc) per band — at the growth-table
+        // widths (15 planes/T=61: 61·575 ≈ 35k compares per band; 24
+        // planes/T=2324: 5.4M) it dominated the whole key expression
+        // (round-16 profile). Pack (score, mask) into one long —
+        // score in the high bits, mask (< 2^25, ppb ≤ 24) in the low
+        // — so ONE primitive Arrays.sort gives the exact (score,
+        // mask) ascending order in O(nc log nc). Margins of
+        // unit-scale embeddings are ≤ 64e9, so 3-flip scores fit 2^38
+        // comfortably; a pathological input past 2^38 falls back to
+        // the original selection loop (same order, never wrong).
+        val packable = maxMargin <= ((1L << 38) / 3 - 1)
+        if (packable) {
           var j2 = 0
           while (j2 < nc) {
-            if (!cUsed(j2) && (best < 0 || cScore(j2) < cScore(best) ||
-                (cScore(j2) == cScore(best) && cMask(j2) < cMask(best)))) best = j2
+            cPacked(j2) = (cScore(j2) << 25) | cMask(j2).toLong
             j2 += 1
           }
-          cUsed(best) = true
-          out(b * width + 1 + t) = key ^ cMask(best)
-          t += 1
+          java.util.Arrays.sort(cPacked, 0, nc)
+          t = 0
+          while (t < probes) {
+            out(b * width + 1 + t) = key ^ (cPacked(t) & 0x1ffffffL).toInt
+            t += 1
+          }
+        } else {
+          java.util.Arrays.fill(cUsed, 0, nc, false)
+          t = 0
+          while (t < probes) {
+            var best = -1
+            var j2 = 0
+            while (j2 < nc) {
+              if (!cUsed(j2) && (best < 0 || cScore(j2) < cScore(best) ||
+                  (cScore(j2) == cScore(best) && cMask(j2) < cMask(best)))) best = j2
+              j2 += 1
+            }
+            cUsed(best) = true
+            out(b * width + 1 + t) = key ^ cMask(best)
+            t += 1
+          }
         }
         b += 1
       }

@@ -522,7 +522,12 @@ object Pipeline {
         .select(col("a_id"), col("b_id"),
           round(dot(col("va"), col("vb")) /
             sqrt(norm2(col("va")) * norm2(col("vb"))), 6).as("cos_sim"))
+      // truth (≤ sample² pairs above tau — a few hundred rows) feeds
+      // THREE consumers (tn/hb/hp); without pinning, each re-ran the
+      // sample² cosine cross join (round-16 profile: 3 identical heavy
+      // stages). Eager localCheckpoint computes it once per invocation.
       val truth = scored.filter(col("cos_sim") >= 0.35).select("a_id", "b_id")
+        .localCheckpoint(true)
       val baseKeys = sample.select(col("vec_id"),
           posexplode(graft.functions.RhOps.bandKeysCol(col("v"), ppbBase)))
         .withColumnRenamed("pos", "band")
@@ -536,10 +541,13 @@ object Pipeline {
       def cand(keys: DataFrame) = graft.ops.Dedup
         .bucketPairs(keys, "vec_id", Seq("band", "bkey"))
         .distinct()
+      // the probed sample-candidate set likewise feeds two consumers
+      // (hp's semi-join and the n_cand_sample census)
+      val candProbedSample = cand(probedKeys(sample)).localCheckpoint(true)
       val tn = truth.agg(count(lit(1)).as("n_true"))
       val hb = truth.join(cand(baseKeys), Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit_base"))
-      val hp = truth.join(cand(probedKeys(sample)), Seq("a_id", "b_id"), "left_semi")
+      val hp = truth.join(candProbedSample, Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
       // full-corpus candidate-ROW census from the bucket-size
       // histogram: Σ k·(k−1)/2, O(buckets), no pair generation
@@ -547,7 +555,7 @@ object Pipeline {
         .agg(count(lit(1)).as("k"))
         .agg(coalesce(sum(expr("(k * (k - 1)) DIV 2")), lit(0L))
           .as("n_cand_rows"))
-      val cs = cand(probedKeys(sample))
+      val cs = candProbedSample
         .agg(count(lit(1)).as("n_cand_sample"))
       val sn = sample.agg(count(lit(1)).as("n_sample"))
       tn.crossJoin(broadcast(hb)).crossJoin(broadcast(hp))

@@ -515,12 +515,17 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
           // absorb exactly this drift silently (pubmed.py upserts
           // whole records). Under the strict default, any schema
           // mismatch is an AnalysisException.
+          // ONE anti-join against the UNION of tombstone and upsert
+          // keys — set-identical to the former two chained anti-joins
+          // (removed iff key ∈ T ∪ U), and one broadcast build per
+          // merge instead of two (round 16; each build is its own job
+          // on the nightly path)
           spark.read.parquet(s"${tableDir(table)}/v$baseV")
             .join(tombstones
                 .observe(obsTomb, count(lit(1)).as("n"))
-                .select(col(tombstones.columns.head).as(keyCol)),
+                .select(col(tombstones.columns.head).as(keyCol))
+                .unionAll(upserts.select(col(keyCol))),
               Seq(keyCol), "left_anti")
-            .join(upserts.select(keyCol), Seq(keyCol), "left_anti")
             .unionByName(dedupedUpserts,
               allowMissingColumns = allowSchemaEvolution)
         }

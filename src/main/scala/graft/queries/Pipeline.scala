@@ -522,12 +522,7 @@ object Pipeline {
         .select(col("a_id"), col("b_id"),
           round(dot(col("va"), col("vb")) /
             sqrt(norm2(col("va")) * norm2(col("vb"))), 6).as("cos_sim"))
-      // truth (≤ sample² pairs above tau — a few hundred rows) feeds
-      // THREE consumers (tn/hb/hp); without pinning, each re-ran the
-      // sample² cosine cross join (round-16 profile: 3 identical heavy
-      // stages). Eager localCheckpoint computes it once per invocation.
       val truth = scored.filter(col("cos_sim") >= 0.35).select("a_id", "b_id")
-        .localCheckpoint(true)
       val baseKeys = sample.select(col("vec_id"),
           posexplode(graft.functions.RhOps.bandKeysCol(col("v"), ppbBase)))
         .withColumnRenamed("pos", "band")
@@ -541,14 +536,22 @@ object Pipeline {
       def cand(keys: DataFrame) = graft.ops.Dedup
         .bucketPairs(keys, "vec_id", Seq("band", "bkey"))
         .distinct()
-      // the probed sample-candidate set likewise feeds two consumers
-      // (hp's semi-join and the n_cand_sample census)
-      val candProbedSample = cand(probedKeys(sample)).localCheckpoint(true)
-      val tn = truth.agg(count(lit(1)).as("n_true"))
-      val hb = truth.join(cand(baseKeys), Seq("a_id", "b_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit_base"))
-      val hp = truth.join(candProbedSample, Seq("a_id", "b_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
+      val candProbedSample = cand(probedKeys(sample))
+      // n_true / n_hit_base / n_hit in ONE aggregate over ONE
+      // evaluation of the sample² truth cross join: the former three
+      // separate aggregates (count + two semi-joins) re-ran the truth
+      // subtree per consumer — 3 identical heavy stages in the
+      // round-16 profile. Candidate sets are DISTINCT pairs, so the
+      // left joins cannot duplicate truth rows and count(flag) is
+      // exactly the semi-join count.
+      val hits = truth
+        .join(cand(baseKeys).withColumn("__fb", lit(1)),
+          Seq("a_id", "b_id"), "left")
+        .join(candProbedSample.withColumn("__fp", lit(1)),
+          Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("__fb")).as("n_hit_base"),
+          count(col("__fp")).as("n_hit"))
       // full-corpus candidate-ROW census from the bucket-size
       // histogram: Σ k·(k−1)/2, O(buckets), no pair generation
       val cn = probedKeys(full).groupBy("band", "bkey")
@@ -558,7 +561,7 @@ object Pipeline {
       val cs = candProbedSample
         .agg(count(lit(1)).as("n_cand_sample"))
       val sn = sample.agg(count(lit(1)).as("n_sample"))
-      tn.crossJoin(broadcast(hb)).crossJoin(broadcast(hp))
+      hits
         .crossJoin(broadcast(cn)).crossJoin(broadcast(cs))
         .crossJoin(broadcast(sn))
         .select(lit(n).as("n_vecs"), lit(ppbBase.toLong).as("ppb_base"),

@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-readable bench contract (round 17): the driver's PERF
+// comparison parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as compact JSON. With the default LoggedOutput strategy sbt prefixes
+// every forked-process line with "[info] " and appends its own
+// "[success] Total time: ..." line, so the artifact's `parsed` field
+// was null for two rounds (PERF_r15/r16). StdoutOutput passes the
+// forked JVM's stdout through verbatim, and showSuccess/showTiming
+// suppress sbt's trailing success line — the bench's compact JSON is
+// then the final stdout line, exactly as Bench.scala documents.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -368,7 +368,13 @@ object RhOps {
         // unit-scale embeddings are ≤ 64e9, so 3-flip scores fit 2^38
         // comfortably; a pathological input past 2^38 falls back to
         // the original selection loop (same order, never wrong).
-        val packable = maxMargin <= ((1L << 38) / 3 - 1)
+        // the 25-bit mask shift silently requires masks < 2^25, i.e.
+        // planesPerBand <= 25; guard it here (not only via
+        // maxPlanesPerBand = 24) so raising the width cap cannot
+        // corrupt the packed probe order — a wider band falls back to
+        // the exact selection loop below
+        val packable = planesPerBand <= 25 &&
+          maxMargin <= ((1L << 38) / 3 - 1)
         if (packable) {
           var j2 = 0
           while (j2 < nc) {

@@ -154,12 +154,12 @@ object Cluster {
     var cur = edges.select(col("a_id"), col("b_id"))
       .filter(col("a_id") =!= col("b_id"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.ops.Reuse.pin)
 
     var round = 0
     var converged = cur.isEmpty
     while (round < maxIter && !converged) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).transform(graft.ops.Reuse.pin)
       val gained = next.join(cur, Seq("a_id", "b_id"), "left_anti").count()
       val lost = cur.join(next, Seq("a_id", "b_id"), "left_anti").count()
       cur = next
@@ -182,7 +182,7 @@ object Cluster {
     val labels = nodes.join(lab, Seq("id"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("mn"), col("id"))).as("cluster"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Reuse.pin)
     nodes.unpersist()
     StarResult(labels, round)
   }

@@ -40,7 +40,7 @@ object Cdc {
     // batch-tagged rows once; merges read the materialized blocks.
     // Recomputed per invocation — nothing persists across runs.
     val ev = Tables.events(s, d).withColumn("batch", pmod(col("event_id"), lit(5)))
-      .localCheckpoint(true)
+      .transform(graft.ops.Reuse.pin)
     val upserts = (b: Int) => ev.filter(col("batch") === b)
       .filter(col("event_type") =!= "error")
       .select(col("user_id"), col("event_type").as("last_type"),
@@ -157,7 +157,7 @@ object Cdc {
       // (forceRefresh deletes the snapshot files under a lazy reader):
       // an eager localCheckpoint pins the rows in block storage — no
       // scratch parquet write + re-read round-trip
-      val incremental = store.snapshot("state").get.localCheckpoint(true)
+      val incremental = store.snapshot("state").get.transform(graft.ops.Reuse.pin)
       store.forceRefresh("state")
       require(store.snapshot("state").isEmpty,
         "forceRefresh left a snapshot behind")

@@ -610,11 +610,17 @@ object Curation {
   private val q109DupSpans = Q(
     "q109_dup_spans",
     (s, d) => {
-      def exploded = Tables.documents(s, d)
+      // Pin the exploded (doc_id, distinct shingle) stream ONCE
+      // (round 17): it feeds both the df-build and the flag-join probe
+      // side, and as a `def` each consumer re-ran the shingle explode
+      // scan — the residue the round-15 join+regroup rework left
+      // behind. One materialized pass, two cheap block reads.
+      val exploded = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.Hash32.shingleHashes(col("text"))))
             .as("h"))
+        .transform(graft.ops.Reuse.pin)
       val shared = exploded.groupBy("h")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)

@@ -764,7 +764,7 @@ object Evaluate {
       // not a lineage that re-derives every earlier round from the
       // scan — plan depth stays constant across rounds.
       var state = q.withColumn("dmin",
-        d2(seed.getSeq[Long](1))).localCheckpoint(true)
+        d2(seed.getSeq[Long](1))).transform(graft.ops.Reuse.pin)
       for (_ <- 1 to 7) {
         val next = state.filter(!col("vec_id").isInCollection(picks.map(_._1)))
           .orderBy(col("dmin").desc, col("vec_id")).limit(1)
@@ -772,7 +772,7 @@ object Evaluate {
         picks = picks :+ (next.getLong(0), next.getAs[Long]("dmin"))
         val cvec = next.getSeq[Long](1)
         state = state.withColumn("dmin", least(col("dmin"), d2(cvec)))
-          .localCheckpoint(true)
+          .transform(graft.ops.Reuse.pin)
       }
       val rows = picks.zipWithIndex.map { case ((id, dm), i) =>
         (i.toLong, id, dm)
@@ -1010,10 +1010,15 @@ object Evaluate {
   private val q213ContainmentConfirm = Q(
     "q213_containment_confirm",
     (s, d) => {
+      // Pinned ONCE (round 17, the q22 move): `doc` feeds the banded
+      // candidate generator AND the exploded shingle table `sh` (whose
+      // distinct exchange fans out to four consumers) — the shingle
+      // scan re-ran per subtree without the pin.
       val doc = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"),
           graft.functions.Hash32.shingleHashes(col("text")).as("hs"))
+        .transform(graft.ops.Reuse.pin)
       val pairs = graft.ops.Dedup.candidates(graft.ops.Dedup.bandSignatures(doc))
         .select("a_id", "b_id")
       val sh = doc.select(col("doc_id"), explode(col("hs")).as("h")).distinct()

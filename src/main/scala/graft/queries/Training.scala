@@ -144,10 +144,14 @@ object Training {
   private val q69JaccardDfOrder = Q(
     "q69_jaccard_df_order",
     (s, d) => {
+      // Pinned ONCE (round 17, the q22 move): `docs` feeds the
+      // df-map build job, the prefix explode and BOTH verification
+      // join sides — four shingle-scan re-runs without the pin.
       val docs = Tables.documents(s, d)
         .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"), col("lang"),
           array_distinct(graft.functions.Hash32.shingleHashes(col("text"))).as("toks"))
+        .transform(graft.ops.Reuse.pin)
       val dfRows = docs.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)
@@ -966,7 +970,7 @@ object Training {
         .agg(count(lit(1)).as("w"))
       val edges = ue.select(col("user_id").as("src"), col("tid").as("dst"), col("w"))
         .union(ue.select(col("tid").as("src"), col("user_id").as("dst"), col("w")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Reuse.pin)
       val nodes = edges.select(col("src").as("id")).distinct()
       val deg = edges.groupBy("src").agg(sum(col("w")).as("totw"))
       var ranks = nodes.select(col("id"), lit(1000000000000L).as("r"))
@@ -979,7 +983,7 @@ object Training {
         ranks = nodes.join(contribs, Seq("id"), "left")
           .select(col("id"), (lit(150000000000L) +
             expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
-          .localCheckpoint(true)
+          .transform(graft.ops.Reuse.pin)
       }
       ranks.join(deg.withColumnRenamed("src", "id"), "id")
         .select(col("id").as("node_id"), col("totw"), col("r").as("rank_e12"))

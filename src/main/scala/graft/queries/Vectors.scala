@@ -132,8 +132,16 @@ object Vectors {
   private val maxKnnBucket = 4096
 
   private[queries] def mutualKnnEdges(s: SparkSession, d: String): DataFrame = {
-    val dim = embDim(s, d)
-    val nBits = adaptiveBits(Tables.embeddings(s, d).count())
+    // ONE parameter job (round 17): dim and N were two separate driver
+    // actions (a head() and a count()) before the main query could even
+    // be planned — two fixed-overhead jobs per invocation for two
+    // scalars one aggregate returns together. Values are identical:
+    // every row's embedding has the same size, so first(size) ≡ the
+    // head row's size.
+    val prm = Tables.embeddings(s, d)
+      .agg(count(lit(1)), first(size(col("embedding")))).head
+    val dim = prm.getInt(1)
+    val nBits = adaptiveBits(prm.getLong(0))
     val bitCols = (0 until nBits).map { b =>
       (signDot((0 until dim).map(i => sgn(s"hp:$b:$i"))) >= 0L)
         .cast("long") * lit(1L << b)
@@ -288,7 +296,7 @@ object Vectors {
       // the degree join + three-way oriented self-join would otherwise
       // re-evaluate the whole kNN pipeline per join side (the q149
       // localCheckpoint pattern); the edge list is m ≤ N·K/2 rows
-      val e = mutualKnnEdges(s, d).select("src", "dst").localCheckpoint(true)
+      val e = mutualKnnEdges(s, d).select("src", "dst").transform(graft.ops.Reuse.pin)
       val deg = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("dg"))
@@ -586,7 +594,7 @@ object Vectors {
     (s, d) => {
       val e0 = mutualKnnEdges(s, d).select("src", "dst")
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Reuse.pin)
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
       for (_ <- 1 to 3) {
@@ -596,7 +604,7 @@ object Vectors {
           .groupBy("src")
           .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
           .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
-          .localCheckpoint(true)
+          .transform(graft.ops.Reuse.pin)
       }
       labels.select(col("id").as("node_id"), col("lbl").as("community"))
         .orderBy("node_id")
@@ -974,7 +982,7 @@ object Vectors {
       val mut = mutualKnnEdges(s, d)
       var ed = mut.select(col("src"), col("dst"))
         .union(mut.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Reuse.pin)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       for (r <- 1 to 3) {
         val alive = ed.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -984,7 +992,7 @@ object Vectors {
           .join(alive.select(col("id").as("src")), "src")
           .join(alive.select(col("id").as("dst")), "dst")
           .select("src", "dst")
-          .localCheckpoint(true)
+          .transform(graft.ops.Reuse.pin)
         val stats = ed.agg(
           count_distinct(col("src")).as("n_alive"),
           (count(lit(1)) / 2).cast("long").as("n_edges"),
@@ -1043,10 +1051,10 @@ object Vectors {
       val mut = mutualKnnEdges(s, d)
       val ed = mut.select(col("src"), col("dst"))
         .union(mut.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Reuse.pin)
       val source = ed.agg(min(least(col("src"), col("dst")))).head().getLong(0)
       var frontier = s.createDataFrame(Seq(Tuple1(source))).toDF("id")
-        .localCheckpoint(true)
+        .transform(graft.ops.Reuse.pin)
       var visited = frontier
       val out = scala.collection.mutable.ArrayBuffer(
         (0L, 1L, 1L, source))
@@ -1054,8 +1062,8 @@ object Vectors {
         val next = ed.join(frontier.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
-          .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
+          .transform(graft.ops.Reuse.pin)
+        visited = visited.union(next).transform(graft.ops.Reuse.pin)
         frontier = next
         val st = next.agg(count(lit(1)).as("n"),
           coalesce(sum("id"), lit(0L)).as("chk")).head()

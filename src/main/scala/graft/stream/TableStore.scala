@@ -2,7 +2,6 @@ package graft.stream
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed snapshot table with CDC MERGE semantics on plain parquet
@@ -186,10 +185,17 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   private def parseLogLine(line: String): Option[(String, String)] = {
     if (line.isEmpty) None
     else {
-      val node = jsonMapper.readTree(line)
-      val t = node.get("update_type")
-      val f = node.get("source_filename")
-      if (t == null || f == null) None else Some((t.asText, f.asText))
+      // a malformed line (a foreign file that slipped the log-*.json
+      // listing filter, or a torn write on a filesystem without atomic
+      // move) must be skipped, not take every merge down with it
+      try {
+        val node = jsonMapper.readTree(line)
+        val t = node.get("update_type")
+        val f = node.get("source_filename")
+        if (t == null || f == null) None else Some((t.asText, f.asText))
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => None
+      }
     }
   }
 
@@ -209,7 +215,11 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
         val buf = Set.newBuilder[String]
         while (it.hasNext) {
           val n = it.next().getFileName.toString
-          if (!n.startsWith(".") && !n.startsWith("_")) buf += n
+          // exactly the names appendLog writes: a legacy parquet log
+          // dir (pre-round-16 layout) or any foreign file must not be
+          // read as JSONL — updateLog()'s spark scan is similarly
+          // name-scoped by the same convention
+          if (n.startsWith("log-") && n.endsWith(".json")) buf += n
         }
         buf.result()
       } finally stream.close()
@@ -259,11 +269,20 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
   private def readLogEntries(files: Set[String]): Seq[(String, String)] =
     files.toSeq.flatMap { f =>
       // a file listed a moment ago can be vacuumed away concurrently;
-      // treat it as gone (its entries were rewritten or reclaimed)
+      // treat it as gone (its entries were rewritten or reclaimed) —
+      // including the TOCTOU window between the exists check and the
+      // read, where the removal surfaces as NoSuchFileException
       val p = Paths.get(logDir, f)
-      if (!Files.exists(p)) Seq.empty
-      else new String(Files.readAllBytes(p), "UTF-8")
-        .split('\n').toSeq.flatMap(l => parseLogLine(l.trim))
+      val bytes =
+        if (!Files.exists(p)) None
+        else
+          try Some(Files.readAllBytes(p))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+      bytes match {
+        case None => Seq.empty
+        case Some(bs) => new String(bs, "UTF-8")
+          .split('\n').toSeq.flatMap(l => parseLogLine(l.trim))
+      }
     }
 
   private def readLog(table: String): scala.collection.mutable.Set[String] = {
@@ -309,6 +328,9 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
     if (Files.exists(Paths.get(logDir)))
       Some(spark.read
         .schema("update_type STRING, source_filename STRING, update_date STRING")
+        // same name scope as listLogFiles(): only appendLog's files are
+        // JSONL — a legacy parquet log dir must not parse as JSON
+        .option("pathGlobFilter", "log-*.json")
         .json(logDir))
     else None
 
@@ -436,6 +458,26 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
       } finally stream.close()
     }
 
+  /** Count of data files under a snapshot/staging dir (markers and
+    * hidden files excluded), driver-side.
+    */
+  private def dataFileCount(dir: java.nio.file.Path): Long =
+    if (!Files.exists(dir)) 0L
+    else {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        var n = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (!name.startsWith(".") && !name.startsWith("_") &&
+              Files.isRegularFile(p)) n += 1
+        }
+        n
+      } finally stream.close()
+    }
+
   private def rmTree(dir: java.nio.file.Path): Unit =
     if (Files.exists(dir)) {
       val stream = Files.walk(dir)
@@ -488,12 +530,24 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
       // loop). The observation sits on the union path, which consumes
       // the raw upserts exactly once (Catalyst clones shared subtrees,
       // and a duplicated CollectMetrics name is an analysis error).
-      val w = Window.partitionBy(col(keyCol)).orderBy(col("seq").desc)
+      // max_by partial aggregation instead of a row_number window
+      // (round 17, guide §2.3 "aggregate before you shuffle"): the
+      // window shuffled EVERY raw upsert row and then sorted each key
+      // group to keep one row; max_by keeps at most one row per key
+      // per map partition before the exchange and needs no sort.
+      // Equivalent by construction: `seq` is unique per key within a
+      // batch (the API contract every caller satisfies — an ordering
+      // column exists to be unambiguous), so "max_by(seq)" selects
+      // exactly the row row_number()=1 selected under ORDER BY seq
+      // DESC, including struct-typed seq (both compare structs
+      // lexicographically).
+      val dataCols = upserts.columns.filterNot(_ == "seq")
       val dedupedUpserts = upserts
         .observe(obsUp, count(lit(1)).as("n"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "seq")
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(dataCols.map(col): _*), col("seq")).as("__r"))
+        .select(dataCols.map(c =>
+          if (c == keyCol) col(keyCol) else col("__r").getField(c).as(c)): _*)
 
       // The BASE version is read ONCE per attempt and the claim is
       // pinned to base+1: claiming "whatever is latest now + 1"
@@ -531,23 +585,49 @@ final class TableStore(spark: SparkSession, root: String, keyCol: String) {
         }
 
       val v = baseV + 1
-      val staging = s"${tableDir(table)}/.staging-v$v-" +
+      var staging = s"${tableDir(table)}/.staging-v$v-" +
         java.util.UUID.randomUUID()
       // Output file sizing (nightly tables accumulate versions; a
       // snapshot scattered across one file per upstream task pays
       // listing + footer + open cost on every later read): size the
       // new version's file count from the PREVIOUS version's on-disk
-      // bytes at a ~128 MB/file target — scale-adaptive, not a local
-      // constant (a TB-size snapshot still writes thousands of
-      // files). coalesce, not repartition: no extra exchange.
+      // bytes at a ~targetFileBytes/file goal (default 128 MB, guide
+      // §6; conf-keyed so a deployment — or a spec — can move it) —
+      // scale-adaptive, not a local constant (a TB-size snapshot
+      // still writes thousands of files). coalesce, not repartition:
+      // no extra exchange.
+      val targetFileBytes = math.max(1L, spark.conf
+        .get("spark.graft.snapshot.targetFileBytes", (128L << 20).toString)
+        .toLong)
+      def fileTarget(bytes: Long): Long =
+        math.max(1L, math.min(1 << 20, bytes / targetFileBytes + 1))
       val sized =
         if (bootstrap) next
         else {
           val prevBytes = dirDataBytes(Paths.get(s"${tableDir(table)}/v$baseV"))
-          val target = math.max(1L, math.min(1 << 20, prevBytes / (128L << 20) + 1))
-          next.coalesce(target.toInt)
+          next.coalesce(fileTarget(prevBytes).toInt)
         }
       sized.write.mode(SaveMode.Overwrite).parquet(staging)
+      // Correct the sizing from the ACTUAL staged bytes (round 17):
+      // sizing from the previous version under-sizes a merge that
+      // grows the table (a doubling merge writes ~256 MB files until
+      // the next merge catches up), and a bootstrap has no previous
+      // version at all. When the staged files average more than 2× the
+      // target, rewrite the staging dir once at the true target before
+      // the claim — a second job only on large-growth merges, never on
+      // the steady-state nightly path (the check itself is one
+      // driver-side listing).
+      val stagedBytes = dirDataBytes(Paths.get(staging))
+      val stagedFiles = dataFileCount(Paths.get(staging))
+      if (stagedFiles > 0 && stagedBytes > 2L * targetFileBytes * stagedFiles) {
+        val resized = s"${tableDir(table)}/.staging-v$v-" +
+          java.util.UUID.randomUUID()
+        spark.read.parquet(staging)
+          .repartition(fileTarget(stagedBytes).toInt)
+          .write.mode(SaveMode.Overwrite).parquet(resized)
+        rmTree(Paths.get(staging))
+        staging = resized
+      }
       onBeforeCommit()
       if (claimVersion(table, v, staging)) {
         mergedBatches.add(1)

@@ -108,6 +108,34 @@ class TableStoreSpec extends AnyFunSuite {
     assert(s.snapshotAt("t", 3).isDefined)
   }
 
+  test("snapshot sizing corrects from staged bytes on a growth merge") {
+    // round 17: sizing from the PREVIOUS version under-sizes a merge
+    // that grows the table; the post-write check must rewrite the
+    // staging at the true target. A tiny conf'd file-size target makes
+    // the growth path fire at spec scale.
+    spark.conf.set("spark.graft.snapshot.targetFileBytes", "1024")
+    try {
+      val root = Files.createTempDirectory("ts-spec-").toString
+      val s = new TableStore(spark, root, "k")
+      val pad = "x" * 200
+      val big = spark.range(500)
+        .select(concat(lit("k"), col("id")).as("k"),
+          concat(lit(pad), col("id")).as("v"), col("id").as("seq"))
+      // bootstrap lands ~100 KB against a 1 KB/file target: the
+      // staged-bytes correction must split it instead of leaving the
+      // upstream partitioning's oversized files
+      s.merge("t", big.repartition(1), dels(), "f0")
+      val v1 = new java.io.File(s"$root/t/v1")
+      val dataFiles = v1.listFiles.count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      assert(dataFiles > 1, s"growth merge kept $dataFiles oversized file(s)")
+      // and the data survived the rewrite byte-identically
+      assert(s.snapshot("t").get.count() === 500)
+      assert(s.snapshot("t").get.agg(sum(length(col("v")))).head.getLong(0) ===
+        big.agg(sum(length(col("v")))).head.getLong(0))
+    } finally spark.conf.unset("spark.graft.snapshot.targetFileBytes")
+  }
+
   test("property: merge sequence ≡ reference apply loop model") {
     val key = Gen.oneOf("k1", "k2", "k3")
     val action = for {
